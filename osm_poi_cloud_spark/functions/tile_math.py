@@ -1,0 +1,162 @@
+"""Web-Mercator tile math — the exact-match-critical kernel.
+
+Reproduces, bit-for-bit in IEEE-754 float64 with the same operation
+order, the reference's tile assignment and inverse:
+
+* ``lon_lat_to_tile``  — reference ``stack/sharding/src/main.rs:311-331``
+  (lat clamped to ±85.05112878, ``x/y`` floored then clamped to ``n-1``)
+* ``tile_bbox``        — reference ``stack/sharding/src/main.rs:333-343``
+  and the duplicated Python variant ``stack/batch/common.py:82-97``
+* ``tile_ring``        — reference ``stack/sharding/src/main.rs:345-354``
+
+Three synchronized forms are provided so the engine, the tests, and the
+DuckDB oracle all evaluate the *same* formula:
+
+1. numpy vectorized kernels (used by tests and by pandas-UDF paths),
+2. Spark ``Column`` builders (pure ``pyspark.sql.functions`` — stays in
+   whole-stage codegen, no Python in the hot path),
+3. SQL text fragments valid in BOTH Spark SQL and DuckDB (used to keep
+   ``queries()`` and ``oracle_sql()`` in lockstep).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+try:  # allow pure-numpy use without a Spark runtime (unit tests, planners)
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+except ImportError:  # pragma: no cover
+    Column = None  # type: ignore[assignment]
+    F = None  # type: ignore[assignment]
+
+MERCATOR_LAT_LIMIT = 85.05112878
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+def lon_lat_to_tile(lon, lat, zoom: int):
+    """Vectorized (lon, lat) -> (x, y) Web-Mercator tile at ``zoom``.
+
+    Mirrors ``main.rs:311-331`` exactly: clamp lat to ±85.05112878,
+    ``x = floor((lon+180)/360*n)``,
+    ``y = floor((1 - ln(tan(φ) + 1/cos(φ))/π)/2 * n)``,
+    both clamped to ``[0, n-1]``. Non-finite inputs yield -1 (the Rust
+    code returns ``None``; callers filter those rows).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = float(1 << zoom)
+    finite = np.isfinite(lon) & np.isfinite(lat)
+    lon_s = np.where(finite, lon, 0.0)
+    lat_c = np.clip(np.where(finite, lat, 0.0), -MERCATOR_LAT_LIMIT, MERCATOR_LAT_LIMIT)
+
+    x = np.floor((lon_s + 180.0) / 360.0 * n)
+    lat_rad = np.radians(lat_c)
+    y = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n)
+
+    x = np.clip(x, 0.0, n - 1.0).astype(np.int64)
+    y = np.clip(y, 0.0, n - 1.0).astype(np.int64)
+    x = np.where(finite, x, -1)
+    y = np.where(finite, y, -1)
+    return x, y
+
+
+def tile_bbox(zoom, x, y):
+    """Vectorized (z, x, y) -> (west, south, east, north) degrees.
+
+    Mirrors ``main.rs:333-343`` / ``common.py:82-97``:
+    ``lat(y) = atan(sinh(π(1 - 2y/n)))``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = np.asarray(2.0 ** np.asarray(zoom, dtype=np.float64), dtype=np.float64)
+    west = (x / n) * 360.0 - 180.0
+    east = ((x + 1.0) / n) * 360.0 - 180.0
+    # Transcendentals go through libm (math.*) rather than numpy's SIMD
+    # kernels, which round differently in the last ulp: tile_bbox is only
+    # ever evaluated over small driver-side shard manifests, and bit-exact
+    # parity with the reference (common.py:82-97 uses math.*) wins here.
+    _lat = np.frompyfunc(
+        lambda t: math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * t)))), 1, 1
+    )
+    north = np.asarray(_lat(y / n), dtype=np.float64)
+    south = np.asarray(_lat((y + 1.0) / n), dtype=np.float64)
+    return west, south, east, north
+
+
+def tile_ring(zoom: int, x: int, y: int) -> list[list[float]]:
+    """Closed 5-point CCW-from-SW ring for a tile (``main.rs:345-354``)."""
+    west, south, east, north = (float(v) for v in tile_bbox(zoom, x, y))
+    return [[west, south], [east, south], [east, north], [west, north], [west, south]]
+
+
+def parent_tile(x, y, from_zoom: int, to_zoom: int):
+    """Bubble a tile key up the pyramid by right-shifting (``main.rs:143-147``)."""
+    if to_zoom > from_zoom:
+        raise ValueError("to_zoom must be <= from_zoom")
+    shift = from_zoom - to_zoom
+    return np.asarray(x) >> shift, np.asarray(y) >> shift
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (valid in Spark SQL AND DuckDB)
+# ---------------------------------------------------------------------------
+
+def sql_tile_x(lon_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0), 0.0), "
+        f"{n - 1}.0) AS BIGINT)"
+    )
+
+
+def sql_tile_y(lat_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    clamped = f"LEAST(GREATEST({lat_expr}, -85.05112878), 85.05112878)"
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS({clamped})) "
+        f"+ 1.0 / COS(RADIANS({clamped}))) / PI()) / 2.0 * {n}.0), 0.0), "
+        f"{n - 1}.0) AS BIGINT)"
+    )
+
+
+def sql_lon_bucket(lon_expr: str) -> str:
+    """``FLOOR(lon)::INT`` pruning key (reference ``process_region.py:265``)."""
+    return f"CAST(FLOOR({lon_expr}) AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders (native expressions -> whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def tile_cols(lon_name: str, lat_name: str, zoom: int) -> tuple["Column", "Column"]:
+    """(x, y) tile columns at ``zoom`` from lon/lat column *names*.
+
+    Built via ``F.expr`` on the shared SQL fragment so the engine and the
+    DuckDB oracle execute character-identical formulas.
+    """
+    return (
+        F.expr(sql_tile_x(lon_name, zoom)),
+        F.expr(sql_tile_y(lat_name, zoom)),
+    )
+
+
+def tile_key_col(lon_name: str, lat_name: str, zoom: int) -> "Column":
+    """Single BIGINT key ``(x << zoom+1) | y`` — join/partition key.
+
+    A packed long beats the reference's ``"z-x-y"`` string id for shuffle
+    width and parquet encoding; ``shard_id_col`` provides the string form
+    for parity with the reference schema.
+    """
+    x, y = tile_cols(lon_name, lat_name, zoom)
+    return F.shiftleft(x, zoom + 1) + y
+
+
+def shard_id_col(zoom_col: "Column", x_col: "Column", y_col: "Column") -> "Column":
+    """Reference-format shard id ``"z-x-y"`` (``main.rs:285``)."""
+    return F.concat_ws("-", zoom_col.cast("string"), x_col.cast("string"), y_col.cast("string"))
