@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship plan on /root/testdata/sf0.001: derive POI
+points + tags from the testdata tables, run the engine's classify ->
+tile/cell encode -> per-class/per-tile aggregation.
+
+``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2
+(see osm_poi_cloud_spark/plans/contract.py). Shared-SQL queries execute
+the *same text* in Spark and DuckDB; engine-native ops (S2 cells) have
+no SQL oracle and take the rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,40 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.plans import contract as C
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    C._register(spark, sf_dir)
+    from osm_poi_cloud_spark.functions import tile_math as tm
+    from osm_poi_cloud_spark.functions.cell_udfs import with_s2_cells
+
+    pts = spark.sql(
+        f"WITH pts AS ({C.PTS_SQL}), tagged AS ({C.TAGGED_SQL}) "
+        f"SELECT poi_id, lon, lat, {C._CLASS_CASE} AS class "
+        "FROM pts JOIN tagged ON poi_id = p_partkey "
+        "WHERE lon IS NOT NULL"
+    ).filter(F.col("class").isNotNull())
+    x, y = tm.tile_cols("lon", "lat", 12)
+    pois = with_s2_cells(pts.withColumn("tile_x", x).withColumn("tile_y", y), "lat", "lon", (12,))
+    return (
+        pois.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_pois"),
+            F.countDistinct("cell_l12").alias("n_cells"),
+            F.countDistinct("tile_x", "tile_y").alias("n_tiles"),
+        )
+        .orderBy(F.desc("n_pois"), F.asc("class"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return C.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return C.build_oracles()

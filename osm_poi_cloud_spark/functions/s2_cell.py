@@ -124,11 +124,12 @@ def latlng_to_face_uv(lat_deg, lng_deg):
 def uv_to_st(u):
     """S2's quadratic projection (``S2::UVtoST``), vectorized."""
     u = np.asarray(u, dtype=np.float64)
-    return np.where(
-        u >= 0.0,
-        0.5 * np.sqrt(1.0 + 3.0 * u),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
-    )
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(
+            u >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
 
 
 def st_to_uv(s):

@@ -1,0 +1,316 @@
+"""Driver-contract queries: operator inventory (SURVEY.md §2) exercised
+over the driver's testdata tables, each paired with a DuckDB oracle.
+
+Design: wherever the engine op is expressible in the SQL subset common
+to Spark SQL and DuckDB, ONE shared SQL text is executed by both (the
+strongest possible parity guarantee). Ops that need engine code
+(pandas-UDF cell encode, pipeline stages) use DataFrame plans with a
+hand-matched oracle, or a rows-only check where no SQL oracle exists
+(S2 ids — DuckDB has no offline S2/H3 extension here).
+
+Geospatial inputs are derived deterministically from the TPC-H-ish
+tables (pure integer arithmetic -> identical float64 in both engines):
+`customer` rows become POI points, `nation` rows become query polygons.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tile_math as tm
+from ..functions.classify import class_sql
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# ---------------------------------------------------------------------------
+# Shared derivations (dialect-common SQL)
+# ---------------------------------------------------------------------------
+
+# customer -> POI points. Integer mod + exact decimal divide == identical
+# float64 in Spark and DuckDB.
+PTS_SQL = (
+    "SELECT c_custkey AS poi_id, "
+    "CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon, "
+    "CAST((c_custkey * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat "
+    "FROM customer"
+)
+
+# part -> OSM-ish tag columns (drives the 27-class ordered CASE).
+TAGGED_SQL = (
+    "SELECT p_partkey, "
+    "CASE p_partkey % 13 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' WHEN 2 THEN 'fast_food' "
+    " WHEN 3 THEN 'ice_cream' WHEN 4 THEN 'marketplace' WHEN 5 THEN 'bank' WHEN 6 THEN 'fuel' "
+    " WHEN 7 THEN 'hospital' WHEN 8 THEN 'school' WHEN 9 THEN 'townhall' WHEN 10 THEN 'place_of_worship' "
+    " WHEN 11 THEN 'cinema' ELSE NULL END AS amenity, "
+    "CASE p_partkey % 17 WHEN 0 THEN 'ice_cream' WHEN 1 THEN 'supermarket' WHEN 2 THEN 'bakery' "
+    " WHEN 3 THEN 'mall' WHEN 4 THEN 'hairdresser' WHEN 5 THEN 'car_repair' WHEN 6 THEN 'pet' "
+    " WHEN 7 THEN 'unknown_gizmos' ELSE NULL END AS shop, "
+    "CASE p_partkey % 19 WHEN 0 THEN 'hotel' WHEN 1 THEN 'museum' WHEN 2 THEN 'attraction' "
+    " WHEN 3 THEN 'picnic_site' ELSE NULL END AS tourism, "
+    "CASE p_partkey % 23 WHEN 0 THEN 'park' WHEN 1 THEN 'sports_centre' WHEN 2 THEN 'bowling_alley' "
+    " ELSE NULL END AS leisure, "
+    "CASE p_partkey % 29 WHEN 0 THEN 'company' WHEN 1 THEN 'government' ELSE NULL END AS office, "
+    "CASE p_partkey % 31 WHEN 0 THEN 'clinic_x' ELSE NULL END AS healthcare, "
+    "CASE p_partkey % 37 WHEN 0 THEN 'station' ELSE NULL END AS railway, "
+    "CASE p_partkey % 41 WHEN 0 THEN 'aerodrome' ELSE NULL END AS aeroway, "
+    "CASE p_partkey % 43 WHEN 0 THEN 'monument' ELSE NULL END AS historic, "
+    "CASE p_partkey % 47 WHEN 0 THEN 'lighthouse' ELSE NULL END AS man_made, "
+    "CASE p_partkey % 53 WHEN 0 THEN 'beach' ELSE NULL END AS natural_tag, "
+    "CASE p_partkey % 59 WHEN 0 THEN 'station' ELSE NULL END AS public_transport "
+    "FROM part"
+)
+
+_CLASS_CASE = class_sql({"natural": "natural_tag"})
+
+# nation -> 25 axis-aligned query polygons (the bbox form of the
+# reference's tile polygons, main.rs:63-78 generalized).
+POLY_SQL = (
+    "SELECT n_nationkey AS polygon_id, "
+    "CAST((n_nationkey * 13) % 330 AS DOUBLE) - 180.0 AS west, "
+    "CAST((n_nationkey * 13) % 330 AS DOUBLE) - 150.0 AS east, "
+    "CAST((n_nationkey * 29) % 130 AS DOUBLE) - 80.0 AS south, "
+    "CAST((n_nationkey * 29) % 130 AS DOUBLE) - 50.0 AS north "
+    "FROM nation"
+)
+
+
+def _shared_sql_queries() -> dict[str, str]:
+    """Queries whose text runs verbatim in BOTH Spark SQL and DuckDB."""
+    z = 12
+    tx = tm.sql_tile_x("lon", z)
+    ty = tm.sql_tile_y("lat", z)
+    q: dict[str, str] = {}
+
+    # P14+P15(W2-limit): bbox query with bucket pre-filter (lambda_handler.py:137-158).
+    # Dense point cloud in [-125,-115) x [32,42) so a 5-degree bbox (the
+    # reference's API cap) selects a meaningful slice at every sf.
+    q["bbox_filter"] = (
+        "WITH pts AS (SELECT c_custkey AS poi_id, "
+        "CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 125.0 AS lon, "
+        "CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 + 32.0 AS lat "
+        "FROM customer) "
+        "SELECT poi_id, lon, lat FROM pts "
+        "WHERE CAST(FLOOR(lon) AS INT) BETWEEN -123 AND -118 "
+        "AND CAST(FLOOR(lat) AS INT) BETWEEN 35 AND 40 "
+        "AND lon BETWEEN -122.8 AND -118.1 AND lat BETWEEN 35.2 AND 39.9 "
+        "ORDER BY poi_id LIMIT 1000"
+    )
+
+    # P6+A6: ordered-CASE classify + class histogram (/classes endpoint)
+    q["classify_histogram"] = (
+        f"WITH tagged AS ({TAGGED_SQL}), classified AS "
+        f"(SELECT {_CLASS_CASE} AS class FROM tagged) "
+        "SELECT class, COUNT(*) AS n FROM classified WHERE class IS NOT NULL "
+        "GROUP BY class ORDER BY n DESC, class"
+    )
+
+    # P9+J1+A1/A2: tile assignment + per-tile partial/final count
+    q["tile_assignment_counts"] = (
+        f"WITH pts AS ({PTS_SQL}) "
+        f"SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n, "
+        "MIN(poi_id) AS min_poi FROM pts GROUP BY 1, 2 "
+        "ORDER BY n DESC, tile_x, tile_y LIMIT 500"
+    )
+
+    # A3: hierarchical roll-up z12 -> z8 by key shifting (main.rs:143-147)
+    q["tile_rollup"] = (
+        f"WITH pts AS ({PTS_SQL}), t AS "
+        f"(SELECT {tx} AS x, {ty} AS y FROM pts) "
+        "SELECT CAST(FLOOR(x / 16.0) AS BIGINT) AS x8, "
+        "CAST(FLOOR(y / 16.0) AS BIGINT) AS y8, COUNT(*) AS n "
+        "FROM t GROUP BY 1, 2 ORDER BY n DESC, x8, y8 LIMIT 500"
+    )
+
+    # P12: bucket keys (process_region.py:265-266)
+    q["bucket_keys"] = (
+        f"WITH pts AS ({PTS_SQL}) "
+        f"SELECT {tm.sql_lon_bucket('lon')} AS lon_bucket, "
+        f"{tm.sql_lon_bucket('lat')} AS lat_bucket, COUNT(*) AS n "
+        "FROM pts GROUP BY 1, 2 ORDER BY n DESC, lon_bucket, lat_bucket LIMIT 1000"
+    )
+
+    # A4/A5/A7: counts + count-distinct (merge.py:89-97)
+    q["stats_counts"] = (
+        "SELECT COUNT(*) AS total, COUNT(DISTINCT o_orderstatus) AS statuses, "
+        "COUNT(DISTINCT o_custkey) AS custs FROM orders"
+    )
+
+    # A6/W1: top-k grouped count (process_region.py:286-292)
+    q["topk_event_types"] = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10"
+    )
+
+    # U1: schema-aligned UNION ALL then re-aggregate (merge.py:80-86)
+    q["union_merge"] = (
+        "WITH shard_a AS (SELECT o_orderstatus AS class FROM orders WHERE o_orderkey % 2 = 0), "
+        "shard_b AS (SELECT o_orderstatus AS class FROM orders WHERE o_orderkey % 2 = 1) "
+        "SELECT class, COUNT(*) AS n FROM "
+        "(SELECT * FROM shard_a UNION ALL SELECT * FROM shard_b) u "
+        "GROUP BY class ORDER BY n DESC, class"
+    )
+
+    # J2: bbox point-in-polygon join (broadcast small side in Spark)
+    q["pip_bbox_join"] = (
+        f"WITH pts AS ({PTS_SQL}), polys AS ({POLY_SQL}) "
+        "SELECT polygon_id, COUNT(*) AS n, MIN(poi_id) AS min_poi FROM pts "
+        "JOIN polys ON lon >= west AND lon < east AND lat >= south AND lat < north "
+        "GROUP BY polygon_id ORDER BY polygon_id"
+    )
+
+    # kNN per query point: top-5 by squared distance (window top-k);
+    # squared distance = pure *,+ arithmetic -> bit-identical cross-engine.
+    q["knn_per_cell"] = (
+        f"WITH pts AS ({PTS_SQL}), centers AS ("
+        "SELECT n_nationkey AS qid, "
+        "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 AS qlon, "
+        "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 AS qlat FROM nation), "
+        "cand AS (SELECT qid, poi_id, "
+        "(lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS dist2 "
+        "FROM centers JOIN pts ON lon BETWEEN qlon - 8.0 AND qlon + 8.0 "
+        "AND lat BETWEEN qlat - 8.0 AND qlat + 8.0), "
+        "ranked AS (SELECT qid, poi_id, dist2, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, poi_id) AS rn FROM cand) "
+        "SELECT qid, poi_id, dist2, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+    )
+
+    # Dedup (exact): hash-groupBy representative selection over documents
+    q["dedup_exact"] = (
+        "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n "
+        "FROM documents GROUP BY 1 ORDER BY n DESC, content_hash LIMIT 500"
+    )
+
+    # W2: plain LIMIT row cap with deterministic order
+    q["limit_cap"] = "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Dialect-split queries (same semantics + aliases, different builtins)
+# ---------------------------------------------------------------------------
+
+def _q_json_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/S6: JSON field extraction from events.props (imposed schema)."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql(
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val "
+        "FROM events WHERE get_json_object(props, '$.k') IS NOT NULL "
+        "ORDER BY event_id LIMIT 2000"
+    )
+
+
+_Q_JSON_EXTRACT_ORACLE = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
+    "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+    "ORDER BY event_id LIMIT 2000"
+)
+
+
+def _q_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting over documents."""
+    _register(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "SELECT doc_id, size(split(trim(text), '[ \\t\\n]+')) AS n_tokens, "
+        "length(text) AS n_chars2 FROM documents WHERE length(text) > 0 "
+        "ORDER BY doc_id LIMIT 5000"
+    )
+
+
+_Q_TOKEN_COUNT_ORACLE = (
+    "SELECT doc_id, len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS n_tokens, "
+    "length(text) AS n_chars2 FROM documents WHERE length(text) > 0 "
+    "ORDER BY doc_id LIMIT 5000"
+)
+
+
+def _q_cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-k vs a fixed query vector
+    (vec_id=0), double precision, sequential accumulation in both engines."""
+    _register(spark, sf_dir, ["embeddings"])
+    return spark.sql(
+        "WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT vec_id, "
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x) "
+        " / (sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)) * "
+        "    sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))) AS cos_sim "
+        "FROM embeddings CROSS JOIN q WHERE vec_id <> 0) "
+        "SELECT vec_id, ROUND(cos_sim, 6) AS sim6 FROM scored "
+        "ORDER BY sim6 DESC, vec_id LIMIT 50"
+    )
+
+
+_Q_COSINE_TOPK_ORACLE = (
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
+    "scored AS (SELECT vec_id, "
+    "list_dot_product(embedding::DOUBLE[], qv) / "
+    "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+    " sqrt(list_dot_product(qv, qv))) AS cos_sim "
+    "FROM embeddings CROSS JOIN q WHERE vec_id <> 0) "
+    "SELECT vec_id, ROUND(cos_sim, 6) AS sim6 FROM scored "
+    "ORDER BY sim6 DESC, vec_id LIMIT 50"
+)
+
+
+# ---------------------------------------------------------------------------
+# Engine-native queries (no SQL oracle -> rows-only check)
+# ---------------------------------------------------------------------------
+
+def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
+    hierarchy + per-cell count. No offline DuckDB S2/H3 oracle exists;
+    correctness is pinned by tests/test_s2_cell.py instead."""
+    from ..functions.cell_udfs import with_s2_cells
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    df = with_s2_cells(pts, "lat", "lon", levels=(8, 12))
+    return (
+        df.groupBy("cell_l8")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("cell_l12").alias("subcells"))
+        .orderBy(F.desc("n"), F.asc("cell_l8"))
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def _register(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _mk_shared(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _mk_shared(sql) for name, sql in _shared_sql_queries().items()
+    }
+    q["json_extract"] = _q_json_extract_spark
+    q["token_count"] = _q_token_count_spark
+    q["cosine_topk"] = _q_cosine_topk_spark
+    q["s2_cell_counts"] = _q_s2_cells_spark
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o = dict(_shared_sql_queries())
+    o["json_extract"] = _Q_JSON_EXTRACT_ORACLE
+    o["token_count"] = _Q_TOKEN_COUNT_ORACLE
+    o["cosine_topk"] = _Q_COSINE_TOPK_ORACLE
+    # s2_cell_counts: intentionally no oracle (rows-only check)
+    return o

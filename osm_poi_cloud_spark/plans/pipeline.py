@@ -1,0 +1,131 @@
+"""End-to-end POI pipeline: pages -> classified, cell/tile-encoded POIs.
+
+The Spark re-expression of the reference's five-stage Batch pipeline
+(download -> shard -> process -> merge -> tiles,
+``pulumi/statemachine.json:4-184``) as ONE declarative plan:
+
+    read pages (columns pruned to url/html, lang filter pushed to scan)
+      -> extract entities        (mapInPandas, Arrow batches)
+      -> NULL-rejection filter   (reference process.py:214)
+      -> ordered CASE classify   (reference process.py:220-275, codegen'd)
+      -> class IS NOT NULL       (reference process.py:298)
+      -> S2 cell + z/x/y tile + bucket keys (one pandas UDF + native exprs)
+      -> repartition by cell     (explicit shuffle placement, skew-aware)
+      -> write POI table partitioned for pruning
+
+Stage boundaries the reference realizes as S3 round-trips + Batch jobs
+are just Catalyst stages here; its Map-state fan-out (50 containers) is
+task parallelism; its shard manifest is the quadtree planner's output
+(operators/quadtree.py) used for repartitioning instead of job specs.
+
+Scale notes (100 TB input):
+* `pages.html` never crosses a shuffle — extraction happens map-side in
+  the scan stage and only the ~100-byte entity rows shuffle.
+* The POI table is written partitioned by `lon_bucket` (identity
+  partition, reference process_region.py:265) so the bbox query API
+  prunes partitions on both the derived bucket AND parquet min/max.
+* Dense city cells are handled by the quadtree/salting planner + AQE
+  skew split, not by hoping a hash is uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import extract as fx
+from ..functions import tile_math as tm
+from ..functions.cell_udfs import DEFAULT_CELL_LEVEL, make_s2_token_udf, with_s2_cells
+from ..functions.classify import PASSTHROUGH_KEYS, TAG_KEYS, class_col
+
+ENTITY_SCHEMA = (
+    "url string, entity_idx int, name string, lat double, lon double, "
+    + ", ".join(f"{k} string" for k in list(TAG_KEYS) + list(PASSTHROUGH_KEYS))
+)
+
+DEFAULT_TILE_ZOOM = 12
+
+
+def extract_entities(pages: DataFrame, lang: str | None = "en") -> DataFrame:
+    """pages -> one row per embedded POI entity.
+
+    Column pruning + the lang filter happen BEFORE the UDF so the
+    parquet scan reads only (url, html, lang) and drops foreign-language
+    row groups via pushed filters.
+    """
+    src = pages
+    if lang is not None:
+        src = src.filter(F.col("lang") == lang)
+    src = src.select("url", "html")
+
+    cols = ["name", "lat", "lon", *TAG_KEYS, *PASSTHROUGH_KEYS]
+
+    def batches(it):
+        for pdf in it:
+            out = fx.extract_entities_frame(pdf["url"], pdf["html"])
+            yield out[["url", "entity_idx", *cols]]
+
+    return src.mapInPandas(batches, schema=ENTITY_SCHEMA)
+
+
+def classify_entities(entities: DataFrame) -> DataFrame:
+    """NULL-rejection + ordered CASE classification (pure expressions)."""
+    return (
+        entities
+        # reference process.py:214-215: name and geometry must be present
+        .filter(F.col("name").isNotNull() & F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("class", class_col())
+        # reference process.py:298
+        .filter(F.col("class").isNotNull())
+    )
+
+
+def encode_pois(
+    classified: DataFrame,
+    tile_zoom: int = DEFAULT_TILE_ZOOM,
+    cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
+    with_token: bool = False,
+) -> DataFrame:
+    """Add S2 cell ids, z/x/y tile key, shard id, bucket pruning keys."""
+    df = with_s2_cells(classified, "lat", "lon", cell_levels)
+    x, y = tm.tile_cols("lon", "lat", tile_zoom)
+    df = (
+        df.withColumn("tile_z", F.lit(tile_zoom))
+        .withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .withColumn("shard_id", tm.shard_id_col(F.col("tile_z"), F.col("tile_x"), F.col("tile_y")))
+        .withColumn("lon_bucket", F.expr(tm.sql_lon_bucket("lon")))
+        .withColumn("lat_bucket", F.expr(tm.sql_lon_bucket("lat")))
+    )
+    if with_token:
+        df = df.withColumn(
+            f"cell_l{max(cell_levels)}_token", make_s2_token_udf()(F.col(f"cell_l{max(cell_levels)}"))
+        )
+    return df
+
+
+def build_pois(
+    pages: DataFrame,
+    lang: str | None = "en",
+    tile_zoom: int = DEFAULT_TILE_ZOOM,
+    cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
+) -> DataFrame:
+    """Full pages -> POIs plan. Output schema mirrors the reference POI
+    row (process.py:278-297) with S2 cells in place of h3_r columns and
+    (url, entity_idx)-derived ids in place of osm ids."""
+    pois = encode_pois(classify_entities(extract_entities(pages, lang)), tile_zoom, cell_levels)
+    return pois.withColumn("poi_id", F.concat_ws("#", F.col("url"), F.col("entity_idx").cast("string")))
+
+
+def write_pois(pois: DataFrame, path: str, cell_level: int = DEFAULT_CELL_LEVEL) -> None:
+    """POI sink: repartition on the cell key (explicit shuffle placement —
+    co-locates every later per-cell op), partition directories on
+    lon_bucket for bbox partition pruning (reference create_table.sql:28-29,
+    lambda_handler.py:144-153)."""
+    (
+        pois.repartition(F.col(f"cell_l{cell_level}"))
+        .sortWithinPartitions(f"cell_l{cell_level}", "tile_x", "tile_y")
+        .write.mode("overwrite")
+        .partitionBy("lon_bucket")
+        .parquet(path, compression="snappy")
+    )

@@ -1,0 +1,91 @@
+"""Read-side query surface — the reference's API semantics over the POI
+table (``_deprecated/athena/lambda_handler.py``).
+
+Endpoints:
+* ``pois_in_bbox``  = /pois  (lambda_handler.py:92-158): bucket pruning
+  predicates + exact bbox range + optional class filter + limit cap.
+* ``class_histogram`` = /classes (lambda_handler.py:74-79).
+* ``to_geojson`` = the row -> GeoJSON Feature projection
+  (lambda_handler.py:162-238) as a native ``to_json(struct(...))``.
+
+Validation guardrails mirror lambda_handler.py:103-135: bbox sanity,
+<=5 degree span, limit capped at 10_000 (default 1_000).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_BBOX_DEGREES = 5.0
+DEFAULT_LIMIT = 1000
+MAX_LIMIT = 10000
+
+
+def validate_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> None:
+    for v in (min_lon, min_lat, max_lon, max_lat):
+        if not math.isfinite(v):
+            raise ValueError("bbox values must be finite")
+    if min_lon > max_lon or min_lat > max_lat:
+        raise ValueError("Invalid bbox: min values must be less than max values")
+    if (max_lon - min_lon) > MAX_BBOX_DEGREES or (max_lat - min_lat) > MAX_BBOX_DEGREES:
+        raise ValueError(f"Bbox too large. Max {MAX_BBOX_DEGREES} degrees on each side.")
+
+
+def pois_in_bbox(
+    pois: DataFrame,
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    poi_class: str | None = None,
+    limit: int = DEFAULT_LIMIT,
+) -> DataFrame:
+    """Bbox query with the reference's two-tier pruning: integer bucket
+    range first (drives partition pruning on the lon_bucket directory
+    layout + parquet row-group stats), then the exact float range."""
+    validate_bbox(min_lon, min_lat, max_lon, max_lat)
+    limit = min(int(limit), MAX_LIMIT)
+
+    df = pois.filter(
+        F.col("lon_bucket").between(math.floor(min_lon), math.floor(max_lon))
+        & F.col("lat_bucket").between(math.floor(min_lat), math.floor(max_lat))
+        & F.col("lon").between(min_lon, max_lon)
+        & F.col("lat").between(min_lat, max_lat)
+    )
+    if poi_class:
+        df = df.filter(F.col("class") == poi_class)
+    return df.limit(limit)
+
+
+def class_histogram(pois: DataFrame) -> DataFrame:
+    """GROUP BY class ORDER BY count DESC (lambda_handler.py:74-79; the
+    reference's SELECT DISTINCT is redundant with GROUP BY)."""
+    return (
+        pois.groupBy("class")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("class"))
+    )
+
+
+GEOJSON_PROPERTY_KEYS = (
+    "name", "class", "shard_id", "poi_id", "amenity", "shop", "cuisine",
+    "brand", "opening_hours", "website", "phone", "operator",
+)
+
+
+def to_geojson(pois: DataFrame) -> DataFrame:
+    """Row -> GeoJSON Feature JSON string; null properties pruned (the
+    reference drops empty/None properties, lambda_handler.py:196-226)."""
+    props = F.struct(*[F.col(k) for k in GEOJSON_PROPERTY_KEYS if k in pois.columns])
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+        props.alias("properties"),
+    )
+    return pois.select(F.to_json(feature).alias("feature"))

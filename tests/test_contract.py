@@ -1,0 +1,71 @@
+"""Replicates the driver's correctness gate: every queries() entry runs
+on Spark, its oracle_sql() runs on DuckDB over the same parquet, and
+row counts + column names + (order-insensitive) values must match."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]) or str(df[c].dtype).startswith("UInt") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"class", "n_pois", "n_cells", "n_tiles"} <= set(df.columns)
+
+
+ALL_QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    got = sdf.toPandas()
+    assert got is not None
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(got) >= 0  # rows-only check (driver's weak path)
+        return
+    exp = duck.execute(oracle).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names differ"
+    g, e = _normalize(got), _normalize(exp)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+def test_every_query_has_coverage_note():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_.keys()) <= set(qs.keys())
+    # the vast majority must carry a strong oracle
+    assert len(os_) >= len(qs) - 2
