@@ -1,0 +1,169 @@
+"""Spatial joins: point-in-tile (the reference's only join) and
+point-in-polygon against irregular polygons (the generalization).
+
+Reference semantics:
+* J1 — point -> containing (z,x,y) cell: ``main.rs:139-140``. Encode the
+  tile key natively, then it's a plain equi-join/groupBy. Zero UDF.
+* J3 — manifest fan-out: each point joins the (small) shard manifest,
+  ``statemachine.json:78-131`` — here a broadcast hash join against the
+  quadtree leaf set, with per-zoom candidate keys because leaves live at
+  mixed zooms.
+* J2 — point-in-polygon via bbox: exact for the reference's axis-aligned
+  tiles (``process.py:361-380``); for irregular admin polygons we add a
+  tile-cover candidate stage + an exact vectorized ray-casting refine
+  (numpy inside one pandas UDF — the STRtree-broadcast pattern without
+  shapely).
+
+Scale design: the polygon set is broadcast (north rule: "broadcast of
+the polygon R-tree for small boundary sets"); candidates are generated
+by *native* tile-key computation so the only Python is the final
+refine over candidate pairs, which the tile cover keeps near-linear in
+the true match count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import tile_math as tm
+
+
+# ---------------------------------------------------------------------------
+# J1: point -> tile cell (native)
+# ---------------------------------------------------------------------------
+
+def with_tile_key(points: DataFrame, zoom: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    x, y = tm.tile_cols(lon, lat, zoom)
+    return points.withColumn("tile_x", x).withColumn("tile_y", y).withColumn("tile_z", F.lit(zoom))
+
+
+# ---------------------------------------------------------------------------
+# J3: assignment to mixed-zoom quadtree leaves (broadcast join)
+# ---------------------------------------------------------------------------
+
+def assign_to_shards(points: DataFrame, shards: DataFrame, max_zoom: int,
+                     lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Join points to their containing quadtree leaf shard.
+
+    ``shards``: small DF (z int, x long, y long, shard_id string) — the
+    planner output (quadtree leaves are disjoint, so each point matches
+    exactly one). The point's key at ``max_zoom`` is computed once
+    natively; a candidate row per *distinct populated zoom* is generated
+    by right-shifting, then a single broadcast hash join resolves the
+    leaf. Cost: |zooms| candidate rows per point, no Python.
+    """
+    zooms = [r["z"] for r in shards.select("z").distinct().collect()]
+    x, y = tm.tile_cols(lon, lat, max_zoom)
+    pts = points.withColumn("_xmax", x).withColumn("_ymax", y)
+    cand = pts.withColumn("z", F.explode(F.array(*[F.lit(z) for z in sorted(zooms)])))
+    cand = cand.withColumn("x", F.expr(f"shiftright(_xmax, {max_zoom} - z)").cast("long")) \
+               .withColumn("y", F.expr(f"shiftright(_ymax, {max_zoom} - z)").cast("long"))
+    joined = cand.join(F.broadcast(shards), on=["z", "x", "y"], how="inner")
+    return joined.drop("_xmax", "_ymax")
+
+
+# ---------------------------------------------------------------------------
+# J2: exact point-in-polygon with tile-cover candidates + ray-cast refine
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Polygon:
+    """One polygon: id + outer ring as (N,2) float64 [(lon, lat), ...].
+
+    Ring may be open or closed; it is closed internally. Convention for
+    boundary points: a point exactly on an edge is *inside* iff the
+    even-odd ray-cast (rightward ray, half-open edge rule ``y1 <= py <
+    y2``) says so — deterministic, and identical to the convention used
+    by the oracle implementation in tests.
+    """
+
+    polygon_id: str
+    ring: np.ndarray
+
+    def __post_init__(self):
+        r = np.asarray(self.ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        self.ring = r
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (
+            float(self.ring[:, 0].min()), float(self.ring[:, 1].min()),
+            float(self.ring[:, 0].max()), float(self.ring[:, 1].max()),
+        )
+
+
+def point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: (P,) bool for P points vs one ring."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    px = lon[:, None]
+    py = lat[:, None]
+    crosses = (y1[None, :] > py) != (y2[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    hits = crosses & (px < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def polygon_tile_cover(polys: list[Polygon], zoom: int) -> pd.DataFrame:
+    """(tile_x, tile_y, polygon_id) candidate rows: every tile whose bbox
+    intersects the polygon bbox. Refine step removes false positives, so
+    cover exactness is a performance knob only."""
+    rows = []
+    n = 1 << zoom
+    for p in polys:
+        w, s, e, nn = p.bbox()
+        x0, y1 = tm.lon_lat_to_tile(np.float64(w), np.float64(nn), zoom)
+        x1_, y0 = tm.lon_lat_to_tile(np.float64(e), np.float64(s), zoom)
+        for xx in range(int(x0), int(x1_) + 1):
+            for yy in range(int(y1), int(y0) + 1):
+                rows.append((xx, yy, p.polygon_id))
+    return pd.DataFrame(rows, columns=["tile_x", "tile_y", "polygon_id"])
+
+
+def point_in_polygon_join(
+    spark,
+    points: DataFrame,
+    polygons: list[Polygon],
+    cover_zoom: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Exact PIP join: native tile-cover candidates -> broadcast hash join
+    -> vectorized ray-cast refine on candidate pairs only.
+
+    At 100 TB scale the candidate join stays a broadcast hash join (cover
+    table is |polygons| x covered-tiles rows) and the refine touches only
+    points inside covered tiles — the dominant cost is the scan itself.
+    """
+    cover_pdf = polygon_tile_cover(polygons, cover_zoom)
+    cover = F.broadcast(spark.createDataFrame(cover_pdf))
+
+    pts = with_tile_key(points, cover_zoom, lon, lat)
+    cand = pts.join(cover, on=["tile_x", "tile_y"], how="inner")
+
+    rings = {p.polygon_id: p.ring for p in polygons}
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(lon_s: pd.Series, lat_s: pd.Series, pid: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon_s), dtype=bool)
+        lon_np = lon_s.to_numpy(np.float64)
+        lat_np = lat_s.to_numpy(np.float64)
+        for p, idx in pid.groupby(pid).groups.items():
+            ring = rings[p]
+            ii = np.asarray(idx)
+            out[ii] = point_in_ring(lon_np[ii], lat_np[ii], ring)
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("_inside", refine(F.col(lon), F.col(lat), F.col("polygon_id")))
+        .filter(F.col("_inside"))
+        .drop("_inside", "tile_x", "tile_y", "tile_z")
+    )

@@ -1,0 +1,124 @@
+"""Spatial join operators: shard assignment, exact PIP, ray-cast refine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.functions import tile_math as tm
+from osm_poi_cloud_spark.operators import spatial_join as sj
+from osm_poi_cloud_spark.operators import quadtree as qt
+
+
+def test_point_in_ring_matches_matplotlib_free_oracle():
+    """Vectorized ray cast vs a scalar reimplementation on random data."""
+    rng = np.random.RandomState(3)
+    # concave polygon (arrowhead)
+    ring = np.array([[0, 0], [4, 0], [4, 4], [2, 2], [0, 4], [0, 0]], dtype=float)
+    pts = rng.uniform(-1, 5, size=(500, 2))
+
+    def scalar_pip(px, py):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if (y1 > py) != (y2 > py):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                if px < xint:
+                    inside = not inside
+        return inside
+
+    got = sj.point_in_ring(pts[:, 0], pts[:, 1], ring)
+    exp = np.array([scalar_pip(x, y) for x, y in pts])
+    assert (got == exp).all()
+    # sanity anchors
+    assert sj.point_in_ring(np.array([1.0]), np.array([1.0]), ring)[0]
+    assert not sj.point_in_ring(np.array([2.0]), np.array([3.5]), ring)[0]
+
+
+def test_pip_join_exact(spark):
+    rng = np.random.RandomState(11)
+    pts = pd.DataFrame({
+        "pid": np.arange(2000),
+        "lon": rng.uniform(-20, 20, 2000),
+        "lat": rng.uniform(-20, 20, 2000),
+    })
+    tri = sj.Polygon("tri", np.array([[-10, -10], [10, -10], [0, 15]], dtype=float))
+    box = sj.Polygon("box", np.array([[5, 5], [18, 5], [18, 18], [5, 18]], dtype=float))
+    out = (
+        sj.point_in_polygon_join(spark, spark.createDataFrame(pts), [tri, box], cover_zoom=6)
+        .select("pid", "polygon_id")
+        .toPandas()
+        .sort_values(["pid", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for p in (tri, box):
+        inside = sj.point_in_ring(pts["lon"].to_numpy(), pts["lat"].to_numpy(), p.ring)
+        for pid in pts.loc[inside, "pid"]:
+            exp_rows.append((pid, p.polygon_id))
+    exp = pd.DataFrame(exp_rows, columns=["pid", "polygon_id"]).sort_values(["pid", "polygon_id"]).reset_index(drop=True)
+    assert len(out) > 50
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_assign_to_shards_disjoint_and_total(spark):
+    """Every finite point lands in exactly one quadtree leaf."""
+    rng = np.random.RandomState(5)
+    n = 4000
+    # skew: half the points in one city block
+    lon = np.where(rng.rand(n) < 0.5, -74.0 + rng.rand(n) * 0.02, rng.uniform(-179, 179, n))
+    lat = np.where(rng.rand(n) < 0.5, 40.7 + rng.rand(n) * 0.02, rng.uniform(-80, 80, n))
+    pdf = pd.DataFrame({"pid": np.arange(n), "lon": lon, "lat": lat})
+    pts = spark.createDataFrame(pdf)
+
+    shards, oversized = qt.plan_quadtree(pts, max_zoom=10, max_nodes=500)
+    assert len(shards) > 4
+    total = sum(s.node_count for s in shards)
+    assert total == n
+
+    assigned = sj.assign_to_shards(pts, qt.shards_df(spark, shards), max_zoom=10)
+    counts = assigned.groupBy("pid").count().toPandas()
+    assert len(counts) == n, "every point assigned"
+    assert (counts["count"] == 1).all(), "quadtree leaves must be disjoint"
+
+    # shard node_counts agree with actual assignment
+    per_shard = assigned.groupBy("shard_id").count().toPandas().set_index("shard_id")["count"]
+    for s in shards:
+        assert per_shard[s.shard_id] == s.node_count
+
+
+def test_quadtree_subdivision_semantics():
+    """Fixture from FIXTURES.md §6: counts with an oversized max-zoom cell."""
+    # zoom 2 grid, max_nodes=10: cell (0,0) has 35 -> splits; child (0,0)@z1
+    # has 20 -> splits; (0,0)@z2 keeps 20 (oversized at max zoom)
+    hist = {(0, 0): 20, (1, 1): 8, (2, 2): 7}  # z2 populated cells
+    counts = qt.rollup_counts(hist, 2)
+    shards, oversized = qt.build_shards(counts, max_zoom=2, max_nodes=10)
+    ids = {s.shard_id: s.node_count for s in shards}
+    assert ids == {"2-0-0": 20, "2-1-1": 8, "1-1-1": 7}
+    assert [s.shard_id for s in oversized] == ["2-0-0"]
+    # salting plan: 20 nodes / 10 cap -> 2 salts
+    assert qt.salt_plan(oversized, 10) == {"2-0-0": 2}
+
+
+def test_shards_geojson_format():
+    shards = [qt.Shard(3, 2, 5, 42)]
+    import json
+
+    fc = json.loads(qt.shards_geojson(shards))
+    assert fc["type"] == "FeatureCollection"
+    f = fc["features"][0]
+    assert f["properties"] == {"shard_id": "3-2-5", "z": 3, "x": 2, "y": 5, "node_count": 42}
+    ring = f["geometry"]["coordinates"][0]
+    assert ring == tm.tile_ring(3, 2, 5)
+
+
+def test_salted_key_deterministic(spark):
+    pdf = pd.DataFrame({"poi_id": [f"p{i}" for i in range(100)], "shard_id": ["hot"] * 80 + ["cold"] * 20})
+    df = spark.createDataFrame(pdf)
+    salted1 = qt.with_salted_shard_key(df, {"hot": 4}, row_key="poi_id").toPandas().sort_values("poi_id")
+    salted2 = qt.with_salted_shard_key(df, {"hot": 4}, row_key="poi_id").toPandas().sort_values("poi_id")
+    assert (salted1["shard_salt"].to_numpy() == salted2["shard_salt"].to_numpy()).all()
+    hot = salted1[salted1["shard_id"] == "hot"]["shard_salt"]
+    assert set(hot.unique()) <= {0, 1, 2, 3} and hot.nunique() > 1
+    cold = salted1[salted1["shard_id"] == "cold"]["shard_salt"]
+    assert (cold == 0).all()

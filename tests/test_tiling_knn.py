@@ -1,0 +1,98 @@
+"""Tile pyramid + density cap + kNN operator tests."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.functions import tile_math as tm
+from osm_poi_cloud_spark.operators import knn
+from osm_poi_cloud_spark.operators import tiling as tl
+
+
+def _pois(spark, n=800, seed=9):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame({
+        "poi_id": [f"p{i}" for i in range(n)],
+        "name": [f"n{i}" for i in range(n)],
+        "class": np.where(rng.rand(n) < 0.5, "cafe_bakery", "retail"),
+        "lon": rng.uniform(-179, 179, n),
+        "lat": rng.uniform(-80, 80, n),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pyramid_assignment_matches_kernel(spark):
+    sdf, pdf = _pois(spark)
+    tiled = tl.assign_tile_pyramid(sdf, 2, 14).toPandas()
+    assert len(tiled) == len(pdf) * 13
+    for z in (2, 9, 14):
+        sub = tiled[tiled["z"] == z].set_index("poi_id")
+        ex, ey = tm.lon_lat_to_tile(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), z)
+        exp = pd.DataFrame({"x": ex, "y": ey}, index=pdf["poi_id"])
+        got = sub.loc[exp.index, ["x", "y"]]
+        assert (got["x"].to_numpy() == exp["x"].to_numpy()).all()
+        assert (got["y"].to_numpy() == exp["y"].to_numpy()).all()
+
+
+def test_per_tile_cap_deterministic(spark):
+    sdf, _ = _pois(spark)
+    tiled = tl.assign_tile_pyramid(sdf, 2, 6)
+    capped1 = tl.per_tile_cap(tiled, cap=5).toPandas()
+    capped2 = tl.per_tile_cap(tiled, cap=5).toPandas()
+    key = ["z", "x", "y", "poi_id"]
+    pd.testing.assert_frame_equal(
+        capped1.sort_values(key).reset_index(drop=True)[key],
+        capped2.sort_values(key).reset_index(drop=True)[key],
+    )
+    sizes = capped1.groupby(["z", "x", "y"]).size()
+    assert (sizes <= 5).all()
+    # low zooms actually hit the cap (density drop engaged)
+    assert (sizes[sizes.index.get_level_values(0) == 2] == 5).any()
+
+
+def test_build_tiles_aggregates(spark):
+    sdf, _ = _pois(spark, n=200)
+    tiles = tl.build_tiles(tl.assign_tile_pyramid(sdf, 2, 4)).toPandas()
+    assert (tiles["n_features"] == tiles["features"].map(len)).all()
+    total_z2 = tiles[tiles["z"] == 2]["n_features"].sum()
+    assert total_z2 == 200
+
+
+def test_geojson_lines(spark):
+    import json
+
+    sdf, _ = _pois(spark, n=10)
+    lines = tl.tile_geojson_lines(tl.assign_tile_pyramid(sdf, 2, 2)).toPandas()
+    f = json.loads(lines["feature"][0])
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+
+
+def test_knn_matches_bruteforce(spark):
+    rng = np.random.RandomState(21)
+    pois = pd.DataFrame({
+        "poi_id": [f"p{i}" for i in range(3000)],
+        "lon": -74.0 + rng.uniform(-0.5, 0.5, 3000),
+        "lat": 40.7 + rng.uniform(-0.5, 0.5, 3000),
+    })
+    qs = pd.DataFrame({
+        "query_id": [f"q{i}" for i in range(40)],
+        "lon": -74.0 + rng.uniform(-0.3, 0.3, 40),
+        "lat": 40.7 + rng.uniform(-0.3, 0.3, 40),
+    })
+    p, q = spark.createDataFrame(pois), spark.createDataFrame(qs)
+    # zoom 10 tile ~ 40km at this latitude; 5-NN radius << tile width
+    got = knn.knn_join(q, p, k=5, zoom=10).toPandas().sort_values(["query_id", "rn"]).reset_index(drop=True)
+    exp = knn.knn_bruteforce(q, p, k=5).toPandas().sort_values(["query_id", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 40 * 5
+
+
+def test_knn_antimeridian_wrap(spark):
+    pois = pd.DataFrame({
+        "poi_id": ["east", "west", "far"],
+        "lon": [179.98, -179.98, 170.0],
+        "lat": [0.0, 0.0, 0.0],
+    })
+    qs = pd.DataFrame({"query_id": ["q"], "lon": [179.99], "lat": [0.0]})
+    got = knn.knn_join(spark.createDataFrame(qs), spark.createDataFrame(pois), k=2, zoom=8).toPandas()
+    assert set(got["poi_id"]) == {"east", "west"}, "wrap across the antimeridian must find the west point"
