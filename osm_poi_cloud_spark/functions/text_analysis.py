@@ -1,0 +1,101 @@
+"""Text-analysis column functions (training-data pipeline).
+
+Everything here is a native Column expression (JVM-side, codegen'd) —
+language ID, quality scoring, token counting and fingerprinting are all
+string/array builtins; no Python in the hot path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists — the n-gram/stopword-ratio heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "avec", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "una", "para", "con", "por"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-flavoured token estimate: word pieces + digit runs + punctuation
+    each count (a deterministic regex stand-in for a real tokenizer)."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(text), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def lang_scores_col(text: Column) -> Column:
+    """Map lang -> stopword hit ratio."""
+    toks = tokens_col(text)
+    entries = []
+    for lang, words in STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        entries += [F.lit(lang), (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")]
+    return F.create_map(*entries)
+
+
+def lang_id_col(text: Column, min_score: float = 0.02) -> Column:
+    """Argmax language by stopword ratio; 'und' (undetermined) below
+    threshold. Pure expression: sort map entries by (-score, lang)."""
+    scores = lang_scores_col(text)
+    arr = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.array_sort(
+        arr, lambda a, b: F.when(a["value"] > b["value"], -1).when(a["value"] < b["value"], 1).otherwise(
+            F.when(a["key"] < b["key"], -1).when(a["key"] > b["key"], 1).otherwise(0)
+        )
+    )[0]
+    return F.when(best["value"] >= min_score, best["key"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality features +
+    a composite score in [0, 1]."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
+    punct_chars = F.length(F.regexp_replace(t, "[^!-/:-@\\[-`{-~]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    mean_word_len = (n_chars / F.greatest(n_tokens, F.lit(1))).cast("double")
+
+    df = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("alpha_ratio", (alpha_chars / F.greatest(n_chars, F.lit(1))).cast("double"))
+        .withColumn("punct_ratio", (punct_chars / F.greatest(n_chars, F.lit(1))).cast("double"))
+        .withColumn("stopword_ratio", (stop_hits / F.greatest(n_tokens, F.lit(1))).cast("double"))
+        .withColumn("mean_word_len", mean_word_len)
+    )
+    # composite: alpha-heavy, some stopwords, sane word lengths, low punct
+    score = (
+        F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") / 0.3, F.lit(1.0)) * 0.3
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.2).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.1, 0.1).otherwise(0.0)
+    )
+    return df.withColumn("quality_score", score.cast("double"))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint over normalized text
+    (case/whitespace-insensitive) — the cheap exact-dup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.xxhash64(normalized)

@@ -1,0 +1,310 @@
+"""Document deduplication suite (training-data pipeline operators).
+
+Four strategies, all shuffle-shaped for 100 TB:
+
+* exact        — content-hash groupBy (one shuffle on the hash; the
+                 cheapest and the baseline for all others)
+* minhash LSH  — shingle -> minhash signature (vectorized numpy UDF) ->
+                 band buckets -> candidate pairs within buckets only ->
+                 exact-Jaccard verify -> connected components -> keep
+                 min doc per cluster. Candidate generation never
+                 compares across buckets, so cost tracks true-duplicate
+                 density, not n^2.
+* simhash      — 64-bit weighted-token fingerprint; Hamming-ball
+                 candidates via 4x16-bit band tables (any pair within
+                 Hamming distance 3 shares at least one exact band).
+* ngram Jaccard— exact similarity on hashed n-gram sets for candidate
+                 pairs (the verify step of minhash, usable standalone).
+
+Signatures/bands are deterministic (splitmix64-derived parameters), so
+re-runs and resumes reproduce identical clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_M61 = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content hash."""
+    h = F.md5(F.col(text_col))
+    w = df.withColumn("_h", h)
+    reps = w.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return w.join(reps, on=["_h", id_col], how="left_semi").drop("_h")
+
+
+def duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("distinct_docs"),
+            F.sum("count").alias("total_docs"),
+            F.sum(F.when(F.col("count") > 1, F.col("count") - 1).otherwise(0)).alias("duplicate_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle + minhash kernels (numpy, used inside pandas UDFs)
+# ---------------------------------------------------------------------------
+
+def _stable_hash64(s: str, seed: int = 0) -> int:
+    """Process-independent 64-bit string hash (blake2b keyed by seed).
+    Python's builtin hash() is salted per process (PYTHONHASHSEED) and
+    would make signatures differ across executors."""
+    import hashlib
+
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")).digest()
+    return int.from_bytes(d, "little")
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-word-shingle hashes (uint64) of a normalized text."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    views = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
+    return np.unique(np.array([_stable_hash64(v) & 0x7FFFFFFFFFFFFFFF for v in views], dtype=np.uint64))
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) min over universal hashes h_i(x) = (a_i*x + b) mod M61."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.uint64(_M61))
+    with np.errstate(over="ignore"):
+        hv = (shingles[None, :] * a[:, None] + b[:, None]) % np.uint64(_M61)
+    return hv.min(axis=1)
+
+
+def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            sig = minhash_signature(_shingle_hashes(t or "", shingle_k), a, b)
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+# ---------------------------------------------------------------------------
+# LSH banding + clustering
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list -> (node, component).
+
+    Iterates until fixpoint (bounded by max_iter); each round is one
+    groupBy shuffle on the node id. Duplicate clusters are tiny and
+    shallow in practice, so convergence is fast; at web scale this is
+    the standard large-star/small-star shape."""
+    sym = edges.selectExpr(f"{id_a} AS node", f"{id_b} AS label").union(
+        edges.selectExpr(f"{id_b} AS node", f"{id_a} AS label")
+    )
+    nodes = sym.select("node").union(sym.select("label")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        # candidate label per node = min(own, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "label_node").withColumnRenamed("label", "nl"),
+                     sym["label"] == F.col("label_node"))
+            .select(F.col("node"), F.col("nl").alias("cand"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, on="node", how="left")
+            .groupBy("node")
+            .agg(F.least(F.min("label"), F.min("cand")).alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup removal: returns df minus non-representative members of
+    each near-duplicate cluster (representative = min id)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_k, jaccard_threshold, seed)
+    if pairs.isEmpty():
+        return df
+    comp = connected_components(pairs, "a", "b")
+    reps = comp.groupBy("component").agg(F.min("node").alias("rep"))
+    drop = comp.join(reps, on="component").filter(F.col("node") != F.col("rep")).select(F.col("node").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) with estimated Jaccard >= threshold.
+
+    Estimated Jaccard = fraction of matching minhash components —
+    unbiased, and avoids re-shingling at verify time; the exact verify
+    variant is ``ngram_jaccard_pairs``."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = df.select(F.col(id_col), make_minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"))
+    sig = sig.localCheckpoint(eager=False)
+
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * rows_per_band + r].cast("string")
+                                                  for r in range(rows_per_band)])).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("a", "b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def make_simhash_udf(seed: int = 11):
+    @F.pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        for i, t in enumerate(text):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array([_stable_hash64(w, seed) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            out[i] = ((vote > 0).astype(np.uint64) * powers).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) <= max_hamming via 4x16-bit
+    band blocking (pigeonhole: <=3 differing bits cannot hit all 4 bands)."""
+    sh = df.select(F.col(id_col), make_simhash_udf()(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftrightunsigned(F.col("sh"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+            for bi in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, on=["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verify stage / standalone)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for given candidate (a, b)
+    pairs. Texts are joined in (two hash joins), similarity is computed
+    in one vectorized UDF over the pair batch."""
+    docs = df.select(F.col(id_col), F.col(text_col))
+    j = (
+        pairs.join(docs.withColumnRenamed(id_col, "a").withColumnRenamed(text_col, "text_a"), on="a")
+        .join(docs.withColumnRenamed(id_col, "b").withColumnRenamed(text_col, "text_b"), on="b")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = _shingle_hashes(x or "", k)
+            sb = _shingle_hashes(y or "", k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        return pd.Series(out)
+
+    return (
+        j.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -258,9 +258,180 @@ _Q_COSINE_TOPK_ORACLE = (
 )
 
 
+def _q_text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (alpha/punct/stopword ratios) via native exprs."""
+    from ..functions.text_analysis import quality_features
+
+    _register(spark, sf_dir, ["documents"])
+    df = spark.table("documents").filter(F.length("text") > 0)
+    return (
+        quality_features(df)
+        .select(
+            "doc_id",
+            F.round("alpha_ratio", 6).alias("alpha_ratio6"),
+            F.round("punct_ratio", 6).alias("punct_ratio6"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio6"),
+        )
+        .orderBy("doc_id")
+        .limit(5000)
+    )
+
+
+_EN_STOP_SQL = "['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'are']"
+_Q_TEXT_QUALITY_ORACLE = (
+    "SELECT doc_id, "
+    "ROUND(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) "
+    " / greatest(length(text), 1), 6) AS alpha_ratio6, "
+    "ROUND(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) "
+    " / greatest(length(text), 1), 6) AS punct_ratio6, "
+    "ROUND(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f" t -> list_contains({_EN_STOP_SQL}, t))) AS DOUBLE) "
+    " / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS stopword_ratio6 "
+    "FROM documents WHERE length(text) > 0 ORDER BY doc_id LIMIT 5000"
+)
+
+
+def _q_tile_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: z2-z6 pyramid assignment via the tiling operator (bit-shift of
+    one native max-zoom key) + per-tile counts."""
+    from ..operators.tiling import assign_tile_pyramid
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    tiled = assign_tile_pyramid(pts, min_zoom=2, max_zoom=6)
+    return (
+        tiled.groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "z", "x", "y")
+        .limit(1000)
+    )
+
+
+def _tile_pyramid_oracle() -> str:
+    tx6 = tm.sql_tile_x("lon", 6)
+    ty6 = tm.sql_tile_y("lat", 6)
+    return (
+        f"WITH pts AS ({PTS_SQL}), keyed AS "
+        f"(SELECT {tx6} AS x6, {ty6} AS y6 FROM pts), "
+        "tiled AS (SELECT z, x6 >> (6 - z) AS x, y6 >> (6 - z) AS y "
+        "FROM keyed, (SELECT unnest(generate_series(2, 6)) AS z) zs) "
+        "SELECT z, x, y, COUNT(*) AS n FROM tiled GROUP BY z, x, y "
+        "ORDER BY n DESC, z, x, y LIMIT 1000"
+    )
+
+
+# Non-rectangular PIP: triangle with off-grid vertices (derived points sit
+# on a 0.01-degree grid, so none land within float noise of an edge).
+_TRI = [(-120.0003, -60.0007), (60.0011, -50.0013), (-10.0017, 70.0019)]
+
+
+def _q_pip_refine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with the exact ray-cast refine (the engine path for irregular
+    polygons), checked against a convex cross-product oracle."""
+    import numpy as np
+
+    from ..operators.spatial_join import Polygon, point_in_polygon_join
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    tri = Polygon("tri", np.array(_TRI))
+    joined = point_in_polygon_join(spark, pts, [tri], cover_zoom=4)
+    return joined.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("poi_id").alias("min_poi"), F.max("poi_id").alias("max_poi")
+    )
+
+
+def _pip_refine_oracle() -> str:
+    (ax, ay), (bx, by), (cx, cy) = _TRI
+    def cross(x1, y1, x2, y2):
+        return f"(({x2}) - ({x1})) * (lat - ({y1})) - (({y2}) - ({y1})) * (lon - ({x1}))"
+    c1 = cross(ax, ay, bx, by)
+    c2 = cross(bx, by, cx, cy)
+    c3 = cross(cx, cy, ax, ay)
+    return (
+        f"WITH pts AS ({PTS_SQL}) "
+        "SELECT 'tri' AS polygon_id, COUNT(*) AS n, MIN(poi_id) AS min_poi, MAX(poi_id) AS max_poi "
+        f"FROM pts WHERE (({c1}) > 0 AND ({c2}) > 0 AND ({c3}) > 0) "
+        f"OR (({c1}) < 0 AND ({c2}) < 0 AND ({c3}) < 0)"
+    )
+
+
+def _q_lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-ratio argmax) -> per-lang counts."""
+    from ..functions.text_analysis import lang_id_col
+
+    _register(spark, sf_dir, ["documents"])
+    return (
+        spark.table("documents")
+        .select(lang_id_col(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang_detected")
+    )
+
+
+def _lang_id_oracle() -> str:
+    from ..functions.text_analysis import STOPWORDS
+
+    ratios = []
+    for lang, words in STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS DOUBLE) "
+            f"/ greatest(len(toks), 1) AS s_{lang}"
+        )
+    # argmax with alphabetical tie-break (matches lang_id_col's sort)
+    case = (
+        "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= 0.02 THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= 0.02 THEN 'en' "
+        "WHEN s_es >= s_fr AND s_es >= 0.02 THEN 'es' "
+        "WHEN s_fr >= 0.02 THEN 'fr' ELSE 'und' END"
+    )
+    return (
+        "WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"scored AS (SELECT {', '.join(ratios)} FROM tok) "
+        f"SELECT {case} AS lang_detected, COUNT(*) AS n FROM scored "
+        "GROUP BY 1 ORDER BY n DESC, lang_detected"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engine-native queries (no SQL oracle -> rows-only check)
 # ---------------------------------------------------------------------------
+
+
+def _q_minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over documents (deterministic
+    seeded signatures; no offline SQL oracle for minhash exists)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").limit(2000)
+    return (
+        minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)
+        .withColumn("jaccard_est", F.round("jaccard_est", 6))
+        .orderBy("a", "b")
+    )
+
+
+def _q_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").limit(2000)
+    return simhash_pairs(docs, max_hamming=3).orderBy("a", "b")
+
+
+def _q_ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN over embeddings (scale path of cosine_topk)."""
+    from ..operators.similarity import lsh_bucket_ann
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    ann = lsh_bucket_ann(emb, queries, k=10, dim=dim, bits=6)
+    return ann.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rn")
 
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
@@ -303,7 +474,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_extract"] = _q_json_extract_spark
     q["token_count"] = _q_token_count_spark
     q["cosine_topk"] = _q_cosine_topk_spark
+    q["text_quality"] = _q_text_quality_spark
+    q["tile_pyramid_counts"] = _q_tile_pyramid_spark
+    q["pip_refine_triangle"] = _q_pip_refine_spark
+    q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
+    q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
+    q["dedup_simhash_pairs"] = _q_simhash_pairs_spark
+    q["ann_lsh_topk"] = _q_ann_lsh_spark
     return q
 
 
@@ -312,5 +490,10 @@ def build_oracles() -> dict[str, str]:
     o["json_extract"] = _Q_JSON_EXTRACT_ORACLE
     o["token_count"] = _Q_TOKEN_COUNT_ORACLE
     o["cosine_topk"] = _Q_COSINE_TOPK_ORACLE
-    # s2_cell_counts: intentionally no oracle (rows-only check)
+    o["text_quality"] = _Q_TEXT_QUALITY_ORACLE
+    o["tile_pyramid_counts"] = _tile_pyramid_oracle()
+    o["pip_refine_triangle"] = _pip_refine_oracle()
+    o["lang_id_counts"] = _lang_id_oracle()
+    # rows-only (no offline SQL oracle exists): s2_cell_counts,
+    # dedup_minhash_pairs, dedup_simhash_pairs, ann_lsh_topk
     return o

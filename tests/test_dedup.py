@@ -1,0 +1,104 @@
+"""Dedup suite: exact, minhash-LSH, simhash, n-gram Jaccard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen sleepy "
+    "pandas read ancient scrolls about distributed query engines and the "
+    "art of shuffling data across many machines without losing a byte"
+)
+
+
+def _docs(spark):
+    rows = []
+    # cluster A: exact dup + near dups (1-2 word edits)
+    rows.append((0, BASE))
+    rows.append((1, BASE))  # exact dup of 0
+    rows.append((2, BASE.replace("lazy", "sleepy")))  # near dup
+    rows.append((3, BASE.replace("quick brown", "swift auburn")))  # near dup
+    # cluster B (varied text so one edit keeps shingle-Jaccard high)
+    other = (
+        "grandma carefully simmered the saffron risotto while uncle arthur "
+        "narrated his implausible fishing stories to a kitchen full of cousins "
+        "who only wanted dessert and the old radio crackled through a rainy "
+        "tuesday evening somewhere on the ligurian coast near the harbor"
+    )
+    rows.append((4, other))
+    rows.append((5, other.replace("risotto", "paella", 1)))
+    # unique docs
+    rng = np.random.RandomState(4)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    for i in range(6, 40):
+        rows.append((i, " ".join(rng.choice(words, 60)) + f" unique-{i} " + " ".join(rng.choice(words, 60))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    out = dd.exact_dedup(docs).toPandas()
+    assert 1 not in set(out["doc_id"])  # dup of 0 dropped
+    assert 0 in set(out["doc_id"])
+    assert len(out) == docs.count() - 1
+    stats = dd.duplicate_stats(docs).collect()[0]
+    assert stats["duplicate_rows"] == 1
+    assert stats["total_docs"] == docs.count()
+
+
+def test_minhash_pairs_and_dedup(spark):
+    docs = _docs(spark)
+    pairs = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5).toPandas()
+    got_pairs = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    # cluster A near-dups found
+    assert (0, 1) in got_pairs
+    assert (0, 2) in got_pairs or (1, 2) in got_pairs
+    assert (4, 5) in got_pairs
+    # no cross-cluster false positives at this threshold
+    assert not any(a < 4 <= b for a, b in got_pairs if b in (4, 5) and a < 4)
+
+    deduped = dd.minhash_lsh_dedup(docs, jaccard_threshold=0.5).toPandas()
+    kept = set(deduped["doc_id"])
+    assert 0 in kept and 4 in kept
+    assert 1 not in kept and 2 not in kept and 3 not in kept and 5 not in kept
+    assert all(i in kept for i in range(6, 40))
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Minhash estimate ~ exact Jaccard on the same pairs."""
+    docs = _docs(spark)
+    pairs = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    exact = dd.ngram_jaccard_pairs(docs, pairs.select("a", "b"), threshold=0.0).toPandas().set_index(["a", "b"])
+    est = pairs.toPandas().set_index(["a", "b"])
+    joined = est.join(exact, how="inner")
+    assert len(joined) > 0
+    assert (abs(joined["jaccard_est"] - joined["jaccard"]) < 0.15).all()
+
+
+def test_simhash_pairs(spark):
+    docs = _docs(spark)
+    pairs = dd.simhash_pairs(docs, max_hamming=6).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in got  # identical docs -> hamming 0
+    h01 = pairs.set_index(["a", "b"]).loc[(0, 1), "hamming"]
+    assert h01 == 0
+    assert (0, 2) in got  # one-word edit -> small hamming
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 10, 20], "b": [2, 3, 11, 21]}))
+    comp = dd.connected_components(edges).toPandas().set_index("node")["component"]
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_signatures_deterministic_across_runs(spark):
+    docs = _docs(spark)
+    udf = dd.make_minhash_udf(num_perm=32)
+    s1 = docs.select("doc_id", udf(F.col("text")).alias("sig")).toPandas().sort_values("doc_id")
+    s2 = docs.select("doc_id", udf(F.col("text")).alias("sig")).toPandas().sort_values("doc_id")
+    assert all(list(x) == list(y) for x, y in zip(s1["sig"], s2["sig"]))

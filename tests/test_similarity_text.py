@@ -1,0 +1,116 @@
+"""Similarity search + text analysis + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.functions import text_analysis as ta
+from osm_poi_cloud_spark.operators import multimodal as mm
+from osm_poi_cloud_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = np.asarray(pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    got = sim.cosine_topk(emb, list(q), k=10).toPandas()
+
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(pdf["vec_id"], sims), key=lambda t: (-t[1], t[0]))[:10]
+    assert list(got["vec_id"]) == [int(v) for v, _ in order]
+    np.testing.assert_allclose(got["cos_sim"].to_numpy(), [s for _, s in order], rtol=1e-9)
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.RandomState(17)
+    dim = 32
+    # clustered corpus: ANN-friendly
+    centers = rng.standard_normal((8, dim)) * 5
+    vecs = np.vstack([c + rng.standard_normal((120, dim)) * 0.3 for c in centers])
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": [v.astype(float).tolist() for v in vecs]})
+    )
+    qvecs = centers + rng.standard_normal(centers.shape) * 0.1
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(8), "embedding": [v.astype(float).tolist() for v in qvecs]})
+    )
+    ann = sim.lsh_bucket_ann(corpus, queries, k=10, dim=dim, bits=8).toPandas()
+    exact = sim.pairwise_topk_bruteforce(corpus, queries, k=10).toPandas()
+    recall = []
+    for qid in range(8):
+        a = set(ann[ann["query_id"] == qid]["vec_id"])
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        recall.append(len(a & e) / len(e))
+    assert np.mean(recall) >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_embedding_dedup_pairs(spark):
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal(16)
+    rows = [(0, base.tolist()), (1, (base * 1.0001).tolist()), (2, (base + 0.001).tolist()),
+            (3, rng.standard_normal(16).tolist()), (4, rng.standard_normal(16).tolist())]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs = sim.embedding_cosine_dedup_pairs(df, threshold=0.999, bits=4, dim=16).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_lang_id(spark):
+    rows = [
+        ("en", "the cat and the dog are in the house that is for sale"),
+        ("de", "der hund und die katze sind nicht in das haus für ein jahr"),
+        ("fr", "le chat et la souris est dans une maison pour les vacances avec"),
+        ("es", "el perro y la casa es para una fiesta con los amigos por favor no"),
+        ("und", "zzz qqq www eee rrr"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["expected", "text"]))
+    got = df.withColumn("lang", ta.lang_id_col(F.col("text"))).toPandas()
+    assert list(got["lang"]) == list(got["expected"])
+
+
+def test_quality_and_tokens(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    out = ta.quality_features(df).toPandas()
+    assert out["quality_score"].between(0, 1).all()
+    assert (out["alpha_ratio"] <= 1).all() and (out["punct_ratio"] <= 1).all()
+
+    toks = df.select(
+        ta.token_count_col(F.col("text")).alias("ws"),
+        ta.bpe_ish_token_count_col(F.col("text")).alias("bpe"),
+    ).toPandas()
+    assert (toks["bpe"] >= toks["ws"]).all()  # finer granularity
+
+    fp = df.select(ta.fingerprint_col(F.col("text")).alias("fp"), F.col("text")).toPandas()
+    # normalization-insensitive: same text with extra spaces -> same fp
+    one = spark.createDataFrame(pd.DataFrame({"text": ["Hello   World", "hello world"]}))
+    fps = one.select(ta.fingerprint_col(F.col("text")).alias("fp")).toPandas()["fp"]
+    assert fps[0] == fps[1]
+    assert fp["fp"].nunique() > 150
+
+
+def test_multimodal_plumbing(spark):
+    media = mm.make_synthetic_media(spark, 64)
+    meta = mm.decode_image_meta(media).toPandas()
+    imgs = meta[meta["ok"]]
+    assert len(imgs) == 32  # png + gif rows decode
+    src = media.toPandas().set_index("media_id")
+    for _, r in imgs.iterrows():
+        assert (r["width"], r["height"]) == (src.loc[r["media_id"], "width"], src.loc[r["media_id"], "height"])
+
+    feats = mm.extract_image_features(media, dim=16).toPandas()
+    assert len(feats) == 64
+    assert all(len(f) == 16 for f in feats["feature"])
+
+    frames = mm.sample_frames(media, every_n=10).toPandas()
+    assert (frames["frame_idx"] % 10 == 0).all()
+    vids = src[src["kind"] == "video"]
+    assert set(frames["media_id"]) == set(vids.index)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(media)
