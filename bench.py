@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., plus throughput extras}.
+
+Headline sections (BASELINE.json metric):
+* pipeline_extract  — pages -> extract -> classify -> S2/tile encode
+                      (docs/sec), forced with a noop sink
+* spatial_join      — POIs x quadtree-shard broadcast join (rows/sec)
+* pip_refine        — irregular-polygon join with ray-cast refine
+* tile_pyramid      — z2-14 assignment + per-tile cap + tile agg
+* knn               — 2k query points, k=10, tile-neighborhood kNN
+* dedup_exact / dedup_minhash — documents table
+* cosine_topk / ann_lsh       — embeddings table
+* sql_*            — representative shared-SQL contract queries
+
+Setup (untimed): synthetic pages parquet generated deterministically
+into /tmp (cached across runs by row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES_N", str(int(400_000 * SF))))
+PARTITIONS = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(max(4 * CPUS, 32))))
+
+
+def main() -> None:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_poi_cloud_spark.config import get_spark
+    from osm_poi_cloud_spark.operators import dedup as dd
+    from osm_poi_cloud_spark.operators import knn as knn_op
+    from osm_poi_cloud_spark.operators import quadtree as qt
+    from osm_poi_cloud_spark.operators import similarity as sim
+    from osm_poi_cloud_spark.operators import spatial_join as sj
+    from osm_poi_cloud_spark.operators import tiling as tl
+    from osm_poi_cloud_spark.plans import contract as C
+    from osm_poi_cloud_spark.plans import pipeline as pl
+    from osm_poi_cloud_spark.sources import pages as pg
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=PARTITIONS)
+
+    # ---- setup (untimed) ----
+    pages_path = f"/tmp/osm_poi_bench_pages_{PAGES_N}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pg.write_pages(spark, pages_path, PAGES_N, partitions=PARTITIONS)
+    pages = spark.read.parquet(pages_path)
+
+    # warmup (untimed): one full pipeline pass — spins up python UDF
+    # workers on every partition, compiles codegen'd stages, initializes
+    # Arrow, and warms the OS page cache. Timed sections then measure
+    # steady-state throughput, the regime that matters at 100 TB.
+    pl.build_pois(pages).write.format("noop").mode("overwrite").save()
+    spark.sql("SELECT count(DISTINCT id % 7) FROM range(1000000)").collect()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # ---- 1. extraction pipeline (docs/sec) ----
+    pois_path = f"/tmp/osm_poi_bench_pois_{PAGES_N}"
+    def run_pipeline():
+        pois = pl.build_pois(pages, lang="en", tile_zoom=12, cell_levels=(8, 12))
+        pois.write.mode("overwrite").parquet(pois_path)
+    timed("pipeline_extract", run_pipeline)
+    extras["docs_per_sec"] = round(PAGES_N / timings["pipeline_extract"], 1)
+
+    pois = spark.read.parquet(pois_path).cache()
+    n_pois = pois.count()
+    extras["n_pois"] = n_pois
+
+    # ---- 2. quadtree plan + shard assignment join (joined rows/sec) ----
+    def run_spatial_join():
+        shards, oversized = qt.plan_quadtree(pois, max_zoom=10, max_nodes=max(n_pois // 64, 500))
+        assigned = sj.assign_to_shards(pois, qt.shards_df(spark, shards), max_zoom=10)
+        force(assigned)
+        return len(shards)
+    n_shards = timed("spatial_join", run_spatial_join)
+    extras["n_shards"] = n_shards
+    extras["joined_rows_per_sec"] = round(n_pois / timings["spatial_join"], 1)
+
+    # ---- 3. irregular-polygon PIP refine ----
+    rng = np.random.RandomState(42)
+    polys = []
+    for i in range(20):
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        r = rng.uniform(2, 8, 7)
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        polys.append(sj.Polygon(f"poly{i}", ring))
+    timed("pip_refine", lambda: force(sj.point_in_polygon_join(spark, pois, polys, cover_zoom=6)))
+
+    # ---- 4. tile pyramid z2-14 with density cap ----
+    def run_pyramid():
+        tiled = tl.assign_tile_pyramid(pois, 2, 14)
+        capped = tl.per_tile_cap(tiled, cap=256)
+        force(tl.build_tiles(capped))
+    timed("tile_pyramid", run_pyramid)
+
+    # ---- 5. kNN ----
+    queries = pois.limit(2000).select(F.col("poi_id").alias("query_id"), "lon", "lat")
+    timed("knn", lambda: force(knn_op.knn_join(queries, pois, k=10, zoom=8)))
+
+    # ---- 6. dedup over documents ----
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_exact", lambda: force(dd.exact_dedup(docs)))
+    timed("dedup_minhash", lambda: force(
+        dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
+
+    # ---- 7. similarity over embeddings ----
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    dim = len(qv)
+    timed("cosine_topk", lambda: sim.cosine_topk(emb, list(qv), 50).collect())
+    ann_q = emb.filter(F.col("vec_id") < 64).select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("ann_lsh", lambda: force(sim.lsh_bucket_ann(emb, ann_q, k=10, dim=dim, bits=8)))
+
+    # ---- 8. representative SQL contract queries ----
+    C._register(spark, SF_DIR)
+    shared = C._shared_sql_queries()
+    for qname in ("bbox_filter", "classify_histogram", "tile_rollup", "knn_per_cell", "pip_bbox_join"):
+        timed(f"sql_{qname}", lambda q=shared[qname]: spark.sql(q).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "poi_engine_headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        **{k: v for k, v in extras.items()},
+        "pages_n": PAGES_N,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,15 +80,19 @@ ENTITY_COLUMNS = [
 ]
 
 
-def extract_entities_frame(url: pd.Series, html_bytes: pd.Series) -> pd.DataFrame:
+def extract_entities_frame(url: pd.Series, html_bytes: pd.Series,
+                           carry: pd.DataFrame | None = None) -> pd.DataFrame:
     """Extract POI entities from a batch of pages.
 
     Returns one row per entity: url, entity_idx, plus ENTITY_COLUMNS
     (lat/lon as float64, everything else nullable string). Pages with
-    no entities produce no rows.
+    no entities produce no rows. ``carry``: positionally-aligned source
+    columns (e.g. warc_ts) replicated onto each entity row.
     """
     url = url.reset_index(drop=True)
     html_bytes = html_bytes.reset_index(drop=True)
+    if carry is not None:
+        carry = carry.reset_index(drop=True)
     text = html_bytes.map(lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
     text = text.astype("string")
     # commented-out / scripted markup is not content (same rule as the
@@ -102,13 +106,17 @@ def extract_entities_frame(url: pd.Series, html_bytes: pd.Series) -> pd.DataFram
             {"url": pd.Series([], dtype=object),
              "entity_idx": pd.Series([], dtype=np.int32),
              **{c: pd.Series([], dtype=np.float64 if c in ("lat", "lon") else object)
-                for c in ENTITY_COLUMNS}}
+                for c in ENTITY_COLUMNS},
+             **({c: carry[c].iloc[:0] for c in carry.columns} if carry is not None else {})}
         )
     rows = matches.index.get_level_values(0)
     out = pd.DataFrame({
         "url": url.iloc[rows].to_numpy(),
         "entity_idx": matches.index.get_level_values(1).to_numpy().astype(np.int32),
     })
+    if carry is not None:
+        for c in carry.columns:
+            out[c] = carry[c].iloc[rows].to_numpy()
     attrs = matches[0].map(lambda blob: dict(_RE_ATTR.findall(blob)))
     for c in ENTITY_COLUMNS:
         vals = attrs.map(lambda d, _c=c: d.get(_c))

@@ -48,7 +48,8 @@ def with_tile_key(points: DataFrame, zoom: int, lon: str = "lon", lat: str = "la
 # ---------------------------------------------------------------------------
 
 def assign_to_shards(points: DataFrame, shards: DataFrame, max_zoom: int,
-                     lon: str = "lon", lat: str = "lat") -> DataFrame:
+                     lon: str = "lon", lat: str = "lat",
+                     zooms: list[int] | None = None) -> DataFrame:
     """Join points to their containing quadtree leaf shard.
 
     ``shards``: small DF (z int, x long, y long, shard_id string) — the
@@ -58,7 +59,8 @@ def assign_to_shards(points: DataFrame, shards: DataFrame, max_zoom: int,
     by right-shifting, then a single broadcast hash join resolves the
     leaf. Cost: |zooms| candidate rows per point, no Python.
     """
-    zooms = [r["z"] for r in shards.select("z").distinct().collect()]
+    if zooms is None:  # pass precomputed zooms to keep hot paths action-free
+        zooms = [r["z"] for r in shards.select("z").distinct().collect()]
     x, y = tm.tile_cols(lon, lat, max_zoom)
     pts = points.withColumn("_xmax", x).withColumn("_ymax", y)
     cand = pts.withColumn("z", F.explode(F.array(*[F.lit(z) for z in sorted(zooms)])))
@@ -66,6 +68,49 @@ def assign_to_shards(points: DataFrame, shards: DataFrame, max_zoom: int,
                .withColumn("y", F.expr(f"shiftright(_ymax, {max_zoom} - z)").cast("long"))
     joined = cand.join(F.broadcast(shards), on=["z", "x", "y"], how="inner")
     return joined.drop("_xmax", "_ymax")
+
+
+def expand_shards_to_grid(shards_rows, grid_zoom: int) -> pd.DataFrame:
+    """Expand mixed-zoom quadtree leaves to their descendant tiles at one
+    fixed ``grid_zoom``: shard (z, x, y) covers a 2^(J-z) x 2^(J-z) block.
+    Total rows bounded by 4^J regardless of shard count."""
+    xs: list[np.ndarray] = []
+    ys: list[np.ndarray] = []
+    ids: list[np.ndarray] = []
+    for r in shards_rows:
+        z, x, y, sid = int(r["z"]), int(r["x"]), int(r["y"]), r["shard_id"]
+        if z > grid_zoom:
+            raise ValueError(f"shard zoom {z} exceeds grid zoom {grid_zoom}")
+        f = 1 << (grid_zoom - z)
+        gx, gy = np.meshgrid(np.arange(x * f, (x + 1) * f), np.arange(y * f, (y + 1) * f))
+        xs.append(gx.ravel())
+        ys.append(gy.ravel())
+        ids.append(np.full(f * f, sid, dtype=object))
+    if not xs:
+        return pd.DataFrame({"gx": [], "gy": [], "shard_id": []})
+    return pd.DataFrame({
+        "gx": np.concatenate(xs).astype(np.int64),
+        "gy": np.concatenate(ys).astype(np.int64),
+        "shard_id": np.concatenate(ids),
+    })
+
+
+def assign_to_shards_grid(spark, points: DataFrame, shards: DataFrame, grid_zoom: int = 8,
+                          lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Leaf assignment via a driver-expanded cover grid: ONE broadcast
+    equi-join on a single (gx, gy) key, no row multiplication of the big
+    side (the per-zoom-explode variant moves |zooms| full-width copies of
+    every point through memory — measurably bandwidth-bound at 10^7+ rows).
+
+    Broadcast size is <= 4^grid_zoom entries (65k at z8, 1M at z10);
+    quadtree leaves deeper than ``grid_zoom`` (hot city cells) should be
+    handled by salting within their z<=grid_zoom ancestor instead of
+    deeper splitting — or fall back to ``assign_to_shards``."""
+    grid_pdf = expand_shards_to_grid(shards.collect(), grid_zoom)
+    grid = F.broadcast(spark.createDataFrame(grid_pdf))
+    x, y = tm.tile_cols(lon, lat, grid_zoom)
+    pts = points.withColumn("gx", x).withColumn("gy", y)
+    return pts.join(grid, on=["gx", "gy"], how="inner").drop("gx", "gy")
 
 
 # ---------------------------------------------------------------------------

@@ -46,26 +46,61 @@ ENTITY_SCHEMA = (
 DEFAULT_TILE_ZOOM = 12
 
 
-def extract_entities(pages: DataFrame, lang: str | None = "en") -> DataFrame:
+def extract_entities(pages: DataFrame, lang: str | None = "en",
+                     cell_level: int | None = None,
+                     carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """pages -> one row per embedded POI entity.
 
     Column pruning + the lang filter happen BEFORE the UDF so the
     parquet scan reads only (url, html, lang) and drops foreign-language
     row groups via pushed filters.
+
+    ``cell_level``: if set, the finest S2 cell id is computed INSIDE this
+    same UDF (column ``cell_l{level}``). One fused Python stage matters:
+    a chained second Python eval (mapInPandas -> pandas_udf) measurably
+    ANTI-scales in Spark's local mode (trivial chained UDF: 6s @ 4 cores
+    -> 25s @ 16 cores on this box) because every extra Python stage adds
+    an Arrow pipe per task; fusing keeps the whole Python cost to one
+    round-trip and the stage embarrassingly parallel.
     """
     src = pages
     if lang is not None:
         src = src.filter(F.col("lang") == lang)
-    src = src.select("url", "html")
+    src = src.select("url", "html", *carry_cols)
 
     cols = ["name", "lat", "lon", *TAG_KEYS, *PASSTHROUGH_KEYS]
+    schema = ENTITY_SCHEMA
+    if carry_cols:
+        carry_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in pages.schema if f.name in carry_cols
+        )
+        schema = schema + ", " + carry_schema
+    if cell_level is not None:
+        schema = schema + f", cell_l{cell_level} bigint"
 
     def batches(it):
-        for pdf in it:
-            out = fx.extract_entities_frame(pdf["url"], pdf["html"])
-            yield out[["url", "entity_idx", *cols]]
+        import numpy as np
+        import pandas as pd
 
-    return src.mapInPandas(batches, schema=ENTITY_SCHEMA)
+        from ..functions import s2_cell as s2
+
+        for pdf in it:
+            carry = pdf[list(carry_cols)] if carry_cols else None
+            out = fx.extract_entities_frame(pdf["url"], pdf["html"], carry=carry)
+            out = out[["url", "entity_idx", *cols, *carry_cols]]
+            if cell_level is not None:
+                lat = out["lat"].to_numpy(np.float64)
+                lon = out["lon"].to_numpy(np.float64)
+                ok = np.isfinite(lat) & np.isfinite(lon)
+                cells = np.zeros(len(out), dtype=np.int64)
+                if ok.any():
+                    cells[ok] = s2.latlng_to_cell_id(lat[ok], lon[ok], cell_level).view(np.int64)
+                col = pd.array(cells, dtype="Int64")
+                col[~ok] = pd.NA
+                out[f"cell_l{cell_level}"] = col
+            yield out
+
+    return src.mapInPandas(batches, schema=schema)
 
 
 def classify_entities(entities: DataFrame) -> DataFrame:
@@ -86,8 +121,19 @@ def encode_pois(
     cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
     with_token: bool = False,
 ) -> DataFrame:
-    """Add S2 cell ids, z/x/y tile key, shard id, bucket pruning keys."""
-    df = with_s2_cells(classified, "lat", "lon", cell_levels)
+    """Add S2 cell ids, z/x/y tile key, shard id, bucket pruning keys.
+
+    If the finest cell column already exists (fused into the extraction
+    UDF), only the native prefix-truncation levels are added — no second
+    Python stage."""
+    finest = max(cell_levels)
+    if f"cell_l{finest}" in classified.columns:
+        df = classified
+        for lvl in sorted(set(cell_levels) - {finest}, reverse=True):
+            lsb = 1 << (2 * (30 - lvl))
+            df = df.withColumn(f"cell_l{lvl}", F.expr(f"(cell_l{finest} & -{lsb}L) | {lsb}L"))
+    else:
+        df = with_s2_cells(classified, "lat", "lon", cell_levels)
     x, y = tm.tile_cols("lon", "lat", tile_zoom)
     df = (
         df.withColumn("tile_z", F.lit(tile_zoom))
@@ -109,11 +155,13 @@ def build_pois(
     lang: str | None = "en",
     tile_zoom: int = DEFAULT_TILE_ZOOM,
     cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full pages -> POIs plan. Output schema mirrors the reference POI
     row (process.py:278-297) with S2 cells in place of h3_r columns and
     (url, entity_idx)-derived ids in place of osm ids."""
-    pois = encode_pois(classify_entities(extract_entities(pages, lang)), tile_zoom, cell_levels)
+    entities = extract_entities(pages, lang, cell_level=max(cell_levels), carry_cols=carry_cols)
+    pois = encode_pois(classify_entities(entities), tile_zoom, cell_levels)
     return pois.withColumn("poi_id", F.concat_ws("#", F.col("url"), F.col("entity_idx").cast("string")))
 
 

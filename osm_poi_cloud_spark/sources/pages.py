@@ -146,6 +146,26 @@ def _entity_latlon(h: np.uint64, idx: np.ndarray):
     return lat, lon
 
 
+# Deterministic paragraph pool for realistic page bodies (real crawl HTML
+# runs 30-100 KB; the `body_paragraphs` knob scales synthetic pages toward
+# that regime for benchmarks while tests keep small fast pages).
+_WORDPOOL = [
+    "market", "street", "harbor", "museum", "garden", "station", "bakery",
+    "festival", "river", "bridge", "quarter", "plaza", "gallery", "workshop",
+    "heritage", "district", "terrace", "courtyard", "monument", "boulevard",
+    "local", "historic", "famous", "quiet", "bustling", "renovated", "seasonal",
+    "visitors", "residents", "travelers", "artisans", "vendors", "guides",
+]
+
+
+def _paragraph(seed: int) -> str:
+    h = splitmix64(np.arange(40, dtype=np.uint64), 7000 + seed)
+    words = [_WORDPOOL[int(v) % len(_WORDPOOL)] for v in h]
+    return " ".join(words).capitalize() + "."
+
+
+_PARAGRAPHS = [_paragraph(i) for i in range(48)]
+
 _NOISE_SNIPPETS = [
     '<script type="text/javascript">var x = 1 < 2 && "tags";</script>',
     "<style>.poi { color: red; }</style>",
@@ -155,8 +175,12 @@ _NOISE_SNIPPETS = [
 ]
 
 
-def synthesize_pages_pdf(start: int, end: int) -> pd.DataFrame:
-    """Generate rows [start, end) as a pandas DataFrame."""
+def synthesize_pages_pdf(start: int, end: int, body_paragraphs: int = 2) -> pd.DataFrame:
+    """Generate rows [start, end) as a pandas DataFrame.
+
+    ``body_paragraphs`` scales page size toward realistic crawl HTML
+    (~300 bytes per paragraph; default 2 keeps unit tests fast, bench
+    uses ~30 for ~10 KB pages)."""
     ids = np.arange(start, end, dtype=np.uint64)
     n = len(ids)
     lang_u = u01(ids, 1)
@@ -191,6 +215,8 @@ def synthesize_pages_pdf(start: int, end: int) -> pd.DataFrame:
             f"<h1>Guide entry {i}</h1>",
             _NOISE_SNIPPETS[(i // 7 + 1) % len(_NOISE_SNIPPETS)],
         ]
+        for p in range(body_paragraphs):
+            parts.append(f"<p>{_PARAGRAPHS[(i * 7 + p * 13) % len(_PARAGRAPHS)]}</p>")
         for j in range(int(n_entities[r])):
             h = int(splitmix64(np.array([i * 4 + j]), 7)[0])
             tags = _entity_tags(h)
@@ -222,7 +248,7 @@ def synthesize_pages_pdf(start: int, end: int) -> pd.DataFrame:
     return pdf[["url", "warc_ts", "html", "text", "lang"]]
 
 
-def pages_df(spark, n_rows: int, partitions: int | None = None):
+def pages_df(spark, n_rows: int, partitions: int | None = None, body_paragraphs: int = 2):
     """Distributed generation: spark.range -> mapInPandas batches.
 
     Deterministic for any ``partitions`` because every row derives
@@ -234,7 +260,7 @@ def pages_df(spark, n_rows: int, partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                yield synthesize_pages_pdf(int(ids.min()), int(ids.max()) + 1)
+                yield synthesize_pages_pdf(int(ids.min()), int(ids.max()) + 1, body_paragraphs)
 
     return (
         spark.range(0, n_rows, 1, parts)
@@ -242,5 +268,6 @@ def pages_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
-def write_pages(spark, path: str, n_rows: int, partitions: int | None = None) -> None:
-    pages_df(spark, n_rows, partitions).write.mode("overwrite").parquet(path)
+def write_pages(spark, path: str, n_rows: int, partitions: int | None = None,
+                body_paragraphs: int = 2) -> None:
+    pages_df(spark, n_rows, partitions, body_paragraphs).write.mode("overwrite").parquet(path)

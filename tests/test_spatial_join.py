@@ -86,6 +86,25 @@ def test_assign_to_shards_disjoint_and_total(spark):
         assert per_shard[s.shard_id] == s.node_count
 
 
+def test_grid_assignment_matches_explode_variant(spark):
+    """The cover-grid broadcast join must produce exactly the same
+    (pid, shard_id) assignment as the per-zoom-explode join."""
+    rng = np.random.RandomState(6)
+    n = 2000
+    pdf = pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": np.where(rng.rand(n) < 0.5, -74.0 + rng.rand(n) * 0.02, rng.uniform(-179, 179, n)),
+        "lat": np.where(rng.rand(n) < 0.5, 40.7 + rng.rand(n) * 0.02, rng.uniform(-80, 80, n)),
+    })
+    pts = spark.createDataFrame(pdf)
+    shards, _ = qt.plan_quadtree(pts, max_zoom=8, max_nodes=300)
+    sdf = qt.shards_df(spark, shards)
+    a = sj.assign_to_shards(pts, sdf, max_zoom=8).select("pid", "shard_id").toPandas().sort_values("pid").reset_index(drop=True)
+    b = sj.assign_to_shards_grid(spark, pts, sdf, grid_zoom=8).select("pid", "shard_id").toPandas().sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n
+
+
 def test_quadtree_subdivision_semantics():
     """Fixture from FIXTURES.md §6: counts with an oversized max-zoom cell."""
     # zoom 2 grid, max_nodes=10: cell (0,0) has 35 -> splits; child (0,0)@z1
