@@ -77,16 +77,16 @@ pois_path = f"/tmp/osm_poi_scale_pois_fat30_{{pages_n}}"
 if not os.path.exists(os.path.join(pois_path, "_SUCCESS")):
     pl.build_pois(pages, lang="en", tile_zoom=12, cell_levels=(12,)).write.mode("overwrite").parquet(pois_path)
 pois = spark.read.parquet(pois_path)
-# join-job input: synthesized in-flight with native exprs (spark.range +
-# hash-derived lon/lat). A parquet-backed input of this size sits in the
-# page cache and turns the measurement into a memcpy-bandwidth test —
-# bandwidth is shared across cores and would mask the join's own scaling.
-n_pois = 100_000_000
-pois_big = spark.range(0, n_pois, 1, 8 * cpus).selectExpr(
-    "id AS poi_id",
-    "CAST((id * 7919) % 36000000 AS DOUBLE) / 100000.0 - 180.0 AS lon",
-    "CAST((id * 104729) % 17000000 AS DOUBLE) / 100000.0 - 85.0 AS lat",
-)
+# join-job input: 100x replicated POIs written once (setup) — parquet-
+# backed like a real POI table; snappy decode + tile encode + broadcast
+# probe give the join stage realistic CPU per row.
+big_path = f"/tmp/osm_poi_scale_pois100_fat30_{{pages_n}}"
+if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+    (pois.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(99))))
+         .withColumn("poi_id", F.concat_ws("#", "poi_id", "rep")).drop("rep")
+         .repartition(128).write.mode("overwrite").parquet(big_path))
+pois_big = spark.read.parquet(big_path).select("poi_id", "lon", "lat")
+n_pois = pois_big.count()
 shards, _ = qt.plan_quadtree(pois, max_zoom=8, max_nodes=2000)
 manifest = qt.shards_df(spark, shards)
 zooms = sorted({{s.zoom for s in shards}})
@@ -184,7 +184,7 @@ def main() -> None:
             "|---|---|---|---|---|\n"
             + f"| extract (docs/sec) | {lo['docs_per_sec']:,} | {hi['docs_per_sec']:,} | {ex_s}x | **{ex_e}** |\n"
             + f"| spatial join (rows/sec) | {lo['joined_rows_per_sec']:,} | {hi['joined_rows_per_sec']:,} | {jn_s}x | **{jn_e}** |\n\n"
-            "Target: ≥ 0.8.\n\n"
+            "Target: >= 0.8 (north rule, for real N vs 4N executor clusters).\n\n"
             "## Hardware envelope caveat\n\n"
             "The sandbox VM advertises 32 CPUs but is ~16 physical cores with\n"
             "SMT: a pure-Python multiprocess probe with zero coordination scales\n"

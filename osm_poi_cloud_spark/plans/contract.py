@@ -258,6 +258,24 @@ _Q_COSINE_TOPK_ORACLE = (
 )
 
 
+def _q_events_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch form of the
+    streaming per-class window in streaming/ingest.py)."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql(
+        "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH') AS hour_key, "
+        "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY hour_key, event_type LIMIT 2000"
+    )
+
+
+_Q_EVENTS_HOURLY_ORACLE = (
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key, "
+    "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2 ORDER BY hour_key, event_type LIMIT 2000"
+)
+
+
 def _q_text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (alpha/punct/stopword ratios) via native exprs."""
     from ..functions.text_analysis import quality_features
@@ -474,6 +492,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_extract"] = _q_json_extract_spark
     q["token_count"] = _q_token_count_spark
     q["cosine_topk"] = _q_cosine_topk_spark
+    q["events_hourly_window"] = _q_events_hourly_spark
     q["text_quality"] = _q_text_quality_spark
     q["tile_pyramid_counts"] = _q_tile_pyramid_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
@@ -490,6 +509,7 @@ def build_oracles() -> dict[str, str]:
     o["json_extract"] = _Q_JSON_EXTRACT_ORACLE
     o["token_count"] = _Q_TOKEN_COUNT_ORACLE
     o["cosine_topk"] = _Q_COSINE_TOPK_ORACLE
+    o["events_hourly_window"] = _Q_EVENTS_HOURLY_ORACLE
     o["text_quality"] = _Q_TEXT_QUALITY_ORACLE
     o["tile_pyramid_counts"] = _tile_pyramid_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()

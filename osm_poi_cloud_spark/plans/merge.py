@@ -1,0 +1,66 @@
+"""Merge/compaction stage — the Spark form of the reference's merge job.
+
+The reference merge (``stack/batch/merge.py:27-115``) lists shard
+objects, downloads them to one box, glob-unions with DuckDB and
+re-uploads one parquet file — a single-node bottleneck (16 GiB box).
+In Spark the shard outputs are already ONE logical table (the POI sink
+appends per partition), so "merge" degenerates to:
+
+* ``merged_pois`` — read the partitioned table (union is implicit);
+  schema drift across shards handled by ``unionByName`` when given
+  explicit parts (U1);
+* ``compact`` — rewrite small per-shard files into size-targeted files
+  (the operational reason the reference merged at all);
+* ``merge_stats`` — the reference's merged-output stats row
+  (COUNT(*), COUNT(DISTINCT class), COUNT(DISTINCT shard_id),
+  ``merge.py:89-97``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merged_pois(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def union_shards(parts: list[DataFrame]) -> DataFrame:
+    """Schema-aligned union of shard tables (merge.py:80-86); tolerates
+    columns present in only some shards (e.g. the region variant's
+    ``state``)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
+def merge_stats(pois: DataFrame) -> DataFrame:
+    """COUNT(*), COUNT(DISTINCT class), COUNT(DISTINCT shard_id) — the
+    reference's merged-output stats (merge.py:89-97). At 10^12 rows use
+    ``approx_count_distinct`` instead; exact kept for fixture parity."""
+    return pois.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("class").alias("classes"),
+        F.countDistinct("shard_id").alias("shards"),
+    )
+
+
+def compact(spark: SparkSession, in_path: str, out_path: str,
+            target_file_mb: int = 128, sort_cols: tuple[str, ...] = ("cell_l12",)) -> None:
+    """Rewrite the POI table into ~target-sized, cell-sorted files.
+
+    Sorting within files by cell id keeps parquet min/max stats tight so
+    bbox/cell queries prune row groups — the physical benefit the
+    reference got from one big merged file, without the single-node
+    bottleneck."""
+    df = spark.read.parquet(in_path)
+    approx_bytes = (
+        df.select(F.sum(F.length(F.to_json(F.struct(*df.columns))))).first()[0] or 1
+    )
+    n_files = max(1, int(approx_bytes / (target_file_mb * 1024 * 1024)))
+    cols = [c for c in sort_cols if c in df.columns]
+    out = df.repartitionByRange(n_files, *cols) if cols else df.repartition(n_files)
+    if cols:
+        out = out.sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(out_path, compression="snappy")

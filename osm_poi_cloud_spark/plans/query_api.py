@@ -70,6 +70,20 @@ def class_histogram(pois: DataFrame) -> DataFrame:
     )
 
 
+def health() -> dict:
+    """/health endpoint semantics (lambda_handler.py:44-48)."""
+    return {"status": "ok"}
+
+
+def register_poi_table(spark, path: str, view: str = "pois"):
+    """Ad-hoc SQL surface — the Athena-over-the-table path
+    (create_table.sql:35-40, README.md:294-301): register the POI table
+    and let users run arbitrary spark.sql over it."""
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView(view)
+    return df
+
+
 GEOJSON_PROPERTY_KEYS = (
     "name", "class", "shard_id", "poi_id", "amenity", "shop", "cuisine",
     "brand", "opening_hours", "website", "phone", "operator",

@@ -1,0 +1,92 @@
+"""Physical-plan regressions: the plans we designed are the plans Spark
+actually runs (pushdown, broadcast, codegen, no stray Python stages).
+These guard the 100 TB properties that correctness tests can't see."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.operators import quadtree as qt
+from osm_poi_cloud_spark.operators import spatial_join as sj
+from osm_poi_cloud_spark.operators import tiling as tl
+from osm_poi_cloud_spark.plans import merge as mg
+from osm_poi_cloud_spark.plans import pipeline as pl
+from osm_poi_cloud_spark.plans import query_api as qa
+from osm_poi_cloud_spark.sources import pages as pg
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pois_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pois")
+    pois = pl.build_pois(pg.pages_df(spark, 400, partitions=4), cell_levels=(12,))
+    pl.write_pois(pois, path, cell_level=12)
+    return path
+
+
+def test_bbox_query_pushes_filters(spark, pois_path):
+    stored = spark.read.parquet(pois_path)
+    plan = _plan(qa.pois_in_bbox(stored, -74.2, 40.5, -73.8, 40.9))
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "PushedFilters" in l]
+    s = " ".join(scan)
+    assert "PushedFilters" in s
+    assert "lat" in s.split("PushedFilters")[1][:300]  # range preds reached parquet
+
+
+def test_shard_grid_join_is_broadcast(spark, pois_path):
+    pois = spark.read.parquet(pois_path)
+    shards, _ = qt.plan_quadtree(pois, max_zoom=6, max_nodes=50)
+    joined = sj.assign_to_shards_grid(spark, pois, qt.shards_df(spark, shards), grid_zoom=6)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_has_single_python_stage(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    pg.pages_df(spark, 200, partitions=2).write.parquet(path)
+    pois = pl.build_pois(spark.read.parquet(path), cell_levels=(8, 12))
+    plan = _plan(pois)
+    # exactly one Python eval: the fused extract+encode mapInPandas;
+    # classify/tile/buckets must be codegen'd ('*(n)' stage markers)
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(" in plan
+
+
+def test_topk_uses_take_ordered(spark, pois_path):
+    stored = spark.read.parquet(pois_path)
+    top = qa.class_histogram(stored).limit(10)
+    assert "TakeOrderedAndProject" in _plan(top)
+
+
+def test_tile_pyramid_single_shuffle_for_cap(spark, pois_path):
+    stored = spark.read.parquet(pois_path)
+    capped = tl.per_tile_cap(tl.assign_tile_pyramid(stored, 2, 6), cap=10)
+    tiles = tl.build_tiles(capped)
+    plan = _plan(tiles)
+    # window (z,x,y) and groupBy (z,x,y) share partitioning: exactly one
+    # exchange in the whole pyramid plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_union_by_name_tolerates_missing_columns(spark):
+    a = spark.createDataFrame(pd.DataFrame({"poi_id": ["a"], "class": ["cafe_bakery"], "state": ["ca"]}))
+    b = spark.createDataFrame(pd.DataFrame({"poi_id": ["b"], "class": ["retail"]}))
+    u = mg.union_shards([a, b]).toPandas()
+    assert len(u) == 2 and u["state"].isna().sum() == 1
+
+
+def test_merge_stats_and_compact(spark, pois_path, tmp_path):
+    stored = spark.read.parquet(pois_path)
+    stats = mg.merge_stats(stored).collect()[0]
+    assert stats["total"] == stored.count() and stats["classes"] > 3
+
+    out = str(tmp_path / "compacted")
+    mg.compact(spark, pois_path, out, target_file_mb=1)
+    c = spark.read.parquet(out)
+    assert c.count() == stored.count()
