@@ -92,14 +92,18 @@ def main() -> None:
     n_pois = pois.count()
     extras["n_pois"] = n_pois
 
-    # ---- 2. quadtree plan + shard assignment join (joined rows/sec) ----
-    def run_spatial_join():
-        shards, oversized = qt.plan_quadtree(pois, max_zoom=10, max_nodes=max(n_pois // 64, 500))
-        assigned = sj.assign_to_shards(pois, qt.shards_df(spark, shards), max_zoom=10)
-        force(assigned)
+    # ---- 2a. quadtree count pass + subdivision (the sharder stage) ----
+    shards_holder = {}
+    def run_quadtree_plan():
+        shards, oversized = qt.plan_quadtree(pois, max_zoom=8, max_nodes=max(n_pois // 64, 500))
+        shards_holder["shards"] = shards
         return len(shards)
-    n_shards = timed("spatial_join", run_spatial_join)
+    n_shards = timed("quadtree_plan", run_quadtree_plan)
     extras["n_shards"] = n_shards
+
+    # ---- 2b. shard assignment join (joined rows/sec): cover-grid broadcast ----
+    manifest = qt.shards_df(spark, shards_holder["shards"])
+    timed("spatial_join", lambda: force(sj.assign_to_shards_grid(spark, pois, manifest, grid_zoom=8)))
     extras["joined_rows_per_sec"] = round(n_pois / timings["spatial_join"], 1)
 
     # ---- 3. irregular-polygon PIP refine ----
@@ -120,8 +124,13 @@ def main() -> None:
         force(tl.build_tiles(capped))
     timed("tile_pyramid", run_pyramid)
 
-    # ---- 5. kNN ----
-    queries = pois.limit(2000).select(F.col("poi_id").alias("query_id"), "lon", "lat")
+    # ---- 5. kNN ---- (hash-sampled queries: limit() would funnel through
+    # one partition; sampling keeps query generation distributed)
+    q_frac = max(n_pois // 2000, 1)
+    queries = (
+        pois.filter(F.pmod(F.xxhash64("poi_id"), F.lit(q_frac)) == 0)
+        .select(F.col("poi_id").alias("query_id"), "lon", "lat")
+    )
     timed("knn", lambda: force(knn_op.knn_join(queries, pois, k=10, zoom=8)))
 
     # ---- 6. dedup over documents ----
