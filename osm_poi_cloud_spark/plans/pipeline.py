@@ -166,12 +166,15 @@ def build_pois(
 
 
 def write_pois(pois: DataFrame, path: str, cell_level: int = DEFAULT_CELL_LEVEL) -> None:
-    """POI sink: repartition on the cell key (explicit shuffle placement —
-    co-locates every later per-cell op), partition directories on
-    lon_bucket for bbox partition pruning (reference create_table.sql:28-29,
+    """POI sink: ``repartitionByRange`` on the cell id (north rule —
+    explicit shuffle placement; range partitioning keeps spatially
+    adjacent cells in the same files, so cell-range scans and later
+    per-cell ops touch few partitions), cell-sorted within files for
+    tight parquet min/max stats, directory-partitioned on lon_bucket for
+    bbox pruning (reference create_table.sql:28-29,
     lambda_handler.py:144-153)."""
     (
-        pois.repartition(F.col(f"cell_l{cell_level}"))
+        pois.repartitionByRange(F.col(f"cell_l{cell_level}"))
         .sortWithinPartitions(f"cell_l{cell_level}", "tile_x", "tile_y")
         .write.mode("overwrite")
         .partitionBy("lon_bucket")
