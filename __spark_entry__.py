@@ -12,12 +12,16 @@ no SQL oracle and take the rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osm_poi_cloud_spark.plans import contract as C
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_poi_cloud_spark.plans import contract as C  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -131,6 +131,33 @@ def test_shards_geojson_format():
     assert ring == tm.tile_ring(3, 2, 5)
 
 
+def test_salting_bounds_hot_partitions(spark):
+    """End-to-end skew handling: a city-center cell that stays oversized
+    at max zoom gets salted so no (shard, salt) partition exceeds the
+    node budget by more than hash-imbalance noise."""
+    n_hot, n_cold = 5000, 500
+    pdf = pd.DataFrame({
+        "poi_id": [f"p{i}" for i in range(n_hot + n_cold)],
+        # hot: one ~10m blob (all in one z8 tile); cold: spread wide
+        "lon": np.concatenate([np.full(n_hot, -74.0060) + np.arange(n_hot) * 1e-7,
+                               np.linspace(-170, 170, n_cold)]),
+        "lat": np.concatenate([np.full(n_hot, 40.7128), np.full(n_cold, 10.0)]),
+    })
+    pts = spark.createDataFrame(pdf)
+    max_nodes = 1000
+    shards, oversized = qt.plan_quadtree(pts, max_zoom=8, max_nodes=max_nodes)
+    assert oversized, "hot cell must stay oversized at max zoom"
+    salts = qt.salt_plan(oversized, max_nodes)
+    assert salts[oversized[0].shard_id] == 5  # ceil(5000/1000)
+
+    assigned = sj.assign_to_shards_grid(spark, pts, qt.shards_df(spark, shards), grid_zoom=8)
+    salted = qt.with_salted_shard_key(assigned, salts, row_key="poi_id")
+    sizes = salted.groupBy("shard_id", "shard_salt").count().toPandas()["count"]
+    # xxhash64 mod 5 over 5000 keys: allow 25% imbalance over the budget
+    assert sizes.max() <= max_nodes * 1.25
+    assert sizes.sum() == n_hot + n_cold
+
+
 def test_salted_key_deterministic(spark):
     pdf = pd.DataFrame({"poi_id": [f"p{i}" for i in range(100)], "shard_id": ["hot"] * 80 + ["cold"] * 20})
     df = spark.createDataFrame(pdf)
