@@ -180,6 +180,18 @@ def _shared_sql_queries() -> dict[str, str]:
         "SELECT qid, poi_id, dist2, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
     )
 
+    # W (analytic windows beyond top-k): rank / lag over event streams —
+    # capabilities row for the windows section (reference itself has none)
+    q["window_rank_lag"] = (
+        "WITH ranked AS (SELECT user_id, event_id, value, "
+        "RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk, "
+        "LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event, "
+        "ROUND(AVG(value) OVER (PARTITION BY user_id), 6) AS user_avg "
+        "FROM events) "
+        "SELECT user_id, event_id, value, rnk, prev_event, user_avg "
+        "FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk, event_id LIMIT 2000"
+    )
+
     # Dedup (exact): hash-groupBy representative selection over documents
     q["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n "

@@ -70,6 +70,28 @@ def class_histogram(pois: DataFrame) -> DataFrame:
     )
 
 
+def cell_range(cell_id: int, stored_level: int = 12) -> tuple[int, int]:
+    """Child-id range of an S2 cell: every descendant id (at any finer
+    level) lies in [id - lsb + 1, id + lsb - 1] where lsb is the cell's
+    lowest set bit. Works directly on the signed-int64 reinterpretation
+    because the offset stays within the cell's bit suffix."""
+    lsb = cell_id & -cell_id
+    return cell_id - lsb + 1, cell_id + lsb - 1
+
+
+def pois_in_cell(pois: DataFrame, cell_id: int, stored_level: int = 12) -> DataFrame:
+    """All POIs inside an S2 cell of ANY level <= stored_level, as a pure
+    range predicate on the stored ``cell_l{stored_level}`` column.
+
+    Because the POI table is repartitionByRange'd + sorted on the cell
+    id (plans/pipeline.write_pois), this is a parquet min/max-pruned
+    range scan touching only the files covering the cell — the S2 analog
+    of the reference's bucket pruning, but hierarchical."""
+    lo, hi = cell_range(cell_id)
+    col = F.col(f"cell_l{stored_level}")
+    return pois.filter(col.between(lo, hi))
+
+
 def health() -> dict:
     """/health endpoint semantics (lambda_handler.py:44-48)."""
     return {"status": "ok"}

@@ -79,6 +79,14 @@ def class_stats_stream(pages_stream: DataFrame, watermark: str = "1 hour",
     )
 
 
+def deduped_pages_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Stateful streaming dedup: drop re-crawls of a url already seen
+    within the watermark horizon (cross-microbatch state via Spark's
+    streaming dropDuplicates state store). The streaming member of the
+    dedup suite — exact-key dedup with bounded state."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
 def run_available_now(spark: SparkSession, pages_dir: str, out_dir: str,
                       checkpoint_dir: str, timeout_sec: int = 300) -> None:
     """Drain everything currently in pages_dir and stop (incremental:

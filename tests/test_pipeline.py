@@ -88,6 +88,24 @@ def test_bbox_query_and_bucket_pruning(spark, pois, tmp_path):
         qa.validate_bbox(10.0, 40.0, 5.0, 41.0)
 
 
+def test_pois_in_cell_range_scan(spark, pois):
+    """Hierarchical cell lookup: the ancestor-cell range predicate returns
+    exactly the rows whose stored l12 cell descends from it."""
+    from osm_poi_cloud_spark.functions import s2_cell as s2
+
+    pdf = pois.select("poi_id", "cell_l12").toPandas()
+    ids = pdf["cell_l12"].to_numpy("int64").view(np.uint64)
+    parent8 = s2.cell_parent(ids, 8).view(np.int64)
+    # densest level-8 cell (a city center)
+    target = pd.Series(parent8).mode()[0]
+    exp = set(pdf.loc[parent8 == target, "poi_id"])
+    got = set(
+        r["poi_id"]
+        for r in qa.pois_in_cell(pois, int(target)).select("poi_id").collect()
+    )
+    assert got == exp and len(got) > 5
+
+
 def test_class_histogram(pois):
     hist = qa.class_histogram(pois).toPandas()
     assert (hist["count"] > 0).all()

@@ -51,6 +51,27 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
     assert got["poi_id"].is_unique
 
 
+def test_stateful_stream_dedup(spark, tmp_path):
+    """Cross-microbatch url dedup via streaming state."""
+    pages_dir = str(tmp_path / "pages3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    # same 100 pages land twice (re-crawl) in separate files
+    _write_batch(spark, pages_dir, 0, 100, "a")
+    _write_batch(spark, pages_dir, 0, 100, "b")
+
+    stream = ing.deduped_pages_stream(ing.read_pages_stream(spark, pages_dir, max_files_per_trigger=1))
+    q = (
+        stream.select("url").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 100
+    assert got["url"].is_unique
+
+
 def test_windowed_class_stats_stream(spark, tmp_path):
     pages_dir = str(tmp_path / "pages2")
     _write_batch(spark, pages_dir, 0, 200, "a")
