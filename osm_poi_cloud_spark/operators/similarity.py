@@ -102,6 +102,77 @@ def lsh_bucket_ann(
     )
 
 
+def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 19,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF (inverted-file) index: k-means centroids over the corpus +
+    per-vector nearest-centroid bucket assignment.
+
+    Returns (centroids ndarray [n, dim], indexed DataFrame with a
+    ``centroid_id`` column). At scale the indexed corpus is written
+    partitioned by centroid_id so a query reads only its probed
+    partitions; training runs on a sample (MLlib KMeans is itself a
+    distributed Spark job).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
+    model = km.fit(feat)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    indexed = model.transform(feat).select(id_col, vec_col, "centroid_id")
+    return centroids, indexed
+
+
+def ivf_ann(
+    indexed: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF probe: each query visits its ``nprobe`` nearest centroids'
+    buckets only; exact cosine re-rank within them. Recall rises with
+    nprobe (nprobe = n_centroids degenerates to brute force)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    q = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+        .withColumn("centroid_id", F.explode(probe(F.col("q_vec"))))
+    )
+    c = indexed.select(F.col(id_col), F.col(vec_col).alias("c_vec"), "centroid_id")
+    cq, cc = "CAST(q_vec AS ARRAY<DOUBLE>)", "CAST(c_vec AS ARRAY<DOUBLE>)"
+    sim = F.expr(f"{_dot_sql(cq, cc)} / ({_norm_sql(cq)} * {_norm_sql(cc)})")
+    cand = q.join(c, on="centroid_id").withColumn("cos_sim", sim)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, id_col, "cos_sim", "rn")
+    )
+
+
 def pairwise_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int, *,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              query_id: str = "query_id") -> DataFrame:

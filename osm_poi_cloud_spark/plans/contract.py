@@ -452,6 +452,19 @@ def _q_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3).orderBy("a", "b")
 
 
+def _q_ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN over embeddings — the other scale
+    path beside sign-LSH; kmeans is seeded so results are deterministic."""
+    from ..operators.similarity import ivf_ann, ivf_index
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    centroids, indexed = ivf_index(emb, n_centroids=8, seed=19)
+    queries = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_ann(indexed, centroids, queries, k=10, nprobe=3)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rn")
+
+
 def _q_ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN over embeddings (scale path of cosine_topk)."""
     from ..operators.similarity import lsh_bucket_ann
@@ -513,6 +526,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
     q["dedup_simhash_pairs"] = _q_simhash_pairs_spark
     q["ann_lsh_topk"] = _q_ann_lsh_spark
+    q["ann_ivf_topk"] = _q_ann_ivf_spark
     return q
 
 

@@ -78,6 +78,33 @@ def test_sql_case_matches_in_duckdb_and_spark(spark):
     assert bad.empty, bad
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = sorted(
+    {v for _, vals, _ in cl.CLASS_RULES for v in ([vals] if isinstance(vals, str) else (vals or ()))}
+) + ["unknown_thing", "x", ""]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.fixed_dictionaries({}, optional={
+    k: st.sampled_from(_VOCAB) for k in cl.TAG_KEYS
+}))
+def test_duckdb_case_matches_python_oracle_property(tags):
+    """Random tag dicts: the shared SQL CASE (DuckDB) must agree with the
+    pure-Python rule evaluation, including fallbacks and NULL rows."""
+    import duckdb
+    import pandas as pd
+
+    row = {k: tags.get(k) for k in cl.TAG_KEYS}
+    pdf = pd.DataFrame([row]).rename(columns={"natural": "natural_tag", "operator": "operator_tag"})
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype(object)
+    sql = cl.class_sql({"natural": "natural_tag"})
+    got = duckdb.connect().execute(f"SELECT {sql} AS class FROM pdf").fetchone()[0]
+    assert got == cl.classify_tags(tags)
+
+
 def test_rule_count_and_classes():
     # 27 distinct classes incl. fallback 'misc' (reference has 27 labels)
     assert len(cl.ALL_CLASSES) == 27

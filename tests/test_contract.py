@@ -68,4 +68,4 @@ def test_every_query_has_coverage_note():
     os_ = entry_mod.oracle_sql()
     assert set(os_.keys()) <= set(qs.keys())
     # the vast majority must carry a strong oracle
-    assert len(os_) >= len(qs) - 4
+    assert len(os_) >= len(qs) - 5

@@ -47,6 +47,36 @@ def test_lsh_ann_recall(spark):
     assert np.mean(recall) >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall(spark):
+    rng = np.random.RandomState(31)
+    dim = 24
+    centers = rng.standard_normal((6, dim)) * 5
+    vecs = np.vstack([c + rng.standard_normal((150, dim)) * 0.3 for c in centers])
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": [v.astype(float).tolist() for v in vecs]})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(6),
+                      "embedding": [(c + rng.standard_normal(dim) * 0.1).tolist() for c in centers]})
+    )
+    centroids, indexed = sim.ivf_index(corpus, n_centroids=8)
+    ann = sim.ivf_ann(indexed, centroids, queries, k=10, nprobe=3).toPandas()
+    exact = sim.pairwise_topk_bruteforce(corpus, queries, k=10).toPandas()
+    recall = []
+    for qid in range(6):
+        a = set(ann[ann["query_id"] == qid]["vec_id"])
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        recall.append(len(a & e) / len(e))
+    assert np.mean(recall) >= 0.9, recall
+    # probing everything == brute force
+    full = sim.ivf_ann(indexed, centroids, queries, k=10, nprobe=8).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rn"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rn"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_embedding_dedup_pairs(spark):
     rng = np.random.RandomState(23)
     base = rng.standard_normal(16)
