@@ -146,6 +146,10 @@ def main() -> None:
     timed("cosine_topk", lambda: sim.cosine_topk(emb, list(qv), 50).collect())
     ann_q = emb.filter(F.col("vec_id") < 64).select(F.col("vec_id").alias("query_id"), "embedding")
     timed("ann_lsh", lambda: force(sim.lsh_bucket_ann(emb, ann_q, k=10, dim=dim, bits=8)))
+    def run_ivf():
+        centroids, indexed = sim.ivf_index(emb, n_centroids=16)
+        force(sim.ivf_ann(indexed, centroids, ann_q, k=10, nprobe=4))
+    timed("ann_ivf", run_ivf)
 
     # ---- 8. representative SQL contract queries ----
     C._register(spark, SF_DIR)

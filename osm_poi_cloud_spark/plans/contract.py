@@ -177,7 +177,7 @@ def _shared_sql_queries() -> dict[str, str]:
         "AND lat BETWEEN qlat - 8.0 AND qlat + 8.0), "
         "ranked AS (SELECT qid, poi_id, dist2, "
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, poi_id) AS rn FROM cand) "
-        "SELECT qid, poi_id, dist2, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+        "SELECT qid, poi_id, dist2, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
     )
 
     # W (analytic windows beyond top-k): rank / lag over event streams —
@@ -188,7 +188,7 @@ def _shared_sql_queries() -> dict[str, str]:
         "LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event, "
         "ROUND(AVG(value) OVER (PARTITION BY user_id), 6) AS user_avg "
         "FROM events) "
-        "SELECT user_id, event_id, value, rnk, prev_event, user_avg "
+        "SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk, prev_event, user_avg "
         "FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk, event_id LIMIT 2000"
     )
 
@@ -229,8 +229,8 @@ def _q_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace token counting over documents."""
     _register(spark, sf_dir, ["documents"])
     return spark.sql(
-        "SELECT doc_id, size(split(trim(text), '[ \\t\\n]+')) AS n_tokens, "
-        "length(text) AS n_chars2 FROM documents WHERE length(text) > 0 "
+        "SELECT doc_id, CAST(size(split(trim(text), '[ \\t\\n]+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars2 FROM documents WHERE length(text) > 0 "
         "ORDER BY doc_id LIMIT 5000"
     )
 
@@ -345,7 +345,7 @@ def _tile_pyramid_oracle() -> str:
         f"(SELECT {tx6} AS x6, {ty6} AS y6 FROM pts), "
         "tiled AS (SELECT z, x6 >> (6 - z) AS x, y6 >> (6 - z) AS y "
         "FROM keyed, (SELECT unnest(generate_series(2, 6)) AS z) zs) "
-        "SELECT z, x, y, COUNT(*) AS n FROM tiled GROUP BY z, x, y "
+        "SELECT CAST(z AS INT) AS z, x, y, COUNT(*) AS n FROM tiled GROUP BY 1, x, y "
         "ORDER BY n DESC, z, x, y LIMIT 1000"
     )
 
