@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "1.1.0"  # 1.1.0: + address entity field
 
 _RE_SCRIPT = re.compile(r"(?is)<script\b.*?</script>")
 _RE_STYLE = re.compile(r"(?is)<style\b.*?</style>")
@@ -73,7 +73,7 @@ def extract_text_series(html_bytes: pd.Series) -> pd.Series:
 
 
 ENTITY_COLUMNS = [
-    "name", "lat", "lon",
+    "name", "address", "lat", "lon",
     "amenity", "shop", "leisure", "tourism", "office", "healthcare",
     "railway", "aeroway", "historic", "man_made", "natural", "public_transport",
     "cuisine", "opening_hours", "phone", "website", "brand", "operator",

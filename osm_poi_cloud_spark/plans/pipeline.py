@@ -39,7 +39,7 @@ from ..functions.cell_udfs import DEFAULT_CELL_LEVEL, make_s2_token_udf, with_s2
 from ..functions.classify import PASSTHROUGH_KEYS, TAG_KEYS, class_col
 
 ENTITY_SCHEMA = (
-    "url string, entity_idx int, name string, lat double, lon double, "
+    "url string, entity_idx int, name string, address string, lat double, lon double, "
     + ", ".join(f"{k} string" for k in list(TAG_KEYS) + list(PASSTHROUGH_KEYS))
 )
 
@@ -68,7 +68,7 @@ def extract_entities(pages: DataFrame, lang: str | None = "en",
         src = src.filter(F.col("lang") == lang)
     src = src.select("url", "html", *carry_cols)
 
-    cols = ["name", "lat", "lon", *TAG_KEYS, *PASSTHROUGH_KEYS]
+    cols = ["name", "address", "lat", "lon", *TAG_KEYS, *PASSTHROUGH_KEYS]
     schema = ENTITY_SCHEMA
     if carry_cols:
         carry_schema = ", ".join(

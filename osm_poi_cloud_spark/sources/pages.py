@@ -221,8 +221,15 @@ def synthesize_pages_pdf(start: int, end: int, body_paragraphs: int = 2) -> pd.D
             h = int(splitmix64(np.array([i * 4 + j]), 7)[0])
             tags = _entity_tags(h)
             name = f"Venue {i}-{j} & Friends" if h % 9 == 0 else f"Venue {i}-{j}"
+            streets = ["Harbor Rd", "Market St", "Museum Ave", "Bridge Ln", "Plaza Blvd"]
+            address = (
+                f"{h % 999 + 1} {streets[h % len(streets)]}, Unit {h % 40 + 1}"
+                if h % 3 != 0 else None
+            )
             attrs = [f'data-name="{_html.escape(name, quote=True)}"',
                      f'data-lat="{lats[j][r]!r}"', f'data-lon="{lons[j][r]!r}"']
+            if address is not None:
+                attrs.append(f'data-address="{_html.escape(address, quote=True)}"')
             attrs += [f'data-{k}="{_html.escape(v, quote=True)}"' for k, v in sorted(tags.items())]
             # ~10% of entities are nameless -> must be filtered by the
             # engine's NULL-rejection (reference process.py:214)
@@ -230,6 +237,8 @@ def synthesize_pages_pdf(start: int, end: int, body_paragraphs: int = 2) -> pd.D
                 attrs = attrs[1:]
             parts.append(f'<div class="poi" {" ".join(attrs)}>')
             parts.append(f"<h2>{_html.escape(name)}</h2>")
+            if address is not None:
+                parts.append(f"<p>Address: {_html.escape(address)}</p>")
             parts.append(f"<p>Located at {lats[j][r]!r}, {lons[j][r]!r}.</p>")
             parts.append("</div>")
         parts.append("<footer>generated corpus &copy; example</footer>")

@@ -52,6 +52,9 @@ def test_entities_extracted_with_types():
     assert not ents["name"].fillna("").eq("FAKE").any()
     # entity names with escapes round-trip ('&' preserved)
     assert ents["name"].fillna("").str.contains("&").any()
+    # addresses extracted for the ~2/3 slice that has them, absent elsewhere
+    assert 0.4 < ents["address"].notna().mean() < 0.9
+    assert ents["address"].dropna().str.contains(r"\d+ .+, Unit \d+", regex=True).all()
 
 
 def test_tag_coverage_spans_all_classes():
