@@ -42,7 +42,8 @@ DEFAULT_MAX_NODES = 1_000_000  # reference default (main.rs:26-27)
 
 
 def stage_plan(spark: SparkSession, pages_path: str, out: str,
-               max_zoom: int, max_nodes: int, lang: str = "en") -> list[qt.Shard]:
+               max_zoom: int, max_nodes: int, lang: str = "en",
+               pois=None) -> list[qt.Shard]:
     manifest_path = os.path.join(out, "manifest.geojson")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -51,8 +52,9 @@ def stage_plan(spark: SparkSession, pages_path: str, out: str,
             qt.Shard(p["z"], p["x"], p["y"], p["node_count"])
             for p in (feat["properties"] for feat in fc["features"])
         ]
-    pages = spark.read.parquet(pages_path)
-    pois = pl.build_pois(pages, lang=lang, cell_levels=(12,))
+    if pois is None:
+        pages = spark.read.parquet(pages_path)
+        pois = pl.build_pois(pages, lang=lang, cell_levels=(12,))
     shards, oversized = qt.plan_quadtree(pois, max_zoom=max_zoom, max_nodes=max_nodes)
     os.makedirs(out, exist_ok=True)
     with open(manifest_path, "w") as f:
@@ -65,11 +67,14 @@ def stage_plan(spark: SparkSession, pages_path: str, out: str,
 
 
 def stage_process(spark: SparkSession, pages_path: str, out: str, run_id: str,
-                  shards: list[qt.Shard], max_zoom: int, lang: str = "en") -> dict:
-    pages = spark.read.parquet(pages_path)
+                  shards: list[qt.Shard], max_zoom: int, lang: str = "en",
+                  pois=None) -> dict:
+    if pois is None:
+        pages = spark.read.parquet(pages_path)
+        pois = pl.build_pois(pages, lang=lang, cell_levels=(8, 12))
     # drop the pipeline's default fixed-zoom shard_id: the authoritative
     # provenance id is the quadtree-manifest leaf (reference P13 literal)
-    pois = pl.build_pois(pages, lang=lang, cell_levels=(8, 12)).drop("shard_id")
+    pois = pois.drop("shard_id")
     assigned = sj.assign_to_shards_grid(
         spark, pois, qt.shards_df(spark, shards), grid_zoom=max_zoom
     )
@@ -116,10 +121,18 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(f"poi-pipeline-{args.run_id}")
     shards = None
+    pois = None
+    if args.stage == "all":
+        # extraction is the dominant cost — run it ONCE and share the
+        # persisted result between the plan and process stages
+        pages = spark.read.parquet(args.pages)
+        pois = pl.build_pois(pages, lang=args.lang, cell_levels=(8, 12)).persist()
     if args.stage in ("plan", "process", "all"):
-        shards = stage_plan(spark, args.pages, args.out, args.max_zoom, args.max_nodes, args.lang)
+        shards = stage_plan(spark, args.pages, args.out, args.max_zoom, args.max_nodes, args.lang, pois=pois)
     if args.stage in ("process", "all"):
-        stage_process(spark, args.pages, args.out, args.run_id, shards, args.max_zoom, args.lang)
+        stage_process(spark, args.pages, args.out, args.run_id, shards, args.max_zoom, args.lang, pois=pois)
+    if pois is not None:
+        pois.unpersist()
     if args.stage in ("merge", "all"):
         stage_merge(spark, args.out)
     if args.stage in ("tiles", "all"):

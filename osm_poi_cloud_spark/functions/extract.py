@@ -62,7 +62,9 @@ def extract_text_series(html_bytes: pd.Series) -> pd.Series:
     s = s.str.replace(_RE_COMMENT, "", regex=True)
     s = s.str.replace(_RE_BLOCK, "\n", regex=True)
     s = s.str.replace(_RE_TAG, "", regex=True)
-    s = s.map(_html.unescape)
+    # na_action: a null html row must yield "" (fillna below), not a
+    # TypeError from unescape(pd.NA) killing the whole Arrow batch
+    s = s.map(_html.unescape, na_action="ignore")
     s = s.astype("string")
     s = s.str.replace(_RE_SPACES, " ", regex=True)
     # strip spaces around newlines, collapse blank lines, trim ends

@@ -36,8 +36,12 @@ _M61 = (1 << 61) - 1
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per exact content hash."""
-    h = F.md5(F.col(text_col))
+    """Keep one representative (min id) per exact content hash.
+
+    NULL texts form their own group (coalesced to a sentinel that cannot
+    collide with real content): a plain md5(text) would make the semi-join
+    key NULL and silently drop every null-text row."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("\x00__NULL_TEXT__")))
     w = df.withColumn("_h", h)
     reps = w.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return w.join(reps, on=["_h", id_col], how="left_semi").drop("_h")
@@ -113,18 +117,24 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20, strict: bool = False) -> DataFrame:
     """Min-label propagation over an undirected edge list -> (node, component).
 
     Iterates until fixpoint (bounded by max_iter); each round is one
     groupBy shuffle on the node id. Duplicate clusters are tiny and
     shallow in practice, so convergence is fast; at web scale this is
-    the standard large-star/small-star shape."""
+    the standard large-star/small-star shape.
+
+    Hitting ``max_iter`` without a fixpoint (a cluster whose hop-diameter
+    exceeds it) raises if ``strict`` else emits a loud warning — a
+    silently split cluster would leak near-duplicates downstream."""
+    edges = edges.persist()  # re-read every iteration; never recompute upstream LSH
     sym = edges.selectExpr(f"{id_a} AS node", f"{id_b} AS label").union(
         edges.selectExpr(f"{id_b} AS node", f"{id_a} AS label")
     )
     nodes = sym.select("node").union(sym.select("label")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
+    changed = 1
     for _ in range(max_iter):
         # candidate label per node = min(own, neighbors' labels)
         neighbor_labels = (
@@ -147,6 +157,15 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
             break
+    edges.unpersist()
+    if changed:
+        msg = (f"connected_components did not converge within max_iter={max_iter}; "
+               "components may be split — raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.withColumnRenamed("label", "component")
 
 
@@ -162,8 +181,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-dup removal: returns df minus non-representative members of
     each near-duplicate cluster (representative = min id)."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_k, jaccard_threshold, seed)
+    # persist: isEmpty() and the iterative clustering would otherwise
+    # recompute the minhash UDF + band self-join once per action
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_k, jaccard_threshold, seed).persist()
     if pairs.isEmpty():
+        pairs.unpersist()
         return df
     comp = connected_components(pairs, "a", "b")
     reps = comp.groupBy("component").agg(F.min("node").alias("rep"))

@@ -52,9 +52,15 @@ def tile_count_histogram(points: DataFrame, max_zoom: int,
     Non-finite / unmappable coordinates are excluded, matching the
     reference's finite check (main.rs:135-137)."""
     x, y = tm.tile_cols(lon, lat, max_zoom)
+    inf = float("inf")
     rows = (
         points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull()
-                      & ~F.isnan(F.col(lon)) & ~F.isnan(F.col(lat)))
+                      & ~F.isnan(F.col(lon)) & ~F.isnan(F.col(lat))
+                      # ±Infinity must be excluded too (the numpy kernel
+                      # returns -1/unmappable; the SQL clamp would
+                      # otherwise count it in an edge tile)
+                      & (F.col(lon) > -inf) & (F.col(lon) < inf)
+                      & (F.col(lat) > -inf) & (F.col(lat) < inf))
         .select(x.alias("x"), y.alias("y"))
         .groupBy("x", "y")
         .count()

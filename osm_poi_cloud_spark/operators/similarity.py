@@ -30,14 +30,6 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
 
 
-def with_unit_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
-    """Pre-normalize once so cosine == dot at query time."""
-    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    return df.withColumn(
-        out_col, F.expr(f"transform({dv}, v -> v / {_norm_sql(dv)})")
-    )
-
-
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine similarity against one query vector."""

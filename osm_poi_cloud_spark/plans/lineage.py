@@ -133,8 +133,14 @@ def run_stage_with_resume(
         processed_keys = [r["partition_key"] for r in summaries.select("partition_key").collect()]
 
         if n_rows > 0:
+            # dynamic partition overwrite, NOT append: if a previous attempt
+            # crashed after writing files but before the lineage commit,
+            # the retry must replace that partition's files, or the rows
+            # would be duplicated. Committed partitions are never in `todo`
+            # (anti-joined above), so only retried partitions are touched.
             (
-                todo.write.mode("append")
+                todo.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(key_col)
                 .parquet(out_path, compression="snappy")
             )

@@ -226,8 +226,11 @@ def synthesize_pages_pdf(start: int, end: int, body_paragraphs: int = 2) -> pd.D
                 f"{h % 999 + 1} {streets[h % len(streets)]}, Unit {h % 40 + 1}"
                 if h % 3 != 0 else None
             )
+            # repr(float(...)): identical bytes to numpy-1.x scalar repr,
+            # but immune to numpy>=2's 'np.float64(...)' repr change
+            lat_s, lon_s = repr(float(lats[j][r])), repr(float(lons[j][r]))
             attrs = [f'data-name="{_html.escape(name, quote=True)}"',
-                     f'data-lat="{lats[j][r]!r}"', f'data-lon="{lons[j][r]!r}"']
+                     f'data-lat="{lat_s}"', f'data-lon="{lon_s}"']
             if address is not None:
                 attrs.append(f'data-address="{_html.escape(address, quote=True)}"')
             attrs += [f'data-{k}="{_html.escape(v, quote=True)}"' for k, v in sorted(tags.items())]
@@ -239,7 +242,7 @@ def synthesize_pages_pdf(start: int, end: int, body_paragraphs: int = 2) -> pd.D
             parts.append(f"<h2>{_html.escape(name)}</h2>")
             if address is not None:
                 parts.append(f"<p>Address: {_html.escape(address)}</p>")
-            parts.append(f"<p>Located at {lats[j][r]!r}, {lons[j][r]!r}.</p>")
+            parts.append(f"<p>Located at {lat_s}, {lon_s}.</p>")
             parts.append("</div>")
         parts.append("<footer>generated corpus &copy; example</footer>")
         parts.append("</body></html>")

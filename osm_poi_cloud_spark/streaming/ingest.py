@@ -81,10 +81,11 @@ def class_stats_stream(pages_stream: DataFrame, watermark: str = "1 hour",
 
 def deduped_pages_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Stateful streaming dedup: drop re-crawls of a url already seen
-    within the watermark horizon (cross-microbatch state via Spark's
-    streaming dropDuplicates state store). The streaming member of the
-    dedup suite — exact-key dedup with bounded state."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    within the watermark horizon. Uses ``dropDuplicatesWithinWatermark``
+    — plain ``dropDuplicates(["url"])`` would ignore the watermark
+    (unbounded state, and re-crawls dropped forever); the WithinWatermark
+    form both bounds the state store and scopes the dedup horizon."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
 def run_available_now(spark: SparkSession, pages_dir: str, out_dir: str,

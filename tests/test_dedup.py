@@ -102,3 +102,12 @@ def test_signatures_deterministic_across_runs(spark):
     s1 = docs.select("doc_id", udf(F.col("text")).alias("sig")).toPandas().sort_values("doc_id")
     s2 = docs.select("doc_id", udf(F.col("text")).alias("sig")).toPandas().sort_values("doc_id")
     assert all(list(x) == list(y) for x, y in zip(s1["sig"], s2["sig"]))
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """Null-text docs dedup to one representative, never vanish (r1-4)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [None, None, "x", "x"]})
+    )
+    out = dd.exact_dedup(docs).toPandas()
+    assert sorted(out["doc_id"]) == [1, 3]

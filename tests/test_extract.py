@@ -80,3 +80,9 @@ def test_polar_and_boundary_slices_present():
     step = 360.0 / 4096.0
     on_edge = ((lon + 180.0) / step % 1.0 == 0.0) & (lon > -180.0) & (lon < 180.0)
     assert on_edge.any(), "no exact z12 tile-boundary points"
+
+
+def test_null_html_yields_empty_text():
+    """A null html row must not kill the batch (review finding r1-1)."""
+    out = fx.extract_text_series(pd.Series([b"<p>hi</p>", None]))
+    assert list(out) == ["hi", ""]

@@ -71,3 +71,24 @@ def test_checksum_partition_order_insensitive(spark):
     a = ln.partition_summary(df, "shard_id").toPandas().sort_values("partition_key").reset_index(drop=True)
     b = ln.partition_summary(df.repartition(7), "shard_id").toPandas().sort_values("partition_key").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_retry_after_crash_between_write_and_commit_does_not_duplicate(spark, tmp_path):
+    """Simulate a crash AFTER the data write but BEFORE the lineage
+    commit: the retry must overwrite the partial partition, not append a
+    second copy (review finding r1-2)."""
+    out = str(tmp_path / "out")
+    log = ln.LineageLog(spark, str(tmp_path / "lineage"))
+    df = _df(spark, [0, 1])
+
+    # crashed attempt: files landed, lineage never committed
+    (df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+       .partitionBy("shard_id").parquet(out))
+    assert spark.read.parquet(out).count() == 30
+
+    # retry from scratch
+    r = ln.run_stage_with_resume(spark, df, out, log, "run1", "process", "shard_id")
+    assert r["processed"] == 2 and r["rows"] == 30
+    written = spark.read.parquet(out)
+    assert written.count() == 30  # not 60
+    assert written.select("row_id").distinct().count() == 30
