@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import hashing as hx
+
 _M61 = (1 << 61) - 1
 
 
@@ -60,54 +62,31 @@ def duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# shingle + minhash kernels (numpy, used inside pandas UDFs)
+# shingle + minhash kernels (batched numpy — see functions/hashing.py)
 # ---------------------------------------------------------------------------
 
-def _stable_hash64(s: str, seed: int = 0) -> int:
-    """Process-independent 64-bit string hash (blake2b keyed by seed).
-    Python's builtin hash() is salted per process (PYTHONHASHSEED) and
-    would make signatures differ across executors."""
-    import hashlib
-
-    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")).digest()
-    return int.from_bytes(d, "little")
-
-
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-word-shingle hashes (uint64) of a normalized text."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    views = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
-    return np.unique(np.array([_stable_hash64(v) & 0x7FFFFFFFFFFFFFFF for v in views], dtype=np.uint64))
-
-
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded per-permutation multipliers/offsets; hashes are
+    ``(x * a_p + b_p) mod 2^64`` (uint64 wraparound — r2 replaced the
+    r1 Mersenne-61 modulus: bitwise-identical quality for banding, and
+    it keeps the whole signature stage in vectorized uint64 ops)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = (rng.randint(1, _M61, size=num_perm, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.randint(0, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) min over universal hashes h_i(x) = (a_i*x + b) mod M61."""
-    if len(shingles) == 0:
-        return np.full(len(a), np.uint64(_M61))
-    with np.errstate(over="ignore"):
-        hv = (shingles[None, :] * a[:, None] + b[:, None]) % np.uint64(_M61)
-    return hv.min(axis=1)
-
-
 def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
+    """Arrow-batched minhash signature UDF: the whole batch is hashed in
+    one vectorized pass (flat shingle array + ``minimum.reduceat``),
+    no per-row Python."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sig = minhash_signature(_shingle_hashes(t or "", shingle_k), a, b)
-            out.append(sig.view(np.int64).tolist())
-        return pd.Series(out)
+        sh, counts = hx.shingle_hashes_batch(list(text), shingle_k, seed=0)
+        sig = hx.minhash_signatures_batch(sh, counts, a, b).view(np.int64)
+        return pd.Series(list(sig))
 
     return minhash
 
@@ -256,19 +235,11 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def make_simhash_udf(seed: int = 11):
+    """Arrow-batched simhash UDF — one unpackbits + reduceat per batch
+    (``functions/hashing.py:simhash_batch``), no per-row Python."""
     @F.pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(text):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            hs = np.array([_stable_hash64(w, seed) for w in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = ((vote > 0).astype(np.uint64) * powers).sum(dtype=np.uint64).astype(np.int64)
-        return pd.Series(out)
+        return pd.Series(hx.simhash_batch(list(text), seed))
 
     return simhash
 
@@ -316,10 +287,16 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.DoubleType())
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # shingle-hash both sides in one vectorized pass each; only the
+        # per-pair set intersection is a (numpy) loop over the batch
+        sha, ca = hx.shingle_hashes_batch(list(ta), k, seed=0)
+        shb, cb = hx.shingle_hashes_batch(list(tb), k, seed=0)
+        oa = np.concatenate([[0], np.cumsum(ca)])
+        ob = np.concatenate([[0], np.cumsum(cb)])
         out = np.zeros(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = _shingle_hashes(x or "", k)
-            sb = _shingle_hashes(y or "", k)
+        for i in range(len(ta)):
+            sa = np.unique(sha[oa[i]:oa[i + 1]])
+            sb = np.unique(shb[ob[i]:ob[i + 1]])
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             out[i] = inter / union if union else 1.0

@@ -34,22 +34,7 @@ from ..functions.classify import CLASS_RULES
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
-_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def splitmix64(x: np.ndarray, salt: int) -> np.ndarray:
-    """Counter-based hash: uint64 -> uint64 (public splitmix64 finalizer)."""
-    with np.errstate(over="ignore"):  # uint64 wraparound is the point
-        salt_mix = (np.uint64(salt % (1 << 64)) * np.uint64(0x9E3779B97F4A7C15)) & _MASK
-        x = (np.asarray(x, dtype=np.uint64) + salt_mix) & _MASK
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
-        return x ^ (x >> np.uint64(31))
-
-
-def u01(x: np.ndarray, salt: int) -> np.ndarray:
-    return splitmix64(x, salt).astype(np.float64) / 18446744073709551616.0
+from ..functions.hashing import splitmix64, u01  # noqa: E402  (shared kernels)
 
 
 # (name, lat, lon) — zipf-weighted: city 0 absorbs ~29% of city-drawn POIs.
