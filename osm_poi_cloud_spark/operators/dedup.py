@@ -96,7 +96,8 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
-                         max_iter: int = 20, strict: bool = False) -> DataFrame:
+                         max_iter: int = 20, strict: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Min-label propagation over an undirected edge list -> (node, component).
 
     Iterates until fixpoint (bounded by max_iter); each round is one
@@ -104,10 +105,26 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
     shallow in practice, so convergence is fast; at web scale this is
     the standard large-star/small-star shape.
 
+    ``checkpoint_dir``: when set, each round's labels are written with a
+    *reliable* ``checkpoint()`` to that (HDFS/S3) directory, so executor
+    loss mid-job resumes from the last round instead of recomputing the
+    whole lineage; unset falls back to ``localCheckpoint`` (fine in
+    local mode / tests, NOT fault-tolerant on a cluster — r1 verdict #3).
+
+    Per round there is exactly one *compute* action (the eager
+    checkpoint materializes labels + change flags together); the
+    convergence probe then reads the already-checkpointed data.
+
     Hitting ``max_iter`` without a fixpoint (a cluster whose hop-diameter
     exceeds it) raises if ``strict`` else emits a loud warning — a
     silently split cluster would leak near-duplicates downstream."""
     edges = edges.persist()  # re-read every iteration; never recompute upstream LSH
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
     sym = edges.selectExpr(f"{id_a} AS node", f"{id_b} AS label").union(
         edges.selectExpr(f"{id_b} AS node", f"{id_a} AS label")
     )
@@ -126,14 +143,15 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
             .groupBy("node")
             .agg(F.least(F.min("label"), F.min("cand")).alias("label"))
         )
-        changed = (
+        # one compute action: materialize labels WITH per-node change
+        # flags; the probe below scans checkpointed data only
+        flagged = _checkpoint(
             new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            .join(labels.withColumnRenamed("label", "_old"), on="node")
+            .select("node", "label", (F.col("label") != F.col("_old")).alias("_ch"))
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        changed = flagged.filter("_ch").limit(1).count()
+        labels = flagged.drop("_ch")
         if not changed:
             break
     edges.unpersist()

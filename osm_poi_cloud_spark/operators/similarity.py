@@ -48,14 +48,35 @@ def _projection(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, bits)).astype(np.float64)
 
 
-def make_lsh_bucket_udf(dim: int, bits: int = 16, seed: int = 13):
-    planes = _projection(dim, bits, seed)
+def make_lsh_bucket_udf(dim: int | None = None, bits: int = 16, seed: int = 13):
+    """Sign-LSH bucket UDF. ``dim`` is optional: the (deterministic,
+    seeded) hyperplanes depend only on (dim, bits, seed), so they are
+    derived lazily from the observed vector length inside the executor —
+    no driver-side ``.first()`` probe is ever needed (r1 verdict #2).
+
+    Projections avoid BLAS matmul on purpose: elementwise-multiply +
+    pairwise ``np.sum`` is bitwise deterministic across thread counts,
+    which keeps bucket assignments (and the golden-fixture oracles)
+    exactly reproducible."""
     powers = (1 << np.arange(bits, dtype=np.int64))
+    cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        cache[dim] = _projection(dim, bits, seed)
+
+    def _planes(d: int) -> np.ndarray:
+        if d not in cache:
+            cache[d] = _projection(d, bits, seed)
+        return cache[d]
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) if len(vecs) else np.zeros((0, dim))
-        signs = (m @ planes) > 0
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = _planes(m.shape[1])
+        signs = np.empty((len(m), bits), dtype=bool)
+        for b in range(bits):
+            signs[:, b] = (m * planes[:, b]).sum(axis=1) > 0
         return pd.Series((signs * powers).sum(axis=1).astype(np.int64))
 
     return bucket
@@ -65,7 +86,7 @@ def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     bits: int = 12,
     seed: int = 13,
     vec_col: str = "embedding",
@@ -94,18 +115,77 @@ def lsh_bucket_ann(
     )
 
 
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int, seed: int = 19,
+                        max_sample: int = 4096, iters: int = 10,
+                        vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic IVF training: Lloyd's k-means over a bounded,
+    deterministic sample (smallest ids first), run in float64 numpy on
+    the driver. This is a *planning/training* pass like the quadtree
+    count pass — one bounded collect, amortized over every later query.
+
+    Determinism: ``orderBy(id).limit(max_sample)`` is a total order;
+    init is a seeded ``RandomState.choice``; distances/means avoid BLAS
+    (broadcast subtract + pairwise ``np.sum``), so centroids are
+    bit-identical across runs, partitionings and thread counts — which
+    makes IVF query results golden-fixture-stable. At 100 TB swap the
+    id-prefix sample for a hash-sample filter (``xxhash64(id) % m = 0``)
+    to avoid the sort; the rest is unchanged."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col).limit(max_sample).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[np.sort(rng.choice(len(x), size=min(n_centroids, len(x)), replace=False))].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(corpus: DataFrame, centroids, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid bucket assignment (one Arrow-batched UDF pass).
+    At scale, write the result partitioned by ``centroid_id`` so probes
+    prune partitions."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return corpus.select(F.col(id_col), F.col(vec_col),
+                         nearest(F.col(vec_col)).alias("centroid_id"))
+
+
 def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 19,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
-    """IVF (inverted-file) index: k-means centroids over the corpus +
-    per-vector nearest-centroid bucket assignment.
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              method: str = "sample-lloyd"):
+    """IVF (inverted-file) index: k-means centroids + per-vector
+    nearest-centroid bucket assignment.
 
     Returns (centroids ndarray [n, dim], indexed DataFrame with a
-    ``centroid_id`` column). At scale the indexed corpus is written
-    partitioned by centroid_id so a query reads only its probed
-    partitions; training runs on a sample (MLlib KMeans is itself a
-    distributed Spark job).
+    ``centroid_id`` column). ``method``:
+
+    * ``"sample-lloyd"`` (default) — deterministic seeded-sample Lloyd's
+      (``train_ivf_centroids``); bit-reproducible, no MLlib dependency.
+    * ``"mllib"`` — distributed MLlib KMeans (k-means|| init): use when
+      the training sample itself must be distributed; float reduction
+      order makes centroids run-dependent, so results are not
+      golden-stable.
     """
-    import numpy as np
+    if method == "sample-lloyd":
+        centroids = train_ivf_centroids(corpus, n_centroids, seed,
+                                        vec_col=vec_col, id_col=id_col)
+        return centroids, ivf_assign(corpus, centroids, vec_col, id_col)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -188,9 +268,8 @@ def embedding_cosine_dedup_pairs(df: DataFrame, threshold: float = 0.98,
                                  bits: int = 10, seed: int = 13, dim: int | None = None,
                                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Embedding near-duplicate pairs: LSH bucket blocking + exact cosine
-    filter (the embedding-space member of the dedup suite)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    filter (the embedding-space member of the dedup suite). ``dim`` is
+    optional — the bucket UDF infers it executor-side (no driver action)."""
     b = make_lsh_bucket_udf(dim, bits, seed)
     keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn("bucket", b(F.col(vec_col)))
     l = keyed.selectExpr(f"{id_col} AS a", f"{vec_col} AS va", "bucket")

@@ -15,6 +15,7 @@ tables (pure integer arithmetic -> identical float64 in both engines):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,7 +187,10 @@ def _shared_sql_queries() -> dict[str, str]:
         "WITH ranked AS (SELECT user_id, event_id, value, "
         "RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk, "
         "LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event, "
-        "ROUND(AVG(value) OVER (PARTITION BY user_id), 6) AS user_avg "
+        # ROUND(..., 4): float accumulation order differs between the
+        # engines, so 6-decimal rounding can flip on a boundary sum
+        # (r1 advice #2); 4 decimals makes the flip probability negligible
+        "ROUND(AVG(value) OVER (PARTITION BY user_id), 4) AS user_avg "
         "FROM events) "
         "SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk, prev_event, user_avg "
         "FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk, event_id LIMIT 2000"
@@ -276,14 +280,14 @@ def _q_events_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["events"])
     return spark.sql(
         "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH') AS hour_key, "
-        "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+        "event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
         "FROM events GROUP BY 1, 2 ORDER BY hour_key, event_type LIMIT 2000"
     )
 
 
 _Q_EVENTS_HOURLY_ORACLE = (
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key, "
-    "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
     "FROM events GROUP BY 1, 2 ORDER BY hour_key, event_type LIMIT 2000"
 )
 
@@ -436,7 +440,8 @@ def _q_minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
     _register(spark, sf_dir, ["documents"])
-    docs = spark.table("documents").limit(2000)
+    # deterministic subset (limit() without order is layout-dependent)
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
     return (
         minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)
         .withColumn("jaccard_est", F.round("jaccard_est", 6))
@@ -448,7 +453,7 @@ def _q_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
     _register(spark, sf_dir, ["documents"])
-    docs = spark.table("documents").limit(2000)
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
     return simhash_pairs(docs, max_hamming=3).orderBy("a", "b")
 
 
@@ -471,9 +476,8 @@ def _q_ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
-    ann = lsh_bucket_ann(emb, queries, k=10, dim=dim, bits=6)
+    ann = lsh_bucket_ann(emb, queries, k=10, bits=6)
     return ann.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rn")
 
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +534,42 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+# ---------------------------------------------------------------------------
+# Golden-fixture oracles (engine-native ops DuckDB can't recompute)
+# ---------------------------------------------------------------------------
+#
+# Fixtures are generated by tools/make_goldens.py, which verifies each
+# one against an INDEPENDENT pure-Python/numpy implementation before
+# writing (bitwise for the integer/exact-rational queries, pair-set +
+# rank + 1e-9 cosine for the ANN floats). Each fixture carries a
+# ``corpus_key`` discriminator so one DuckDB oracle string serves every
+# committed scale factor: the key is recomputed from the registered
+# views at query time and selects the matching slice.
+
+_GOLDEN_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "tests", "golden", "contract")
+)
+
+_GOLDEN_SPECS = {
+    # name: (projected columns, corpus-key subquery)
+    "s2_cell_counts": ("cell_l8, n, subcells", "SELECT COUNT(*) FROM customer"),
+    "dedup_minhash_pairs": ("a, b, jaccard_est", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "dedup_simhash_pairs": ("a, b, hamming", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
+    "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
+}
+
+
+def _golden_oracles() -> dict[str, str]:
+    return {
+        name: (
+            f"SELECT {cols} FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet') "
+            f"WHERE corpus_key = ({key_sql})"
+        )
+        for name, (cols, key_sql) in _GOLDEN_SPECS.items()
+    }
+
+
 def build_oracles() -> dict[str, str]:
     o = dict(_shared_sql_queries())
     o["json_extract"] = _Q_JSON_EXTRACT_ORACLE
@@ -540,6 +580,5 @@ def build_oracles() -> dict[str, str]:
     o["tile_pyramid_counts"] = _tile_pyramid_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["lang_id_counts"] = _lang_id_oracle()
-    # rows-only (no offline SQL oracle exists): s2_cell_counts,
-    # dedup_minhash_pairs, dedup_simhash_pairs, ann_lsh_topk
+    o.update(_golden_oracles())
     return o

@@ -44,18 +44,29 @@ def test_entry_smoke(spark):
 
 ALL_QUERIES = sorted(entry_mod.queries().keys())
 
+# Empty==empty silently passes the oracle compare, so every query also
+# pins a minimum row count at sf0.001 (r1 advice #1).
+MIN_ROWS = {
+    "stats_counts": 1, "pip_refine_triangle": 1, "lang_id_counts": 2,
+    "union_merge": 3, "topk_event_types": 5, "pip_bbox_join": 10,
+    "dedup_minhash_pairs": 10, "dedup_simhash_pairs": 10,
+    "classify_histogram": 15, "bbox_filter": 20, "knn_per_cell": 25,
+    "window_rank_lag": 30, "ann_lsh_topk": 50, "ann_ivf_topk": 50,
+    "cosine_topk": 50,
+}
+DEFAULT_MIN_ROWS = 90  # full-table / tile queries at sf0.001
+
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     qfn = entry_mod.queries()[name]
     sdf = qfn(spark, SF_DIR)
     got = sdf.toPandas()
-    assert got is not None
+    assert len(got) >= MIN_ROWS.get(name, DEFAULT_MIN_ROWS), f"{name}: suspiciously few rows ({len(got)})"
 
     oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:
-        assert len(got) >= 0  # rows-only check (driver's weak path)
-        return
+        return  # rows-only check (driver's weak path) — min-rows enforced above
     exp = duck.execute(oracle).df()
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
     assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names differ"
@@ -63,9 +74,11 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-def test_every_query_has_coverage_note():
+def test_every_query_has_oracle():
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
     assert set(os_.keys()) <= set(qs.keys())
-    # the vast majority must carry a strong oracle
-    assert len(os_) >= len(qs) - 5
+    # r2: every contract query carries a strong oracle (shared SQL,
+    # dialect-split SQL, or independently-verified golden fixture)
+    missing = set(qs.keys()) - set(os_.keys())
+    assert not missing, f"queries without oracle: {missing}"
