@@ -124,6 +124,14 @@ def main() -> None:
         force(tl.build_tiles(capped))
     timed("tile_pyramid", run_pyramid)
 
+    # ---- 4b. binary MVT tile encode (z2-10) ----
+    from osm_poi_cloud_spark.operators import mvt as mvt_op
+    def run_mvt():
+        tiled = tl.assign_tile_pyramid(pois, 2, 10)
+        capped = tl.per_tile_cap(tiled, cap=256)
+        force(mvt_op.encode_tiles_mvt(tl.build_tiles(capped)).select("z", "x", "y", "mvt"))
+    timed("mvt_encode", run_mvt)
+
     # ---- 5. kNN ---- (hash-sampled queries: limit() would funnel through
     # one partition; sampling keeps query generation distributed)
     q_frac = max(n_pois // 2000, 1)

@@ -12,7 +12,7 @@ Stage mapping:
              the same run_id skips committed shards (README.md:214-254 resume)
     merge    merge job (merge.py)         -> compaction + stats row
     tiles    tiles job (generate_pmtiles) -> z2-14 pyramid, per-tile cap,
-             tile feature table + GeoJSON lines
+             tile feature table with MVT binary column + PMTiles archive
     all      the full pipeline
 
 Every stage is idempotent per (run_id, stage): state lives in the
@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .config import get_spark
+from .operators import mvt
 from .operators import quadtree as qt
 from .operators import spatial_join as sj
 from .operators import tiling as tl
@@ -99,13 +100,30 @@ def stage_merge(spark: SparkSession, out: str) -> None:
 
 
 def stage_tiles(spark: SparkSession, out: str, min_zoom: int = 2, max_zoom: int = 14,
-                cap: int = 4096) -> None:
+                cap: int = 4096, pmtiles_max_zoom: int = 10) -> None:
+    """Pyramid + cap + per-tile MVT encode (all distributed), then pack
+    a PMTiles v3 archive for zooms <= ``pmtiles_max_zoom``.
+
+    The parquet tile table WITH the mvt binary column is the distributed
+    artifact (any tile server can range-read it); the single-file
+    .pmtiles packaging is a bounded driver step (<= 4^pmtiles_max_zoom
+    entries) — same shape as the reference, where tippecanoe runs
+    single-node after the merge (generate_pmtiles.py:135-162)."""
     pois = spark.read.parquet(os.path.join(out, "pois_merged"))
     tiled = tl.per_tile_cap(tl.assign_tile_pyramid(pois, min_zoom, max_zoom), cap=cap)
-    tiles = tl.build_tiles(tiled)
+    tiles = mvt.encode_tiles_mvt(tl.build_tiles(tiled))
     tiles.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out, "tiles"))
-    n = spark.read.parquet(os.path.join(out, "tiles")).count()
-    print(f"tiles: {n:,} tiles z{min_zoom}-z{max_zoom}")
+    stored = spark.read.parquet(os.path.join(out, "tiles"))
+    n = stored.count()
+    arc_rows = (
+        stored.filter(F.col("z") <= pmtiles_max_zoom)
+        .select("z", "x", "y", "mvt").toLocalIterator()
+    )
+    stats = mvt.write_pmtiles(
+        ((r["z"], r["x"], r["y"], bytes(r["mvt"])) for r in arc_rows),
+        os.path.join(out, "pois.pmtiles"), min_zoom, min(max_zoom, pmtiles_max_zoom),
+    )
+    print(f"tiles: {n:,} tiles z{min_zoom}-z{max_zoom}; pmtiles: {stats}")
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -480,6 +480,41 @@ def _q_ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = lsh_bucket_ann(emb, queries, k=10, bits=6)
     return ann.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rn")
 
+def _mvt_tiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tile-build plan for the MVT contract query + golden
+    generator: customer points -> z2-5 pyramid -> per-tile feature agg
+    -> MVT binary encode."""
+    from ..operators.mvt import encode_tiles_mvt
+    from ..operators.tiling import assign_tile_pyramid, build_tiles
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(
+        f"WITH pts AS ({PTS_SQL}) SELECT poi_id, lon, lat, "
+        "concat('poi-', CAST(poi_id AS STRING)) AS name, "
+        "CASE poi_id % 3 WHEN 0 THEN 'cafe_bakery' WHEN 1 THEN 'retail' ELSE 'lodging' END AS class "
+        "FROM pts"
+    )
+    tiles = build_tiles(assign_tile_pyramid(pts, 2, 5))
+    return encode_tiles_mvt(tiles)
+
+
+def _q_mvt_tile_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 completion: binary MVT tile encoding, summarized per zoom.
+    ``mvt_crc_xor`` pins the exact bytes (bit_xor of crc32 — ANSI-safe,
+    and zlib.crc32 recomputes it independently in the golden generator)."""
+    enc = _mvt_tiles_df(spark, sf_dir)
+    return (
+        enc.groupBy("z")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_features").alias("n_feats"),
+            F.sum(F.length("mvt")).alias("mvt_bytes"),
+            F.expr("bit_xor(crc32(mvt))").alias("mvt_crc_xor"),
+        )
+        .orderBy("z")
+    )
+
+
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
     hierarchy + per-cell count. No offline DuckDB S2/H3 oracle exists;
@@ -531,6 +566,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = _q_simhash_pairs_spark
     q["ann_lsh_topk"] = _q_ann_lsh_spark
     q["ann_ivf_topk"] = _q_ann_ivf_spark
+    q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
 
 
@@ -557,6 +593,7 @@ _GOLDEN_SPECS = {
     "dedup_simhash_pairs": ("a, b, hamming", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
+    "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
 }
 
 

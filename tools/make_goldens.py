@@ -283,6 +283,35 @@ def _norm_sorted(df: pd.DataFrame) -> pd.DataFrame:
     return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
 
 
+def expected_mvt_stats(spark, sf_dir: str) -> pd.DataFrame:
+    """Decode every generated tile with the independent reader and
+    recompute the per-zoom stats from the decoded payloads."""
+    import zlib
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import mvt_decode as md
+
+    from osm_poi_cloud_spark.plans.contract import _mvt_tiles_df
+
+    rows = _mvt_tiles_df(spark, sf_dir).collect()
+    per_z: dict[int, list] = {}
+    for r in rows:
+        blob = bytes(r["mvt"])
+        layers = md.decode_mvt(blob)
+        assert len(layers) == 1 and layers[0]["name"] == "pois"
+        n_dec = len(layers[0]["features"])
+        assert n_dec == r["n_features"], (r["z"], r["x"], r["y"])
+        per_z.setdefault(r["z"], []).append((n_dec, len(blob), zlib.crc32(blob)))
+    out = []
+    for z in sorted(per_z):
+        items = per_z[z]
+        crc = 0
+        for _, _, c in items:
+            crc ^= c
+        out.append((z, len(items), sum(i[0] for i in items), sum(i[1] for i in items), crc))
+    return pd.DataFrame(out, columns=["z", "n_tiles", "n_feats", "mvt_bytes", "mvt_crc_xor"])
+
+
 def main() -> None:
     from osm_poi_cloud_spark.config import get_spark
     from osm_poi_cloud_spark.plans import contract as C
@@ -303,7 +332,8 @@ def main() -> None:
 
         results = {name: queries[name](spark, sf_dir).toPandas()
                    for name in ("s2_cell_counts", "dedup_minhash_pairs",
-                                "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk")}
+                                "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
+                                "mvt_tile_stats")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -317,6 +347,9 @@ def main() -> None:
             _norm_sorted(expected_simhash_pairs(docs)), check_dtype=False)
         check_ann_lsh(emb, results["ann_lsh_topk"])
         check_ann_ivf(emb, results["ann_ivf_topk"])
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["mvt_tile_stats"].astype("int64")),
+            _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -325,7 +358,7 @@ def main() -> None:
 
         key_of = {"s2_cell_counts": "customer", "dedup_minhash_pairs": "documents",
                   "dedup_simhash_pairs": "documents", "ann_lsh_topk": "embeddings",
-                  "ann_ivf_topk": "embeddings"}
+                  "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
