@@ -117,30 +117,52 @@ def assign_to_shards_grid(spark, points: DataFrame, shards: DataFrame, grid_zoom
 # J2: exact point-in-polygon with tile-cover candidates + ray-cast refine
 # ---------------------------------------------------------------------------
 
+def _close_ring(r) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
 @dataclass
 class Polygon:
-    """One polygon: id + outer ring as (N,2) float64 [(lon, lat), ...].
+    """One (multi)polygon: id + outer ring as (N,2) float64
+    [(lon, lat), ...], plus optional hole rings and extra disjoint
+    shells (multipolygon parts, each with its own holes appended too).
 
-    Ring may be open or closed; it is closed internally. Convention for
-    boundary points: a point exactly on an edge is *inside* iff the
-    even-odd ray-cast (rightward ray, half-open edge rule ``y1 <= py <
-    y2``) says so — deterministic, and identical to the convention used
-    by the oracle implementation in tests.
+    Rings may be open or closed; they are closed internally. Containment
+    is even-odd over ALL rings (the GeoJSON/OGC semantics for
+    odd-crossing interiors): inside a shell but inside one of its holes
+    is outside; inside an island ring nested in a hole is inside again.
+    Winding order is irrelevant to even-odd, so callers need not
+    normalize orientation. Convention for boundary points: a point
+    exactly on an edge is *inside* iff the even-odd ray-cast (rightward
+    ray, half-open edge rule ``y1 <= py < y2``) says so — deterministic,
+    and identical to the convention used by the oracle implementation
+    in tests.
     """
 
     polygon_id: str
     ring: np.ndarray
+    holes: tuple = ()
+    shells: tuple = ()
 
     def __post_init__(self):
-        r = np.asarray(self.ring, dtype=np.float64)
-        if not np.array_equal(r[0], r[-1]):
-            r = np.vstack([r, r[:1]])
-        self.ring = r
+        self.ring = _close_ring(self.ring)
+        self.holes = tuple(_close_ring(h) for h in self.holes)
+        self.shells = tuple(_close_ring(s) for s in self.shells)
+
+    @property
+    def rings(self) -> tuple[np.ndarray, ...]:
+        return (self.ring, *self.holes, *self.shells)
 
     def bbox(self) -> tuple[float, float, float, float]:
+        # outer extent = union of shell bboxes (holes lie inside shells,
+        # but including them is harmless and keeps this one concat)
+        allr = np.vstack(self.rings)
         return (
-            float(self.ring[:, 0].min()), float(self.ring[:, 1].min()),
-            float(self.ring[:, 0].max()), float(self.ring[:, 1].max()),
+            float(allr[:, 0].min()), float(allr[:, 1].min()),
+            float(allr[:, 0].max()), float(allr[:, 1].max()),
         )
 
 
@@ -148,6 +170,24 @@ def point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndar
     """Vectorized even-odd ray cast: (P,) bool for P points vs one ring."""
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
+    px = lon[:, None]
+    py = lat[:, None]
+    crosses = (y1[None, :] > py) != (y2[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    hits = crosses & (px < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def point_in_rings(lon: np.ndarray, lat: np.ndarray, rings) -> np.ndarray:
+    """Even-odd containment over a ring set (shells + holes + islands):
+    total rightward-ray crossing count over ALL rings, mod 2. Composes
+    holes and multipolygon shells with zero extra machinery — a hole's
+    crossings cancel its shell's parity."""
+    x1 = np.concatenate([r[:-1, 0] for r in rings])
+    y1 = np.concatenate([r[:-1, 1] for r in rings])
+    x2 = np.concatenate([r[1:, 0] for r in rings])
+    y2 = np.concatenate([r[1:, 1] for r in rings])
     px = lon[:, None]
     py = lat[:, None]
     crosses = (y1[None, :] > py) != (y2[None, :] > py)
@@ -194,7 +234,7 @@ def point_in_polygon_join(
     pts = with_tile_key(points, cover_zoom, lon, lat)
     cand = pts.join(cover, on=["tile_x", "tile_y"], how="inner")
 
-    rings = {p.polygon_id: p.ring for p in polygons}
+    rings = {p.polygon_id: p.rings for p in polygons}
 
     @F.pandas_udf(T.BooleanType())
     def refine(lon_s: pd.Series, lat_s: pd.Series, pid: pd.Series) -> pd.Series:
@@ -202,9 +242,8 @@ def point_in_polygon_join(
         lon_np = lon_s.to_numpy(np.float64)
         lat_np = lat_s.to_numpy(np.float64)
         for p, idx in pid.groupby(pid).groups.items():
-            ring = rings[p]
             ii = np.asarray(idx)
-            out[ii] = point_in_ring(lon_np[ii], lat_np[ii], ring)
+            out[ii] = point_in_rings(lon_np[ii], lat_np[ii], rings[p])
         return pd.Series(out)
 
     return (

@@ -357,6 +357,29 @@ def _tile_pyramid_oracle() -> str:
 # Non-rectangular PIP: triangle with off-grid vertices (derived points sit
 # on a 0.01-degree grid, so none land within float noise of an edge).
 _TRI = [(-120.0003, -60.0007), (60.0011, -50.0013), (-10.0017, 70.0019)]
+# hole for the donut variant — strictly inside _TRI (verified in tests)
+_TRI_HOLE = [(-60.0003, -30.0007), (20.0011, -25.0013), (-15.0017, 30.0019)]
+# two disjoint shells for the multipolygon variant
+_TRI_A = [(100.0003, 10.0007), (170.0011, 15.0013), (120.0017, 75.0019)]
+_TRI_B = [(-170.0003, -75.0007), (-90.0011, -70.0013), (-140.0017, -15.0019)]
+
+
+def _convex_tri_sql(tri) -> str:
+    """SQL predicate: point (lon, lat) strictly inside a convex triangle
+    (same-sign cross products — exact for these small integer-scaled
+    coordinates in float64, matching the half-open ray-cast off-edge)."""
+    (ax, ay), (bx, by), (cx, cy) = tri
+
+    def cross(x1, y1, x2, y2):
+        return f"(({x2}) - ({x1})) * (lat - ({y1})) - (({y2}) - ({y1})) * (lon - ({x1}))"
+
+    c1 = cross(ax, ay, bx, by)
+    c2 = cross(bx, by, cx, cy)
+    c3 = cross(cx, cy, ax, ay)
+    return (
+        f"((({c1}) > 0 AND ({c2}) > 0 AND ({c3}) > 0) "
+        f"OR (({c1}) < 0 AND ({c2}) < 0 AND ({c3}) < 0))"
+    )
 
 
 def _q_pip_refine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,17 +399,45 @@ def _q_pip_refine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pip_refine_oracle() -> str:
-    (ax, ay), (bx, by), (cx, cy) = _TRI
-    def cross(x1, y1, x2, y2):
-        return f"(({x2}) - ({x1})) * (lat - ({y1})) - (({y2}) - ({y1})) * (lon - ({x1}))"
-    c1 = cross(ax, ay, bx, by)
-    c2 = cross(bx, by, cx, cy)
-    c3 = cross(cx, cy, ax, ay)
     return (
         f"WITH pts AS ({PTS_SQL}) "
         "SELECT 'tri' AS polygon_id, COUNT(*) AS n, MIN(poi_id) AS min_poi, MAX(poi_id) AS max_poi "
-        f"FROM pts WHERE (({c1}) > 0 AND ({c2}) > 0 AND ({c3}) > 0) "
-        f"OR (({c1}) < 0 AND ({c2}) < 0 AND ({c3}) < 0)"
+        f"FROM pts WHERE {_convex_tri_sql(_TRI)}"
+    )
+
+
+def _q_pip_donut_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 extension: even-odd PIP over a donut (hole ring) and a
+    two-shell multipolygon, in one join; oracle composes the convex
+    predicates (shell XOR hole; shell OR shell)."""
+    import numpy as np
+
+    from ..operators.spatial_join import Polygon, point_in_polygon_join
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    donut = Polygon("donut", np.array(_TRI), holes=(np.array(_TRI_HOLE),))
+    twin = Polygon("twin", np.array(_TRI_A), shells=(np.array(_TRI_B),))
+    joined = point_in_polygon_join(spark, pts, [donut, twin], cover_zoom=4)
+    return (
+        joined.groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("poi_id").alias("min_poi"), F.max("poi_id").alias("max_poi"))
+        .orderBy("polygon_id")
+    )
+
+
+def _pip_donut_oracle() -> str:
+    donut = f"(({_convex_tri_sql(_TRI)}) <> ({_convex_tri_sql(_TRI_HOLE)}))"
+    twin = f"(({_convex_tri_sql(_TRI_A)}) OR ({_convex_tri_sql(_TRI_B)}))"
+    return (
+        f"WITH pts AS ({PTS_SQL}) "
+        "SELECT * FROM ("
+        "SELECT 'donut' AS polygon_id, COUNT(*) AS n, MIN(poi_id) AS min_poi, MAX(poi_id) AS max_poi "
+        f"FROM pts WHERE {donut} HAVING COUNT(*) > 0 "
+        "UNION ALL "
+        "SELECT 'twin' AS polygon_id, COUNT(*) AS n, MIN(poi_id) AS min_poi, MAX(poi_id) AS max_poi "
+        f"FROM pts WHERE {twin} HAVING COUNT(*) > 0"
+        ") u ORDER BY polygon_id"
     )
 
 
@@ -560,6 +611,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = _q_text_quality_spark
     q["tile_pyramid_counts"] = _q_tile_pyramid_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
+    q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -616,6 +668,7 @@ def build_oracles() -> dict[str, str]:
     o["text_quality"] = _Q_TEXT_QUALITY_ORACLE
     o["tile_pyramid_counts"] = _tile_pyramid_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
+    o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

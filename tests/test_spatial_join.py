@@ -34,6 +34,68 @@ def test_point_in_ring_matches_matplotlib_free_oracle():
     assert not sj.point_in_ring(np.array([2.0]), np.array([3.5]), ring)[0]
 
 
+def test_point_in_rings_hole_and_multipolygon():
+    """Even-odd composition: donut (shell+hole), multipolygon (two
+    shells), nested island (shell+hole+inner island)."""
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], dtype=float)
+    island = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    far = shell + 100.0
+
+    px = np.array([5.0, 1.0, 105.0, 5.0, 3.5, 50.0])
+    py = np.array([5.0, 1.0, 105.0, 4.5, 3.2, 50.0])
+    # donut: center is in the hole -> out; edge band -> in
+    donut = sj.point_in_rings(px, py, (shell, hole))
+    assert donut.tolist() == [False, True, False, False, False, False]
+    # multipolygon of two disjoint shells
+    multi = sj.point_in_rings(px, py, (shell, far))
+    assert multi.tolist() == [True, True, True, True, True, False]
+    # nested: island inside the hole is inside again
+    nested = sj.point_in_rings(px, py, (shell, hole, island))
+    assert nested.tolist() == [True, True, False, True, False, False]
+    # hole winding order must not matter (even-odd)
+    assert (sj.point_in_rings(px, py, (shell, hole[::-1])) == donut).all()
+
+
+def test_pip_join_donut_multipolygon_exact(spark):
+    """point_in_polygon_join with holes + extra shells matches the direct
+    numpy even-odd oracle on random points."""
+    rng = np.random.RandomState(17)
+    pts = pd.DataFrame({
+        "pid": np.arange(3000),
+        "lon": rng.uniform(-30, 30, 3000),
+        "lat": rng.uniform(-30, 30, 3000),
+    })
+    donut = sj.Polygon(
+        "donut",
+        np.array([[-20, -20], [20, -20], [0, 25]], dtype=float),
+        holes=(np.array([[-8, -15], [8, -15], [0, 5]], dtype=float),),
+    )
+    twin = sj.Polygon(
+        "twin",
+        np.array([[-28, 10], [-22, 10], [-25, 28]], dtype=float),
+        shells=(np.array([[22, 10], [28, 10], [25, 28]], dtype=float),),
+    )
+    out = (
+        sj.point_in_polygon_join(spark, spark.createDataFrame(pts), [donut, twin], cover_zoom=5)
+        .select("pid", "polygon_id")
+        .toPandas()
+        .sort_values(["pid", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for p in (donut, twin):
+        inside = sj.point_in_rings(pts["lon"].to_numpy(), pts["lat"].to_numpy(), p.rings)
+        for pid in pts.loc[inside, "pid"]:
+            exp_rows.append((pid, p.polygon_id))
+    exp = pd.DataFrame(exp_rows, columns=["pid", "polygon_id"]).sort_values(["pid", "polygon_id"]).reset_index(drop=True)
+    assert len(out) > 100
+    # the hole must actually carve rows out
+    n_shell_only = sj.point_in_ring(pts["lon"].to_numpy(), pts["lat"].to_numpy(), donut.ring).sum()
+    assert (out["polygon_id"] == "donut").sum() < n_shell_only
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_pip_join_exact(spark):
     rng = np.random.RandomState(11)
     pts = pd.DataFrame({
