@@ -441,6 +441,67 @@ def _pip_donut_oracle() -> str:
     )
 
 
+def _q_polygon_centroid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: polygon -> shoelace-weighted centroid (the reference's
+    ST_Centroid collapse, process.py:209) via the native higher-order
+    centroid over integer-coordinate L-shaped hexagons derived from
+    nation. All cross terms are exact small integers, so sums are
+    order-independent and the final divisions are bit-identical across
+    engines — no rounding needed."""
+    from ..functions.geometry import with_ring_centroid
+
+    _register(spark, sf_dir, ["nation"])
+    nk = spark.sql(
+        "SELECT n_nationkey AS polygon_id, "
+        "CAST((n_nationkey * 7) % 280 AS DOUBLE) - 140.0 AS cx, "
+        "CAST((n_nationkey * 11) % 120 AS DOUBLE) - 60.0 AS cy, "
+        "CAST(2 + n_nationkey % 3 AS DOUBLE) AS w, "
+        "CAST(3 + n_nationkey % 4 AS DOUBLE) AS h FROM nation"
+    )
+
+    def v(x, y):
+        return F.array(x, y)
+
+    cx, cy, w, h = F.col("cx"), F.col("cy"), F.col("w"), F.col("h")
+    ring = F.array(
+        v(cx, cy), v(cx + 2 * w, cy), v(cx + 2 * w, cy + h),
+        v(cx + w, cy + h), v(cx + w, cy + 2 * h), v(cx, cy + 2 * h),
+    )
+    polys = nk.select("polygon_id", ring.alias("ring"))
+    return (
+        with_ring_centroid(polys)
+        .select("polygon_id", "centroid_lon", "centroid_lat", F.col("ring_area").alias("area"))
+        .orderBy("polygon_id")
+    )
+
+
+_Q_POLYGON_CENTROID_ORACLE = (
+    "WITH nk AS (SELECT n_nationkey AS polygon_id, "
+    "CAST((n_nationkey * 7) % 280 AS DOUBLE) - 140.0 AS cx, "
+    "CAST((n_nationkey * 11) % 120 AS DOUBLE) - 60.0 AS cy, "
+    "CAST(2 + n_nationkey % 3 AS DOUBLE) AS w, "
+    "CAST(3 + n_nationkey % 4 AS DOUBLE) AS h FROM nation), "
+    "verts AS (SELECT polygon_id, k, "
+    "CASE k WHEN 0 THEN cx WHEN 1 THEN cx + 2*w WHEN 2 THEN cx + 2*w "
+    " WHEN 3 THEN cx + w WHEN 4 THEN cx + w ELSE cx END AS x, "
+    "CASE k WHEN 0 THEN cy WHEN 1 THEN cy WHEN 2 THEN cy + h "
+    " WHEN 3 THEN cy + h WHEN 4 THEN cy + 2*h ELSE cy + 2*h END AS y "
+    "FROM nk, (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2 "
+    " UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5) ks), "
+    "edges AS (SELECT polygon_id, x, y, "
+    "COALESCE(LEAD(x) OVER (PARTITION BY polygon_id ORDER BY k), "
+    " FIRST_VALUE(x) OVER (PARTITION BY polygon_id ORDER BY k)) AS xn, "
+    "COALESCE(LEAD(y) OVER (PARTITION BY polygon_id ORDER BY k), "
+    " FIRST_VALUE(y) OVER (PARTITION BY polygon_id ORDER BY k)) AS yn "
+    "FROM verts), "
+    "sums AS (SELECT polygon_id, SUM(x*yn - xn*y) AS a2, "
+    "SUM((x + xn) * (x*yn - xn*y)) AS sx, SUM((y + yn) * (x*yn - xn*y)) AS sy "
+    "FROM edges GROUP BY polygon_id) "
+    "SELECT polygon_id, sx / (3.0 * a2) AS centroid_lon, sy / (3.0 * a2) AS centroid_lat, "
+    "abs(a2) / 2.0 AS area FROM sums ORDER BY polygon_id"
+)
+
+
 def _q_lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-ratio argmax) -> per-lang counts."""
     from ..functions.text_analysis import lang_id_col
@@ -612,6 +673,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tile_pyramid_counts"] = _q_tile_pyramid_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
+    q["polygon_centroid"] = _q_polygon_centroid_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -669,6 +731,7 @@ def build_oracles() -> dict[str, str]:
     o["tile_pyramid_counts"] = _tile_pyramid_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
+    o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

@@ -1,0 +1,109 @@
+"""Polygon centroid kernels (P4): numpy vs hand-computed values, the
+Spark-native higher-order form vs numpy, and the ST_Centroid-style
+polygon->point collapse round-trip into tile assignment."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_poi_cloud_spark.functions import geometry as g
+from osm_poi_cloud_spark.functions import tile_math as tm
+from osm_poi_cloud_spark.operators.spatial_join import with_tile_key
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+# L-shape: 2x1 base + 1x2 upright, area 3+... hand-computed below
+L_SHAPE = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 6.0), (0.0, 6.0)]
+TRIANGLE = [(0.0, 0.0), (6.0, 0.0), (0.0, 6.0)]
+
+
+def test_ring_centroid_hand_computed():
+    cx, cy, a = g.ring_centroid(SQUARE)
+    assert (cx, cy, a) == (5.0, 5.0, 100.0)
+
+    # triangle centroid = vertex mean for triangles
+    cx, cy, a = g.ring_centroid(TRIANGLE)
+    assert (cx, cy, a) == (2.0, 2.0, 18.0)
+
+    # L-shape = [0,4]x[0,2] (area 8, c=(2,1)) + [0,2]x[2,6] (area 8, c=(1,4))
+    cx, cy, a = g.ring_centroid(L_SHAPE)
+    assert a == 16.0
+    assert (cx, cy) == ((2 * 8 + 1 * 8) / 16, (1 * 8 + 4 * 8) / 16)
+
+    # winding order flips the signed area but not the centroid
+    cx2, cy2, a2 = g.ring_centroid(L_SHAPE[::-1])
+    assert (cx2, cy2, a2) == (cx, cy, -16.0)
+
+    # closed input == open input
+    assert g.ring_centroid(SQUARE + SQUARE[:1]) == (5.0, 5.0, 100.0)
+
+    # degenerate ring falls back to vertex mean
+    cx, cy, a = g.ring_centroid([(1.0, 2.0), (3.0, 2.0), (1.0, 2.0)])
+    assert a == 0.0 and cy == 2.0
+
+
+def test_polygon_centroid_holes_and_shells():
+    # square with off-center hole [6,8]x[6,8]: w = 100 - 4 = 96
+    cx, cy, w = g.polygon_centroid([SQUARE], holes=[[(6, 6), (8, 6), (8, 8), (6, 8)]])
+    assert w == 96.0
+    assert cx == pytest.approx((5 * 100 - 7 * 4) / 96)
+    assert cy == pytest.approx((5 * 100 - 7 * 4) / 96)
+    # hole winding must not matter
+    assert g.polygon_centroid([SQUARE], holes=[[(6, 6), (6, 8), (8, 8), (8, 6)]]) == (cx, cy, w)
+
+    # two disjoint shells: area-weighted mean of the two centroids
+    far = [(100.0, 0.0), (110.0, 0.0), (110.0, 10.0), (100.0, 10.0)]
+    cx, cy, w = g.polygon_centroid([SQUARE, far])
+    assert w == 200.0 and cx == (5 + 105) / 2 and cy == 5.0
+
+    with pytest.raises(ValueError):
+        g.polygon_centroid([[(0, 0), (1, 1), (2, 2)]])  # zero area
+
+
+def test_spark_centroid_matches_numpy(spark):
+    """Native zip_with/aggregate centroid == numpy kernel on random
+    simple polygons (star-convex rings around random centers)."""
+    rng = np.random.RandomState(23)
+    rows = []
+    for pid in range(40):
+        n = rng.randint(3, 9)
+        cx, cy = rng.uniform(-100, 100, 2)
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+        radii = rng.uniform(0.5, 5.0, n)
+        ring = [[float(cx + r * np.cos(t)), float(cy + r * np.sin(t))] for t, r in zip(angles, radii)]
+        rows.append((pid, ring))
+    schema = T.StructType([
+        T.StructField("pid", T.LongType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    df = g.with_ring_centroid(spark.createDataFrame(rows, schema))
+    got = df.select("pid", "centroid_lon", "centroid_lat", "ring_area").toPandas().set_index("pid")
+    for pid, ring in rows:
+        ecx, ecy, ea = g.ring_centroid(np.array(ring))
+        assert got.loc[pid, "centroid_lon"] == pytest.approx(ecx, rel=1e-12)
+        assert got.loc[pid, "centroid_lat"] == pytest.approx(ecy, rel=1e-12)
+        assert got.loc[pid, "ring_area"] == pytest.approx(abs(ea), rel=1e-12)
+
+
+def test_collapse_polygons_round_trip(spark):
+    """Polygon entities -> centroid points -> tile assignment lands each
+    polygon in the tile of its hand-computed centroid (the ST_Centroid
+    -> index round trip, process.py:209)."""
+    polys = [
+        ("sq", [[-122.5, 37.5], [-122.0, 37.5], [-122.0, 38.0], [-122.5, 38.0]]),
+        ("l", [[float(x), float(y)] for x, y in L_SHAPE]),
+        ("tri", [[10.0, -45.0], [11.0, -45.0], [10.0, -44.0]]),
+    ]
+    schema = T.StructType([
+        T.StructField("polygon_id", T.StringType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    pts = g.collapse_polygons_to_points(spark.createDataFrame(polys, schema))
+    assert "ring" not in pts.columns
+    out = with_tile_key(pts, zoom=12).toPandas().set_index("polygon_id")
+    for pid, ring in polys:
+        ecx, ecy, _ = g.ring_centroid(np.array(ring))
+        ex, ey = tm.lon_lat_to_tile(np.float64(ecx), np.float64(ecy), 12)
+        assert out.loc[pid, "lon"] == pytest.approx(ecx, rel=1e-12)
+        assert (out.loc[pid, "tile_x"], out.loc[pid, "tile_y"]) == (ex, ey)

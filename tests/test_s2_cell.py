@@ -95,6 +95,64 @@ def test_tokens():
     assert len(tok[0]) == 7
 
 
+def test_hilbert_tables_match_published_s2_constants():
+    """Pin POS_TO_IJ / POS_TO_ORIENTATION against freshly re-declared
+    literals from the published s2geometry source (s2coords.cc
+    kPosToIJ / kPosToOrientation). The module's fast and slow paths
+    share these tables, so a transcription error there would be
+    self-consistent (r1 advice #5) — this test is the external pin."""
+    K_SWAP, K_INVERT = 1, 2
+    k_pos_to_orientation = (K_SWAP, 0, 0, K_INVERT + K_SWAP)
+    k_pos_to_ij = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+    assert tuple(s2.POS_TO_ORIENTATION) == k_pos_to_orientation
+    assert tuple(tuple(r) for r in s2.POS_TO_IJ) == k_pos_to_ij
+    assert (s2.SWAP_MASK, s2.INVERT_MASK, s2.MAX_LEVEL) == (K_SWAP, K_INVERT, 30)
+
+
+def test_known_good_cell_tokens():
+    """Hand-derived anchor tokens, computed OUTSIDE the code base from
+    the published S2 cell-id layout (id = face<<61 | pos<<(61-2L) |
+    1<<(60-2L)) and the canonical Hilbert tables — independent of every
+    constant in functions/s2_cell.py.
+
+    Level 0: the six cardinal directions land on faces 0..5, whose
+    level-0 ids are face*2^61 + 2^60 -> tokens 1,3,5,7,9,b.
+
+    Level 1 (face 0, start orientation 0, kPosToIJ[0]=(0,1,3,2)):
+      quadrant (i,j) -> Hilbert pos: (0,0)->0, (0,1)->1, (1,1)->2,
+      (1,0)->3; id = pos<<59 | 1<<58.
+      lng<0 -> u<0 -> i=0; lat>0 -> v>0 -> j=1, etc.
+
+    Level 2 (face 0): first step into (0,0) is pos 0 and XORs
+    orientation to SWAP (kPosToOrientation[0]); second step uses
+    kPosToIJ[1]=(0,2,3,1), so sub-quadrant (i=1,j=0)=2 -> pos 1;
+    id = ((0<<2)|1)<<57 | 1<<56 = 0x0300... -> token "03". The chosen
+    point (lat=-34.5, lng=-11.3) has u=tan(-11.3 deg)=-0.1998 ->
+    s=0.2876 in [0.25,0.5) (i bits 0,1) and v=tan(lat)/cos(lng)=-0.7004
+    -> t=0.2139 in [0,0.25) (j bits 0,0)."""
+    cases = [
+        # (lat, lng, level, expected token)
+        (0.0, 0.0, 0, "1"),
+        (0.0, 90.0, 0, "3"),
+        (90.0, 0.0, 0, "5"),
+        (0.0, 180.0, 0, "7"),
+        (0.0, -90.0, 0, "9"),
+        (-90.0, 0.0, 0, "b"),
+        # face 0 level-1 quadrants
+        (10.0, -10.0, 1, "0c"),   # (i=0,j=1) -> pos 1
+        (10.0, 10.0, 1, "14"),    # (i=1,j=1) -> pos 2
+        (-10.0, -10.0, 1, "04"),  # (i=0,j=0) -> pos 0
+        (-10.0, 10.0, 1, "1c"),   # (i=1,j=0) -> pos 3
+        # face 2 level-1: lat 89, lng 1 -> u=-x/z<0, v=-y/z<0 -> (0,0) -> pos 0
+        (89.0, 1.0, 1, "44"),
+        # face 0 level-2 with an orientation change on the first step
+        (-34.5, -11.3, 2, "03"),
+    ]
+    for lat, lng, level, tok in cases:
+        got = s2.cell_id_to_token(s2.latlng_to_cell_id([lat], [lng], level))[0]
+        assert got == tok, f"({lat},{lng}) level {level}: {got} != {tok}"
+
+
 def test_level12_locality():
     """Nearby points share a level-12 cell; distant points don't."""
     base = s2.latlng_to_cell_id([40.7128, 40.71281, 41.5], [-74.0060, -74.00601, -74.0], 12)
