@@ -1,0 +1,103 @@
+"""HTTP query endpoint — the wire analog of the reference's API Lambda
+(``_deprecated/athena/lambda_handler.py:44-62``): the same three routes
+over the POI table, served by the stdlib ``http.server`` with Spark as
+the query engine instead of Athena.
+
+Routes (query-string parameters mirror lambda_handler.py:92-135):
+
+* ``GET /health``                        -> ``{"status": "ok"}``
+* ``GET /classes``                       -> per-class counts
+* ``GET /pois?min_lon=&min_lat=&max_lon=&max_lat=[&class=][&limit=]``
+                                         -> GeoJSON FeatureCollection
+
+Validation errors return 400 with ``{"error": ...}`` exactly like the
+reference (lambda_handler.py:103-135); unknown paths 404. The driver-
+side ``.collect()`` here is the serving boundary, bounded by the
+10k-row limit cap — not an operator anti-pattern.
+
+Run standalone:
+    python -m osm_poi_cloud_spark.server --pois /data/run/pois_merged --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+
+from .plans import query_api as qa
+
+
+def _pois_response(pois: DataFrame, params: dict[str, list[str]]) -> dict:
+    try:
+        bbox = [float(params[k][0]) for k in ("min_lon", "min_lat", "max_lon", "max_lat")]
+    except (KeyError, ValueError):
+        raise ValueError("min_lon, min_lat, max_lon, max_lat are required floats")
+    limit = int(params.get("limit", [qa.DEFAULT_LIMIT])[0])
+    poi_class = params.get("class", [None])[0]
+    df = qa.pois_in_bbox(pois, *bbox, poi_class=poi_class, limit=limit)
+    features = [json.loads(r["feature"]) for r in qa.to_geojson(df).collect()]
+    return {"type": "FeatureCollection", "features": features, "count": len(features)}
+
+
+def _classes_response(pois: DataFrame) -> dict:
+    rows = qa.class_histogram(pois).collect()
+    return {"classes": [{"class": r["class"], "count": r["count"]} for r in rows]}
+
+
+def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` binds an
+    ephemeral port (``server.server_address[1]`` has the real one)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet; Spark logs are noisy enough
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/health":
+                    self._send(200, qa.health())
+                elif url.path == "/classes":
+                    self._send(200, _classes_response(pois))
+                elif url.path == "/pois":
+                    self._send(200, _pois_response(pois, parse_qs(url.query)))
+                else:
+                    self._send(404, {"error": f"unknown path {url.path}"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # match the Lambda's 500 envelope
+                self._send(500, {"error": f"internal error: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .config import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pois", required=True, help="POI parquet path")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("poi-server")
+    pois = spark.read.parquet(args.pois)
+    srv = make_server(pois, args.host, args.port)
+    print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""HTTP endpoint semantics vs the reference Lambda
+(_deprecated/athena/lambda_handler.py): /health, /classes, /pois with
+bbox validation, class filter, limit cap, GeoJSON envelope."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pandas as pd
+import pytest
+
+from osm_poi_cloud_spark.server import make_server
+
+
+@pytest.fixture(scope="module")
+def base_url(spark):
+    pdf = pd.DataFrame({
+        "poi_id": [f"p{i}" for i in range(30)],
+        "name": [f"POI {i}" for i in range(30)],
+        "class": ["cafe_bakery"] * 10 + ["retail"] * 20,
+        "lon": [-122.40 + i * 0.001 for i in range(30)],
+        "lat": [37.70 + i * 0.001 for i in range(30)],
+        "lon_bucket": [-123] * 30,
+        "lat_bucket": [37] * 30,
+    })
+    srv = make_server(spark.createDataFrame(pdf))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(base_url):
+    assert _get(f"{base_url}/health") == (200, {"status": "ok"})
+
+
+def test_classes(base_url):
+    code, body = _get(f"{base_url}/classes")
+    assert code == 200
+    assert body["classes"] == [
+        {"class": "retail", "count": 20},
+        {"class": "cafe_bakery", "count": 10},
+    ]
+
+
+def test_pois_bbox_and_class_filter(base_url):
+    q = "min_lon=-122.41&min_lat=37.69&max_lon=-122.36&max_lat=37.75"
+    code, body = _get(f"{base_url}/pois?{q}")
+    assert code == 200
+    assert body["type"] == "FeatureCollection" and body["count"] == 30
+    f = body["features"][0]
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+    assert set(f["properties"]) >= {"name", "class", "poi_id"}
+
+    code, body = _get(f"{base_url}/pois?{q}&class=cafe_bakery")
+    assert code == 200 and body["count"] == 10
+
+    code, body = _get(f"{base_url}/pois?{q}&limit=5")
+    assert code == 200 and body["count"] == 5
+
+
+def test_pois_validation_errors(base_url):
+    # oversized bbox (>5 degrees, lambda_handler.py:119-123)
+    code, body = _get(f"{base_url}/pois?min_lon=-130&min_lat=30&max_lon=-110&max_lat=45")
+    assert code == 400 and "error" in body
+    # min > max
+    code, _ = _get(f"{base_url}/pois?min_lon=-110&min_lat=30&max_lon=-120&max_lat=45")
+    assert code == 400
+    # missing params
+    code, _ = _get(f"{base_url}/pois?min_lon=-122")
+    assert code == 400
+    # unknown route
+    code, _ = _get(f"{base_url}/nope")
+    assert code == 404
