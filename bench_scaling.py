@@ -100,8 +100,21 @@ def job_extract():
 def job_join():
     noop(sj.assign_to_shards_grid(spark, pois_big, manifest, grid_zoom=8))
 
+# join-stage profile: which stage stops scaling? scan-only isolates the
+# parquet read + snappy decode; scan+key adds the native tile encode;
+# the full join adds the broadcast hash probe.
+from osm_poi_cloud_spark.functions import tile_math as tm
+
+def job_scan():
+    noop(pois_big)
+
+def job_scan_key():
+    x, y = tm.tile_cols("lon", "lat", 8)
+    noop(pois_big.withColumn("gx", x).withColumn("gy", y))
+
 out = {{"cpus": cpus, "n_pois": n_pois}}
-for name, job in (("extract", job_extract), ("join", job_join)):
+for name, job in (("extract", job_extract), ("scan", job_scan),
+                  ("scan_key", job_scan_key), ("join", job_join)):
     job()  # warmup: workers, codegen, page cache
     best = None
     for _ in range(repeats):
@@ -112,6 +125,36 @@ out["docs_per_sec"] = round(pages_n / out["extract_sec"], 1)
 out["joined_rows_per_sec"] = round(n_pois / out["join_sec"], 1)
 print(json.dumps(out), flush=True)
 """
+
+# Zero-coordination hardware-envelope probe: P pure-Python processes
+# each burn a FIXED amount of arithmetic under the same taskset pinning
+# as the Spark runs. Any efficiency loss here is the machine's (SMT,
+# shared-host steal, thermal), not Spark's — it is the denominator for
+# envelope-normalized efficiency.
+PROBE = r"""
+import json, multiprocessing as mp, sys, time
+
+def burn(_):
+    s = 0
+    for i in range(12_000_000):
+        s += i * i
+    return s
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    with mp.Pool(procs) as pool:
+        pool.map(burn, range(procs))  # warmup: fork + allocator
+        t0 = time.time()
+        pool.map(burn, range(procs * 4))  # 4 waves to smooth scheduling
+        dt = time.time() - t0
+    print(json.dumps({"procs": procs, "work_per_sec": procs * 4 / dt}))
+"""
+
+
+def run_probe(cpus: int) -> float:
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", PROBE, str(cpus)]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])["work_per_sec"]
 
 
 def run_level(cpus: int, pages_n: int, repeats: int) -> dict:
@@ -136,14 +179,18 @@ def main() -> None:
     # Interleave the two levels across rounds: this VM's wall-clock noise
     # is time-correlated (other tenants), so A,B,A,B with per-level min
     # beats AAA,BBB.
+    JOBS = ("extract_sec", "scan_sec", "scan_key_sec", "join_sec")
     lo, hi = None, None
+    probe_lo, probe_hi = 0.0, 0.0
     for _ in range(args.rounds):
+        probe_lo = max(probe_lo, run_probe(args.n))
         l = run_level(args.n, args.pages, args.repeats)
+        probe_hi = max(probe_hi, run_probe(4 * args.n))
         h = run_level(4 * args.n, args.pages, args.repeats)
         if lo is None:
             lo, hi = l, h
         else:
-            for k in ("extract_sec", "join_sec"):
+            for k in JOBS:
                 lo[k] = min(lo[k], l[k])
                 hi[k] = min(hi[k], h[k])
     lo["docs_per_sec"] = round(args.pages / lo["extract_sec"], 1)
@@ -151,19 +198,26 @@ def main() -> None:
     lo["joined_rows_per_sec"] = round(lo["n_pois"] / lo["join_sec"], 1)
     hi["joined_rows_per_sec"] = round(hi["n_pois"] / hi["join_sec"], 1)
 
-    def eff(metric: str) -> tuple[float, float]:
-        speedup = lo[metric] / hi[metric]
-        return round(speedup, 3), round(speedup / 4.0, 3)
+    envelope = round((probe_hi / probe_lo) / 4.0, 3)
 
-    ex_s, ex_e = eff("extract_sec")
-    jn_s, jn_e = eff("join_sec")
+    def eff(metric: str) -> tuple[float, float, float]:
+        speedup = lo[metric] / hi[metric]
+        return round(speedup, 3), round(speedup / 4.0, 3), round(speedup / 4.0 / envelope, 3)
+
+    ex_s, ex_e, ex_n = eff("extract_sec")
+    jn_s, jn_e, jn_n = eff("join_sec")
+    sc_s, sc_e, _ = eff("scan_sec")
+    sk_s, sk_e, _ = eff("scan_key_sec")
     result = {
         "pages_n": args.pages,
         "n_pois": lo["n_pois"],
         "low": lo,
         "high": hi,
-        "extract": {"speedup": ex_s, "efficiency": ex_e},
-        "join": {"speedup": jn_s, "efficiency": jn_e},
+        "envelope": envelope,
+        "extract": {"speedup": ex_s, "efficiency": ex_e, "normalized": ex_n},
+        "join": {"speedup": jn_s, "efficiency": jn_e, "normalized": jn_n},
+        "join_profile": {"scan": {"speedup": sc_s, "efficiency": sc_e},
+                         "scan_key": {"speedup": sk_s, "efficiency": sk_e}},
         "target": 0.8,
     }
     print(json.dumps(result), flush=True)
@@ -180,17 +234,26 @@ def main() -> None:
             "quadtree count-pass/plan — the reference's sharder stage analog) are\n"
             "setup, not measured.\n\n"
             f"Input: {args.pages:,} synthetic pages -> {lo['n_pois']:,} POIs.\n\n"
-            f"| job | local[{args.n}] (N) | local[{4 * args.n}] (4N) | speedup | efficiency |\n"
-            "|---|---|---|---|---|\n"
-            + f"| extract (docs/sec) | {lo['docs_per_sec']:,} | {hi['docs_per_sec']:,} | {ex_s}x | **{ex_e}** |\n"
-            + f"| spatial join (rows/sec) | {lo['joined_rows_per_sec']:,} | {hi['joined_rows_per_sec']:,} | {jn_s}x | **{jn_e}** |\n\n"
+            f"| job | local[{args.n}] (N) | local[{4 * args.n}] (4N) | speedup | efficiency | envelope-normalized |\n"
+            "|---|---|---|---|---|---|\n"
+            + f"| extract (docs/sec) | {lo['docs_per_sec']:,} | {hi['docs_per_sec']:,} | {ex_s}x | **{ex_e}** | **{ex_n}** |\n"
+            + f"| spatial join (rows/sec) | {lo['joined_rows_per_sec']:,} | {hi['joined_rows_per_sec']:,} | {jn_s}x | **{jn_e}** | **{jn_n}** |\n\n"
             "Target: >= 0.8 (north rule, for real N vs 4N executor clusters).\n\n"
-            "## Hardware envelope caveat\n\n"
-            "The sandbox VM advertises 32 CPUs but is ~16 physical cores with\n"
-            "SMT: a pure-Python multiprocess probe with zero coordination scales\n"
-            "only 2.8x from 8→32 procs (hard ceiling 0.70 efficiency) and ~3.4x\n"
-            "from 4→16 (ceiling ~0.85). Reported efficiencies should be read\n"
-            "against that envelope, not against an ideal 4x machine.\n\n"
+            "## Hardware envelope (measured in the SAME run)\n\n"
+            "A zero-coordination pure-Python multiprocess probe (fixed arithmetic\n"
+            "per process, no shared state, same taskset pinning) ran interleaved\n"
+            f"with the Spark levels: its N->4N efficiency was **{envelope}** —\n"
+            "the machine's own ceiling (SMT pairs + shared-host steal), which no\n"
+            "software can exceed here. 'Envelope-normalized' divides the measured\n"
+            "Spark efficiency by this ceiling; that is the number comparable to\n"
+            "the north rule's real-cluster (exclusive-hardware) target.\n\n"
+            "## Join-stage profile (what limits the join's scaling)\n\n"
+            "The join job decomposed into cumulative stages, same methodology:\n\n"
+            "| stage | N sec | 4N sec | speedup | efficiency |\n"
+            "|---|---|---|---|---|\n"
+            + f"| parquet scan only | {lo['scan_sec']} | {hi['scan_sec']} | {sc_s}x | {sc_e} |\n"
+            + f"| scan + native tile key | {lo['scan_key_sec']} | {hi['scan_key_sec']} | {sk_s}x | {sk_e} |\n"
+            + f"| full broadcast join | {lo['join_sec']} | {hi['join_sec']} | {jn_s}x | {jn_e} |\n\n"
             "## Why these plans scale on a real cluster\n\n"
             "* extraction is map-only: lang filter + column pruning push into the\n"
             "  scan; ONE fused Arrow/Python stage (extract + S2 encode), then\n"

@@ -502,6 +502,60 @@ _Q_POLYGON_CENTROID_ORACLE = (
 )
 
 
+# Six URL shapes (deterministic per doc_id) exercising every
+# canonicalization rule; cases 0/1, 2/3 and 4/5 must merge.
+_URL_CASE_SPARK = (
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN 'HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag' "
+    "WHEN 1 THEN 'https://example.com/a/b?a=1&b=2' "
+    "WHEN 2 THEN 'http://Site.ORG:80/path/' "
+    "WHEN 3 THEN 'http://site.org/path?gclid=123' "
+    "WHEN 4 THEN concat('http://Host', CAST(doc_id % 7 AS STRING), '.NET:80/p/?z=9&y=8&utm_campaign=c') "
+    "ELSE concat('http://host', CAST(doc_id % 7 AS STRING), '.net/p?y=8&z=9') END"
+)
+
+
+def _q_url_canonical_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups (crawl snapshot dedup): the native
+    canonicalization expression vs an INDEPENDENT DuckDB re-
+    implementation of the same RFC-3986 rules (different regex engine,
+    different list functions) — a genuine two-implementation check."""
+    from ..functions.url import canonical_url_col
+
+    _register(spark, sf_dir, ["documents"])
+    urls = spark.table("documents").selectExpr("doc_id", f"{_URL_CASE_SPARK} AS url")
+    return (
+        urls.select("doc_id", canonical_url_col(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy(F.desc("n"), "canonical_url")
+    )
+
+
+_Q_URL_CANONICAL_ORACLE = (
+    "WITH urls AS (SELECT doc_id, "
+    + _URL_CASE_SPARK.replace("AS STRING", "AS VARCHAR")
+    + " AS url FROM documents), "
+    "s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM urls), "
+    "s2 AS (SELECT doc_id, nofrag, regexp_extract(nofrag, '^([^:/?]+://[^/?]*)', 1) AS head0 FROM s1), "
+    "s3 AS (SELECT doc_id, "
+    "regexp_replace(regexp_replace(lower(head0), '^(http://[^/?:]*):80$', '\\1'), "
+    " '^(https://[^/?:]*):443$', '\\1') AS head, "
+    "substr(nofrag, length(head0) + 1) AS rest FROM s2), "
+    "s4 AS (SELECT doc_id, head, "
+    "CASE WHEN strpos(rest, '?') > 0 THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path0, "
+    "CASE WHEN strpos(rest, '?') > 0 THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query FROM s3), "
+    "s5 AS (SELECT doc_id, head, "
+    "CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '^(.+?)/+$', '\\1') END AS path, "
+    "list_sort(list_filter(regexp_split_to_array(query, '&'), "
+    " p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid)='))) AS kept FROM s4), "
+    "canon AS (SELECT doc_id, head || path || "
+    "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM s5) "
+    "SELECT canonical_url, COUNT(*) AS n, MIN(doc_id) AS min_doc FROM canon "
+    "GROUP BY canonical_url ORDER BY n DESC, canonical_url"
+)
+
+
 def _q_lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-ratio argmax) -> per-lang counts."""
     from ..functions.text_analysis import lang_id_col
@@ -674,6 +728,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
+    q["url_canonical_dedup"] = _q_url_canonical_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -732,6 +787,7 @@ def build_oracles() -> dict[str, str]:
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
+    o["url_canonical_dedup"] = _Q_URL_CANONICAL_ORACLE
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

@@ -1,0 +1,51 @@
+"""URL canonicalization: every rule pinned with hand-written expected
+strings, plus the snapshot-dedup (latest capture per canonical URL)."""
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.functions.url import canonical_url_col, dedup_by_canonical_url
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag", "https://example.com/a/b?a=1&b=2"),
+    ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+    ("http://Site.ORG:80/path/", "http://site.org/path"),
+    ("http://site.org/path?gclid=123", "http://site.org/path"),
+    ("https://example.com", "https://example.com/"),          # empty path -> /
+    ("https://example.com/", "https://example.com/"),          # root kept
+    ("http://h.net:8080/x?fbclid=1&z=1", "http://h.net:8080/x?z=1"),  # non-default port kept
+    ("https://example.com/p?", "https://example.com/p"),       # empty query dropped
+    ("http://h.net/x/y//", "http://h.net/x/y"),                # redundant trailing slashes
+    ("http://h.net/x?msclkid=9&utm_campaign=a&utm_medium=b", "http://h.net/x"),
+]
+
+
+def test_canonical_rules(spark):
+    df = spark.createDataFrame([(raw,) for raw, _ in CASES], ["url"])
+    got = df.select("url", canonical_url_col(F.col("url")).alias("c")).toPandas()
+    by_raw = dict(zip(got["url"], got["c"]))
+    for raw, want in CASES:
+        assert by_raw[raw] == want, f"{raw}: {by_raw[raw]} != {want}"
+
+
+def test_dedup_latest_capture(spark):
+    t = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("http://A.com/p/", t, "old"),
+        ("http://a.com/p?utm_source=x", t + datetime.timedelta(days=1), "new"),
+        ("http://a.com/other", t, "other"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "warc_ts", "body"]))
+    out = dedup_by_canonical_url(df, order_col="warc_ts").toPandas().sort_values("canonical_url")
+    assert len(out) == 2
+    kept = out.set_index("canonical_url")["body"].to_dict()
+    assert kept == {"http://a.com/other": "other", "http://a.com/p": "new"}
+
+    # without order_col: deterministic tie-break on raw url
+    out2 = dedup_by_canonical_url(df).toPandas()
+    assert len(out2) == 2
+    assert set(out2["body"]) == {"old", "other"}  # 'http://A.com/p/' < 'http://a.com/p?...'
