@@ -16,9 +16,12 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    import numpy as np
     from pyspark.sql import functions as F
 
     from osm_poi_cloud_spark.config import get_spark
+    from osm_poi_cloud_spark.functions import geometry as geo
+    from osm_poi_cloud_spark.functions import url as url_fns
     from osm_poi_cloud_spark.operators import knn as knn_op
     from osm_poi_cloud_spark.operators import quadtree as qt
     from osm_poi_cloud_spark.operators import spatial_join as sj
@@ -67,10 +70,33 @@ def main() -> None:
          "Candidates from exploded 3x3 neighborhood keys; `Window` top-k after a single "
          "shuffle hash join on the tile key.",
          fmt(knn_op.knn_join(q, pois, k=5, zoom=8))),
+        ("polygon centroid collapse (native HOF, zero shuffle, zero Python)",
+         "The ST_Centroid analog is a pure `Project` over zip_with/aggregate "
+         "expressions — no Exchange, no ArrowEvalPython; collapsing 10^9 polygons "
+         "is scan-bound.",
+         fmt(geo.collapse_polygons_to_points(
+             pois.select("poi_id", F.array(
+                 F.array(F.col("lon"), F.col("lat")),
+                 F.array(F.col("lon") + 0.1, F.col("lat")),
+                 F.array(F.col("lon"), F.col("lat") + 0.1)).alias("ring"))))),
+        ("point-in-polygon with holes/multipolygon (broadcast + one refine stage)",
+         "Tile-cover candidates via `BroadcastHashJoin`; exactly one ArrowEvalPython "
+         "(the even-odd ray-cast refine) on candidate pairs only.",
+         fmt(sj.point_in_polygon_join(
+             spark, pois,
+             [sj.Polygon("d", np.array([[-75.0, 40.0], [-73.0, 40.0], [-74.0, 41.5]]),
+                         holes=(np.array([[-74.3, 40.4], [-73.7, 40.4], [-74.0, 41.0]]),))],
+             cover_zoom=6))),
+        ("URL canonicalization + snapshot dedup (native exprs, one shuffle)",
+         "Canonicalization is all inside WholeStageCodegen (regexp/array exprs, no "
+         "Python); the latest-capture dedup adds exactly one Exchange on the "
+         "canonical key feeding the row_number window.",
+         fmt(url_fns.dedup_by_canonical_url(
+             pages.select("url", "warc_ts", "text"), order_col="warc_ts"))),
     ]
 
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
-        f.write("# Physical plans — captured evidence (round 1)\n\n")
+        f.write("# Physical plans — captured evidence\n\n")
         f.write('`df.explain("formatted")` captures for the engine\'s key plans, regenerated\n')
         f.write("by `python docs/capture_plans.py`. What to look for is annotated per plan;\n")
         f.write("tests/test_plan_shapes.py asserts these properties so they cannot rot.\n\n")

@@ -167,6 +167,31 @@ def test_grid_assignment_matches_explode_variant(spark):
     assert len(a) == n
 
 
+def test_grid_assignment_shard_idx_parity(spark):
+    """emit='shard_idx' + the index mapping == the string variant."""
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({
+        "pid": np.arange(1000),
+        "lon": rng.uniform(-179, 179, 1000),
+        "lat": rng.uniform(-80, 80, 1000),
+    })
+    pts = spark.createDataFrame(pdf)
+    shards, _ = qt.plan_quadtree(pts, max_zoom=6, max_nodes=100)
+    sdf = qt.shards_df(spark, shards)
+    a = sj.assign_to_shards_grid(spark, pts, sdf, grid_zoom=6).select("pid", "shard_id")
+    b = (
+        sj.assign_to_shards_grid(spark, pts, sdf, grid_zoom=6, emit="shard_idx")
+        .join(F.broadcast(sj.shard_index_df(spark, sdf, grid_zoom=6)), on="shard_idx")
+        .select("pid", "shard_id")
+    )
+    pd.testing.assert_frame_equal(
+        a.toPandas().sort_values("pid").reset_index(drop=True),
+        b.toPandas().sort_values("pid").reset_index(drop=True),
+    )
+    with pytest.raises(ValueError):
+        sj.assign_to_shards_grid(spark, pts, sdf, emit="bogus")
+
+
 def test_quadtree_subdivision_semantics():
     """Fixture from FIXTURES.md §6: counts with an oversized max-zoom cell."""
     # zoom 2 grid, max_nodes=10: cell (0,0) has 35 -> splits; child (0,0)@z1
