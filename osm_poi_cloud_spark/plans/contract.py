@@ -623,6 +623,53 @@ def _q_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3).orderBy("a", "b")
 
 
+def _q_dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash candidate graph (the
+    clustering step of near-dup removal). Golden verified against an
+    independent union-find in tools/make_goldens.py."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+def _q_jaccard_verify_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-shingle Jaccard on the minhash candidate pairs (the
+    verify stage after LSH blocking). Counts are integers, so the
+    jaccard double is an exact rational — bit-stable."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5).select("a", "b")
+    return (
+        ngram_jaccard_pairs(docs, pairs, k=5, threshold=0.3)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("a", "b")
+    )
+
+
+def _q_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (xxhash64 over case/whitespace-normalized
+    text). Golden verified against a from-spec pure-Python XXH64 in
+    tools/make_goldens.py — pins Spark's hash AND the normalization."""
+    from ..functions.text_analysis import fingerprint_col
+
+    _register(spark, sf_dir, ["documents"])
+    return (
+        spark.table("documents")
+        .select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
 def _q_ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN over embeddings — the other scale
     path beside sign-LSH; kmeans is seeded so results are deterministic."""
@@ -735,6 +782,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = _q_simhash_pairs_spark
     q["ann_lsh_topk"] = _q_ann_lsh_spark
     q["ann_ivf_topk"] = _q_ann_ivf_spark
+    q["dedup_components"] = _q_dedup_components_spark
+    q["dedup_jaccard_verify"] = _q_jaccard_verify_spark
+    q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
 
@@ -763,6 +813,9 @@ _GOLDEN_SPECS = {
     "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
+    "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

@@ -27,6 +27,7 @@ ALLOWED_ACTIONS = {
     ("operators/quadtree.py", "tile_count_histogram"),   # bounded 4^max_zoom planning pass (main.rs:178-219)
     ("operators/spatial_join.py", "assign_to_shards"),   # small manifest zoom probe (opt-out via zooms=)
     ("operators/spatial_join.py", "assign_to_shards_grid"),  # broadcast manifest expansion (bounded 4^grid_zoom)
+    ("operators/spatial_join.py", "shard_index_df"),     # same bounded manifest expansion (idx mapping)
     ("operators/similarity.py", "train_ivf_centroids"),  # bounded training sample collect
     ("operators/dedup.py", "minhash_lsh_dedup"),         # isEmpty() early-exit on persisted pairs
 }

@@ -150,6 +150,103 @@ def expected_simhash_pairs(docs: pd.DataFrame, max_hamming=3) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["a", "b", "hamming"])
 
 
+def expected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over the candidate pair list (independent of the
+    engine's min-label propagation)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pd.DataFrame({"doc_id": nodes, "component": [find(n) for n in nodes]})
+
+
+def expected_jaccard(docs: pd.DataFrame, pairs: pd.DataFrame, k=5, threshold=0.3) -> pd.DataFrame:
+    texts = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+    out = []
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        sa, sb = set(shingle_hashes(texts[a], k)), set(shingle_hashes(texts[b], k))
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 1.0
+        if jac >= threshold:
+            out.append((a, b, round(jac, 6)))
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# independent XXH64 (from the public spec) for the fingerprint golden
+# ---------------------------------------------------------------------------
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Reference XXH64 (spec at github.com/Cyan4973/xxHash); seed 42 is
+    Spark's xxhash64() convention."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & M64
+        v2 = (seed + _P2) & M64
+        v3 = seed
+        v4 = (seed - _P1) & M64
+        def _round(acc: int, off: int) -> int:
+            lane = int.from_bytes(data[off:off + 8], "little")
+            return (_rotl((acc + lane * _P2) & M64, 31) * _P1) & M64
+
+        while i + 32 <= n:
+            v1 = _round(v1, i)
+            v2 = _round(v2, i + 8)
+            v3 = _round(v3, i + 16)
+            v4 = _round(v4, i + 24)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & M64, 31) * _P1) & M64)) * _P1 + _P4) & M64
+    else:
+        h = (seed + _P5) & M64
+    h = (h + n) & M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h = ((_rotl(h ^ ((_rotl((lane * _P2) & M64, 31) * _P1) & M64), 27) * _P1) + _P4) & M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _P1) & M64), 23) * _P2) + _P3) & M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & M64), 11) * _P1) & M64
+        i += 1
+    h = ((h ^ (h >> 33)) * _P2) & M64
+    h = ((h ^ (h >> 29)) * _P3) & M64
+    return h ^ (h >> 32)
+
+
+def expected_fingerprints(docs_full: pd.DataFrame) -> pd.DataFrame:
+    """Normalization restated from functions/text_analysis.fingerprint_col:
+    trim spaces, lowercase, collapse Java-\\s runs ([ \\t\\n\\x0b\\f\\r])."""
+    import re
+
+    out = []
+    for did, text in zip(docs_full["doc_id"].astype(int), docs_full["text"]):
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+        out.append((did, _signed(xxh64(norm.encode("utf-8"), 42))))
+    return pd.DataFrame(out, columns=["doc_id", "fp"])
+
+
 # ---------------------------------------------------------------------------
 # independent S2 (published algorithm; scalar Hilbert walk, numpy frontend)
 # ---------------------------------------------------------------------------
@@ -327,13 +424,15 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         keys = {t: int(con.execute(sql).fetchone()[0]) for t, sql in KEY_SQL.items()}
         docs = con.execute("SELECT doc_id, text FROM documents WHERE doc_id < 2000 ORDER BY doc_id").df()
+        docs_fp = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 2000").df()
         emb = con.execute("SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id").df()
         custkeys = con.execute("SELECT c_custkey FROM customer ORDER BY 1").df()["c_custkey"].to_numpy()
 
         results = {name: queries[name](spark, sf_dir).toPandas()
                    for name in ("s2_cell_counts", "dedup_minhash_pairs",
                                 "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
-                                "mvt_tile_stats")}
+                                "mvt_tile_stats", "dedup_components",
+                                "dedup_jaccard_verify", "fingerprint_hashes")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -347,6 +446,16 @@ def main() -> None:
             _norm_sorted(expected_simhash_pairs(docs)), check_dtype=False)
         check_ann_lsh(emb, results["ann_lsh_topk"])
         check_ann_ivf(emb, results["ann_ivf_topk"])
+        exp_pairs = expected_minhash_pairs(docs)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["dedup_components"].astype("int64")),
+            _norm_sorted(expected_components(exp_pairs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["dedup_jaccard_verify"]),
+            _norm_sorted(expected_jaccard(docs, exp_pairs[["a", "b"]])), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["fingerprint_hashes"].astype("int64")),
+            _norm_sorted(expected_fingerprints(docs_fp)), check_dtype=False)
         pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
@@ -358,7 +467,9 @@ def main() -> None:
 
         key_of = {"s2_cell_counts": "customer", "dedup_minhash_pairs": "documents",
                   "dedup_simhash_pairs": "documents", "ann_lsh_topk": "embeddings",
-                  "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer"}
+                  "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
+                  "dedup_components": "documents", "dedup_jaccard_verify": "documents",
+                  "fingerprint_hashes": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
