@@ -142,13 +142,16 @@ def main() -> None:
     timed("knn", lambda: force(knn_op.knn_join(queries, pois, k=10, zoom=8)))
 
     # ---- 6. dedup over documents ----
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # testdata ships each table as ONE parquet file (one scan split); a
+    # real 100 TB table has thousands of splits, so spread it or the
+    # signature UDF stage runs on a single task
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     timed("dedup_exact", lambda: force(dd.exact_dedup(docs)))
     timed("dedup_minhash", lambda: force(
         dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
 
     # ---- 7. similarity over embeddings ----
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS).cache()
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     dim = len(qv)
     timed("cosine_topk", lambda: sim.cosine_topk(emb, list(qv), 50).collect())

@@ -190,6 +190,73 @@ class Polygon:
         )
 
 
+def _clip_halfplane(ring: np.ndarray, bound: float, keep_le: bool) -> np.ndarray | None:
+    """Sutherland-Hodgman clip of a closed ring against a vertical line
+    (keep lon <= bound, or lon >= bound). Returns an open ring or None."""
+    out: list[tuple[float, float]] = []
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        in1 = x1 <= bound if keep_le else x1 >= bound
+        in2 = x2 <= bound if keep_le else x2 >= bound
+        if in1:
+            out.append((x1, y1))
+        if in1 != in2:
+            t = (bound - x1) / (x2 - x1)
+            out.append((bound, y1 + t * (y2 - y1)))
+    return np.asarray(out, dtype=np.float64) if len(out) >= 3 else None
+
+
+def split_antimeridian(ring) -> list[np.ndarray]:
+    """Split a ring that crosses the +-180 meridian into shells with all
+    longitudes inside [-180, 180] (the GeoJSON RFC 7946 §3.1.9 rule).
+
+    Input longitudes may be either raw (with apparent ~360-degree jumps
+    at the crossing) or already unwrapped/continuous: consecutive
+    vertices are first unwrapped to the nearest representative, so an
+    edge from 179 to -179 is understood as crossing 180, not as
+    spanning the globe. Rings not crossing the meridian come back
+    unchanged (modulo the unwrap shift)."""
+    r = np.asarray(ring, dtype=np.float64).copy()
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    lon = r[:, 0]
+    unwrapped = lon.copy()
+    for i in range(1, len(lon)):
+        unwrapped[i] = lon[i] - 360.0 * np.round((lon[i] - unwrapped[i - 1]) / 360.0)
+    if unwrapped.max() - unwrapped.min() >= 360.0:
+        raise ValueError("ring spans >= 360 degrees of longitude")
+    # shift so the ring starts inside [-180, 180]
+    shift = -360.0 * np.floor((unwrapped.min() + 180.0) / 360.0)
+    unwrapped += shift
+    r = np.column_stack([unwrapped, r[:, 1]])
+    if unwrapped.max() <= 180.0:
+        return [r]
+    west = _clip_halfplane(_close_ring(r), 180.0, keep_le=True)
+    east = _clip_halfplane(_close_ring(r), 180.0, keep_le=False)
+    shells = []
+    if west is not None:
+        shells.append(west)
+    if east is not None:
+        east = east.copy()
+        east[:, 0] -= 360.0
+        shells.append(east)
+    return shells
+
+
+def polygon_from_unwrapped(polygon_id: str, ring, holes=()) -> Polygon:
+    """Build a Polygon from rings that may cross the antimeridian: each
+    shell/hole is split at +-180 and the pieces become even-odd rings.
+    (A hole piece keeps cancelling its shell piece's parity, so holes
+    that themselves cross the meridian compose correctly.)"""
+    shell_parts = split_antimeridian(ring)
+    hole_parts = [p for h in holes for p in split_antimeridian(h)]
+    return Polygon(polygon_id, shell_parts[0],
+                   holes=tuple(hole_parts), shells=tuple(shell_parts[1:]))
+
+
 def point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray cast: (P,) bool for P points vs one ring."""
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
@@ -223,18 +290,23 @@ def point_in_rings(lon: np.ndarray, lat: np.ndarray, rings) -> np.ndarray:
 
 def polygon_tile_cover(polys: list[Polygon], zoom: int) -> pd.DataFrame:
     """(tile_x, tile_y, polygon_id) candidate rows: every tile whose bbox
-    intersects the polygon bbox. Refine step removes false positives, so
-    cover exactness is a performance knob only."""
-    rows = []
-    n = 1 << zoom
+    intersects a SHELL ring's bbox (per-shell, so a multipolygon with
+    shells on opposite sides of the world — e.g. an antimeridian split —
+    does not cover the whole globe-width box between them; holes lie
+    inside shells and need no cover of their own). The refine step
+    removes false positives, so cover exactness is a performance knob
+    only."""
+    rows = set()
     for p in polys:
-        w, s, e, nn = p.bbox()
-        x0, y1 = tm.lon_lat_to_tile(np.float64(w), np.float64(nn), zoom)
-        x1_, y0 = tm.lon_lat_to_tile(np.float64(e), np.float64(s), zoom)
-        for xx in range(int(x0), int(x1_) + 1):
-            for yy in range(int(y1), int(y0) + 1):
-                rows.append((xx, yy, p.polygon_id))
-    return pd.DataFrame(rows, columns=["tile_x", "tile_y", "polygon_id"])
+        for ring in (p.ring, *p.shells):
+            w, s = float(ring[:, 0].min()), float(ring[:, 1].min())
+            e, nn = float(ring[:, 0].max()), float(ring[:, 1].max())
+            x0, y1 = tm.lon_lat_to_tile(np.float64(w), np.float64(nn), zoom)
+            x1_, y0 = tm.lon_lat_to_tile(np.float64(e), np.float64(s), zoom)
+            for xx in range(int(x0), int(x1_) + 1):
+                for yy in range(int(y1), int(y0) + 1):
+                    rows.add((xx, yy, p.polygon_id))
+    return pd.DataFrame(sorted(rows), columns=["tile_x", "tile_y", "polygon_id"])
 
 
 def point_in_polygon_join(

@@ -96,7 +96,51 @@ def test_pip_join_donut_multipolygon_exact(spark):
     pd.testing.assert_frame_equal(out, exp)
 
 
-def test_pip_join_exact(spark):
+def test_split_antimeridian():
+    # raw GeoJSON-style lons with the apparent jump at the crossing
+    ring = [(175.0, -5.0), (-175.0, -5.0), (-175.0, 5.0), (175.0, 5.0)]
+    shells = sj.split_antimeridian(ring)
+    assert len(shells) == 2
+    merged = np.vstack(shells)
+    assert merged[:, 0].min() >= -180.0 and merged[:, 0].max() <= 180.0
+    # areas: total box is 10 x 10 split 5/5 at the meridian
+    from osm_poi_cloud_spark.functions.geometry import ring_centroid
+    areas = sorted(abs(ring_centroid(s)[2]) for s in shells)
+    assert areas == [pytest.approx(50.0), pytest.approx(50.0)]
+
+    # non-crossing ring comes back unchanged
+    plain = [(10.0, 0.0), (20.0, 0.0), (15.0, 5.0)]
+    out = sj.split_antimeridian(plain)
+    assert len(out) == 1 and np.allclose(out[0], np.asarray(plain))
+
+    # unwrapped input (lons beyond 180) also works
+    shells2 = sj.split_antimeridian([(175.0, -5.0), (185.0, -5.0), (185.0, 5.0), (175.0, 5.0)])
+    assert len(shells2) == 2
+
+    with pytest.raises(ValueError):
+        # continuously increasing lons wrapping the whole globe
+        sj.split_antimeridian([(0.0, 0.0), (120.0, 1.0), (240.0, 0.0), (365.0, 1.0)])
+
+
+def test_pip_join_antimeridian(spark):
+    """A polygon straddling +-180 matches points on BOTH sides, and the
+    tile cover stays local to the two shells (not the globe-width box)."""
+    poly = sj.polygon_from_unwrapped(
+        "fiji", [(175.0003, -20.0007), (-174.9989, -20.0013), (-174.9989, -9.9987), (175.0003, -9.9987)]
+    )
+    pdf = pd.DataFrame({
+        "pid": np.arange(6),
+        "lon": [179.5, -179.5, 176.0, -176.0, 170.0, 0.0],
+        "lat": [-15.0, -15.0, -15.0, -15.0, -15.0, -15.0],
+    })
+    out = (
+        sj.point_in_polygon_join(spark, spark.createDataFrame(pdf), [poly], cover_zoom=5)
+        .select("pid").toPandas()["pid"].sort_values().tolist()
+    )
+    assert out == [0, 1, 2, 3]
+    # cover is bounded: two shell bboxes ~5 deg wide at z5 (~11 deg/tile)
+    cover = sj.polygon_tile_cover([poly], 5)
+    assert len(cover) <= 8
     rng = np.random.RandomState(11)
     pts = pd.DataFrame({
         "pid": np.arange(2000),
