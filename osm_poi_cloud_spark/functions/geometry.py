@@ -74,7 +74,11 @@ def centroid_exprs(ring: Column) -> tuple[Column, Column, Column]:
     """(centroid_x, centroid_y, area) columns for an
     ``array<array<double>>`` ring column ([[x, y], ...], open or
     closed). Pure Catalyst expressions — a closed ring's duplicated
-    last vertex only adds an exactly-zero cross term."""
+    last vertex only adds an exactly-zero cross term.
+
+    Degenerate (zero-area) rings fall back to the vertex mean, matching
+    ``ring_centroid`` — without the guard ANSI mode would kill the whole
+    job on one collinear ring (DIVIDE_BY_ZERO)."""
     shifted = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
 
     def cross(a, b):
@@ -86,7 +90,19 @@ def centroid_exprs(ring: Column) -> tuple[Column, Column, Column]:
     a2 = _sum(F.zip_with(ring, shifted, cross))
     sx = _sum(F.zip_with(ring, shifted, lambda a, b: (a[0] + b[0]) * cross(a, b)))
     sy = _sum(F.zip_with(ring, shifted, lambda a, b: (a[1] + b[1]) * cross(a, b)))
-    return sx / (F.lit(3.0) * a2), sy / (F.lit(3.0) * a2), F.abs(a2) / F.lit(2.0)
+    # vertex mean over the OPEN ring (drop a closed ring's duplicate last
+    # vertex first, as the numpy kernel does)
+    open_ring = F.when(
+        F.element_at(ring, 1) == F.element_at(ring, -1),
+        F.slice(ring, 1, F.size(ring) - 1),
+    ).otherwise(ring)
+    n = F.size(open_ring).cast("double")
+    mean_x = _sum(F.transform(open_ring, lambda p: p[0])) / n
+    mean_y = _sum(F.transform(open_ring, lambda p: p[1])) / n
+    degen = a2 == F.lit(0.0)
+    cx = F.when(degen, mean_x).otherwise(sx / (F.lit(3.0) * F.when(degen, F.lit(1.0)).otherwise(a2)))
+    cy = F.when(degen, mean_y).otherwise(sy / (F.lit(3.0) * F.when(degen, F.lit(1.0)).otherwise(a2)))
+    return cx, cy, F.abs(a2) / F.lit(2.0)
 
 
 def with_ring_centroid(df: DataFrame, ring_col: str = "ring",

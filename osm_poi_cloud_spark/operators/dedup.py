@@ -119,8 +119,22 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
     exceeds it) raises if ``strict`` else emits a loud warning — a
     silently split cluster would leak near-duplicates downstream."""
     edges = edges.persist()  # re-read every iteration; never recompute upstream LSH
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # unique per-run subdirectory: (a) later .checkpoint() calls in
+        # the session don't silently land in this operator's directory
+        # (the original dir is restored below), (b) the caller can
+        # delete ONE subdir after consuming the result — per-round
+        # checkpoint files accumulate within a run (bounded by
+        # max_iter) because the returned labels still reference the
+        # final round's files.
+        import uuid
+
+        sc = edges.sparkSession.sparkContext
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+        run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        sc.setCheckpointDir(run_dir)
 
     def _checkpoint(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
@@ -155,6 +169,8 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
         if not changed:
             break
     edges.unpersist()
+    if checkpoint_dir is not None and prev_ckpt_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
     if changed:
         msg = (f"connected_components did not converge within max_iter={max_iter}; "
                "components may be split — raise max_iter")

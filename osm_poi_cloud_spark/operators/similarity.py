@@ -186,6 +186,8 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 19,
         centroids = train_ivf_centroids(corpus, n_centroids, seed,
                                         vec_col=vec_col, id_col=id_col)
         return centroids, ivf_assign(corpus, centroids, vec_col, id_col)
+    if method != "mllib":
+        raise ValueError(f"method must be 'sample-lloyd' or 'mllib', got {method!r}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -226,7 +228,9 @@ def ivf_ann(
             return pd.Series([], dtype=object)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :nprobe]
+        # stable sort: tied centroid distances must probe in index order
+        # (the golden checker sorts stably too — bit-reproducibility)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in order])
 
     q = (

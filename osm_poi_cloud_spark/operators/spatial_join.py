@@ -127,11 +127,12 @@ def assign_to_shards_grid(spark, points: DataFrame, shards: DataFrame, grid_zoom
     return pts.join(grid, on=["gx", "gy"], how="inner").drop("gx", "gy")
 
 
-def shard_index_df(spark, shards: DataFrame, grid_zoom: int = 8) -> DataFrame:
+def shard_index_df(spark, shards: DataFrame) -> DataFrame:
     """(shard_idx, shard_id) mapping matching ``emit="shard_idx"`` —
-    broadcast-join it back after aggregation to restore the string id."""
-    grid_pdf = expand_shards_to_grid(shards.collect(), grid_zoom)
-    ids = sorted(grid_pdf["shard_id"].unique())
+    broadcast-join it back after aggregation to restore the string id.
+    Indices are assigned by sorted shard_id, identical to the grid
+    expansion's order, without re-expanding the O(4^zoom) grid."""
+    ids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
     return spark.createDataFrame(
         pd.DataFrame({"shard_idx": np.arange(len(ids), dtype=np.int32), "shard_id": ids})
     )
@@ -258,16 +259,9 @@ def polygon_from_unwrapped(polygon_id: str, ring, holes=()) -> Polygon:
 
 
 def point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd ray cast: (P,) bool for P points vs one ring."""
-    x1, y1 = ring[:-1, 0], ring[:-1, 1]
-    x2, y2 = ring[1:, 0], ring[1:, 1]
-    px = lon[:, None]
-    py = lat[:, None]
-    crosses = (y1[None, :] > py) != (y2[None, :] > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
-    hits = crosses & (px < xint)
-    return hits.sum(axis=1) % 2 == 1
+    """Vectorized even-odd ray cast: (P,) bool for P points vs one ring
+    (the single-ring case of ``point_in_rings`` — one implementation)."""
+    return point_in_rings(lon, lat, (ring,))
 
 
 def point_in_rings(lon: np.ndarray, lat: np.ndarray, rings) -> np.ndarray:

@@ -47,7 +47,10 @@ def pois_in_bbox(
     range first (drives partition pruning on the lon_bucket directory
     layout + parquet row-group stats), then the exact float range."""
     validate_bbox(min_lon, min_lat, max_lon, max_lat)
-    limit = min(int(limit), MAX_LIMIT)
+    limit = int(limit)
+    if limit <= 0:  # 400-class input error, not a plan error (lambda_handler.py:103-135)
+        raise ValueError("limit must be a positive integer")
+    limit = min(limit, MAX_LIMIT)
 
     df = pois.filter(
         F.col("lon_bucket").between(math.floor(min_lon), math.floor(max_lon))

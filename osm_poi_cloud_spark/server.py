@@ -36,7 +36,10 @@ def _pois_response(pois: DataFrame, params: dict[str, list[str]]) -> dict:
         bbox = [float(params[k][0]) for k in ("min_lon", "min_lat", "max_lon", "max_lat")]
     except (KeyError, ValueError):
         raise ValueError("min_lon, min_lat, max_lon, max_lat are required floats")
-    limit = int(params.get("limit", [qa.DEFAULT_LIMIT])[0])
+    try:
+        limit = int(params.get("limit", [qa.DEFAULT_LIMIT])[0])
+    except ValueError:
+        raise ValueError("limit must be an integer")
     poi_class = params.get("class", [None])[0]
     df = qa.pois_in_bbox(pois, *bbox, poi_class=poi_class, limit=limit)
     features = [json.loads(r["feature"]) for r in qa.to_geojson(df).collect()]

@@ -86,6 +86,26 @@ def test_spark_centroid_matches_numpy(spark):
         assert got.loc[pid, "ring_area"] == pytest.approx(abs(ea), rel=1e-12)
 
 
+def test_spark_centroid_degenerate_ring_no_ansi_crash(spark):
+    """ANSI mode is on: a zero-area ring must fall back to the vertex
+    mean (matching ring_centroid), not DIVIDE_BY_ZERO the whole job."""
+    schema = T.StructType([
+        T.StructField("pid", T.LongType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    rows = [
+        (0, [[1.0, 2.0], [3.0, 2.0], [1.0, 2.0]]),            # collinear, closed
+        (1, [[1.0, 2.0], [3.0, 2.0], [5.0, 2.0]]),            # collinear, open
+        (2, [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),  # normal
+    ]
+    got = g.with_ring_centroid(spark.createDataFrame(rows, schema)).toPandas().set_index("pid")
+    for pid, ring in rows:
+        ecx, ecy, ea = g.ring_centroid(np.array(ring))
+        assert got.loc[pid, "centroid_lon"] == pytest.approx(ecx)
+        assert got.loc[pid, "centroid_lat"] == pytest.approx(ecy)
+        assert got.loc[pid, "ring_area"] == abs(ea)
+
+
 def test_collapse_polygons_round_trip(spark):
     """Polygon entities -> centroid points -> tile assignment lands each
     polygon in the tile of its hand-computed centroid (the ST_Centroid

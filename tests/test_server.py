@@ -79,6 +79,11 @@ def test_pois_validation_errors(base_url):
     # missing params
     code, _ = _get(f"{base_url}/pois?min_lon=-122")
     assert code == 400
+    # non-positive / non-integer limit -> 400, not 500 (lambda_handler.py:103-135)
+    ok_box = "min_lon=-122.41&min_lat=37.69&max_lon=-122.36&max_lat=37.75"
+    for bad in ("-1", "0", "abc"):
+        code, body = _get(f"{base_url}/pois?{ok_box}&limit={bad}")
+        assert code == 400 and "error" in body, bad
     # unknown route
     code, _ = _get(f"{base_url}/nope")
     assert code == 404

@@ -225,7 +225,7 @@ def test_grid_assignment_shard_idx_parity(spark):
     a = sj.assign_to_shards_grid(spark, pts, sdf, grid_zoom=6).select("pid", "shard_id")
     b = (
         sj.assign_to_shards_grid(spark, pts, sdf, grid_zoom=6, emit="shard_idx")
-        .join(F.broadcast(sj.shard_index_df(spark, sdf, grid_zoom=6)), on="shard_idx")
+        .join(F.broadcast(sj.shard_index_df(spark, sdf)), on="shard_idx")
         .select("pid", "shard_id")
     )
     pd.testing.assert_frame_equal(

@@ -325,7 +325,13 @@ def check_ann_lsh(emb: pd.DataFrame, got: pd.DataFrame, bits=6, seed=13, k=10) -
     ids = emb["vec_id"].to_numpy()
     m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
     planes = np.random.RandomState(seed).standard_normal((m.shape[1], bits))
-    buckets = (((m @ planes) > 0) * (1 << np.arange(bits))).sum(axis=1)
+    # elementwise-multiply + pairwise np.sum, NOT a BLAS matmul: the
+    # engine avoids BLAS so sign decisions within 1 ulp of 0 round the
+    # same way; the checker must use the same summation order
+    signs = np.empty((len(m), bits), dtype=bool)
+    for b in range(bits):
+        signs[:, b] = (m * planes[:, b]).sum(axis=1) > 0
+    buckets = (signs * (1 << np.arange(bits))).sum(axis=1)
     norms = np.sqrt((m * m).sum(axis=1))
     for qpos in np.flatnonzero(ids < 8):
         qid = ids[qpos]
