@@ -205,6 +205,17 @@ def _shared_sql_queries() -> dict[str, str]:
     # W2: plain LIMIT row cap with deterministic order
     q["limit_cap"] = "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"
 
+    # Exact interpolated percentiles per group (ordered-set aggregate —
+    # the same text parses in Spark >= 3.4 and DuckDB; linear
+    # interpolation over identical doubles on both sides)
+    q["percentiles_by_type"] = (
+        "SELECT event_type, "
+        "ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS p25, "
+        "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50, "
+        "ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
     return q
 
 
@@ -439,6 +450,46 @@ def _pip_donut_oracle() -> str:
         f"FROM pts WHERE {twin} HAVING COUNT(*) > 0"
         ") u ORDER BY polygon_id"
     )
+
+
+_SESSION_GAP = "6 hours"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _q_sessionization_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization via Spark's native session_window (the
+    streaming-capable stateful operator, run in batch form), checked
+    against an independent gaps-and-islands SQL formulation in DuckDB
+    (LAG-break + running-sum session ids). Session end = last event +
+    gap in both."""
+    _register(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    sess = (
+        ev.groupBy(F.session_window("ts", _SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events", "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+        .limit(2000)
+    )
+    return sess
+
+
+_Q_SESSIONIZATION_ORACLE = (
+    "WITH o AS (SELECT user_id, ts, value, "
+    "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR "
+    "THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS (SELECT user_id, ts, value, "
+    "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+    "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+    "strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end, "
+    "COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start LIMIT 2000"
+)
 
 
 def _q_polygon_centroid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +827,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
     q["url_canonical_dedup"] = _q_url_canonical_spark
+    q["sessionization"] = _q_sessionization_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -841,6 +893,7 @@ def build_oracles() -> dict[str, str]:
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
     o["url_canonical_dedup"] = _Q_URL_CANONICAL_ORACLE
+    o["sessionization"] = _Q_SESSIONIZATION_ORACLE
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

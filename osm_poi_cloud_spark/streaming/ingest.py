@@ -79,6 +79,27 @@ def class_stats_stream(pages_stream: DataFrame, watermark: str = "1 hour",
     )
 
 
+def session_stats_stream(events_stream: DataFrame, gap: str = "6 hours",
+                         watermark: str = "1 day", ts_col: str = "ts",
+                         key_col: str = "user_id") -> DataFrame:
+    """Stateful streaming sessionization: Spark's native session_window
+    with a gap timeout; a session closes (and is emitted in append mode)
+    once the watermark passes last_event + gap. The batch form of this
+    exact plan is oracle-checked against an independent gaps-and-islands
+    SQL in the driver contract (``sessionization``)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def deduped_pages_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Stateful streaming dedup: drop re-crawls of a url already seen
     within the watermark horizon. Uses ``dropDuplicatesWithinWatermark``

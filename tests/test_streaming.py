@@ -72,6 +72,47 @@ def test_stateful_stream_dedup(spark, tmp_path):
     assert got["url"].is_unique
 
 
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionization == the batch session_window plan (which
+    the contract oracle-checks against an independent islands SQL)."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(5):
+        t0 = base + dt.timedelta(hours=u)
+        # burst of 3 events 10 min apart, a 8-hour gap, burst of 2
+        rows += [(u, t0 + dt.timedelta(minutes=10 * k), 1.0) for k in range(3)]
+        rows += [(u, t0 + dt.timedelta(hours=8, minutes=5 * k), 1.0) for k in range(2)]
+    schema = "user_id long, ts timestamp, value double"
+    events_dir = str(tmp_path / "events")
+    df = spark.createDataFrame(rows, schema)
+    df.write.parquet(events_dir)
+
+    import pyspark.sql.functions as F
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        ing.session_stats_stream(stream, gap="6 hours")
+        .writeStream.format("memory").queryName("sess_c")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_c").toPandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+
+    batch = (
+        df.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .toPandas().sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    assert len(got) == 10  # two sessions per user
+    assert sorted(got["n_events"].tolist()) == [2] * 5 + [3] * 5
+
+
 def test_windowed_class_stats_stream(spark, tmp_path):
     pages_dir = str(tmp_path / "pages2")
     _write_batch(spark, pages_dir, 0, 200, "a")
