@@ -162,11 +162,31 @@ def main() -> None:
         force(sim.ivf_ann(indexed, centroids, ann_q, k=10, nprobe=4))
     timed("ann_ivf", run_ivf)
 
+    # ---- 7b. text/URL/geometry ops over the testdata tables ----
+    from osm_poi_cloud_spark.functions.url import dedup_by_canonical_url
+    from osm_poi_cloud_spark.functions import geometry as geo
+
+    urls = docs.selectExpr("doc_id", f"{C._URL_CASE_SPARK} AS url", "text")
+    timed("url_dedup", lambda: force(dedup_by_canonical_url(urls)))
+
+    rings = pois.select(
+        "poi_id",
+        F.array(
+            F.array(F.col("lon"), F.col("lat")),
+            F.array(F.col("lon") + 0.1, F.col("lat")),
+            F.array(F.col("lon") + 0.1, F.col("lat") + 0.1),
+            F.array(F.col("lon"), F.col("lat") + 0.1),
+        ).alias("ring"),
+    )
+    timed("centroid_collapse", lambda: force(geo.collapse_polygons_to_points(rings)))
+
     # ---- 8. representative SQL contract queries ----
     C._register(spark, SF_DIR)
     shared = C._shared_sql_queries()
-    for qname in ("bbox_filter", "classify_histogram", "tile_rollup", "knn_per_cell", "pip_bbox_join"):
+    for qname in ("bbox_filter", "classify_histogram", "tile_rollup", "knn_per_cell",
+                  "pip_bbox_join", "percentiles_by_type"):
         timed(f"sql_{qname}", lambda q=shared[qname]: spark.sql(q).collect())
+    timed("sessionization", lambda: force(C._q_sessionization_spark(spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
