@@ -341,3 +341,93 @@ def point_in_polygon_join(
         .filter(F.col("_inside"))
         .drop("_inside", "tile_x", "tile_y", "tile_z")
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 at large |polygons|: fully distributed PIP (no broadcast, no driver set)
+# ---------------------------------------------------------------------------
+
+def polygons_df(spark, polys: list[Polygon]) -> DataFrame:
+    """Polygon table: (polygon_id, rings array<array<array<double>>>) —
+    the distributed-side representation for ``point_in_polygon_join_distributed``.
+    At real scale this table comes straight from storage; this helper is
+    for tests/small sets."""
+    rows = [(p.polygon_id, [r.tolist() for r in p.rings]) for p in polys]
+    return spark.createDataFrame(rows, "polygon_id string, rings array<array<array<double>>>")
+
+
+def point_in_polygon_join_distributed(
+    spark,
+    points: DataFrame,
+    polygons: DataFrame,
+    cover_zoom: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Exact PIP against a polygon TABLE too large to broadcast.
+
+    The broadcast variant (``point_in_polygon_join``) ships every ring
+    to every task inside the UDF closure — right for admin-boundary-
+    sized sets (the north rule's broadcast R-tree), wrong for millions
+    of polygons. Here both sides are keyed by cover tile natively:
+
+    * polygon side: per-ring bbox -> covered (tile_x, tile_y) rows via
+      one JVM-side sequence/explode (no Python, no driver pass);
+    * point side: native tile key;
+    * shuffle hash join on the tile key, then ONE vectorized pandas UDF
+      refines (lon, lat, rings) candidate rows.
+
+    Rings travel the shuffle once per covered tile — bounded by
+    cover_zoom; pick it so polygons cover O(1..10) tiles each. Output
+    matches the broadcast variant exactly (same even-odd convention).
+    """
+    shells = polygons.select(
+        "polygon_id", "rings",
+        F.expr("transform(rings, r -> aggregate(r, CAST(180.0 AS DOUBLE), (acc, p) -> least(acc, p[0])))").alias("_w"),
+        F.expr("transform(rings, r -> aggregate(r, CAST(-180.0 AS DOUBLE), (acc, p) -> greatest(acc, p[0])))").alias("_e"),
+        F.expr("transform(rings, r -> aggregate(r, CAST(90.0 AS DOUBLE), (acc, p) -> least(acc, p[1])))").alias("_s"),
+        F.expr("transform(rings, r -> aggregate(r, CAST(-90.0 AS DOUBLE), (acc, p) -> greatest(acc, p[1])))").alias("_n"),
+    )
+    # one cover row per (ring bbox tile); holes lie inside shells so the
+    # union over all rings equals the shell cover (plus negligible rows)
+    ring_idx = F.explode(F.sequence(F.lit(0), F.size("rings") - 1)).alias("_ri")
+    shells = shells.select("polygon_id", "rings", ring_idx, "_w", "_e", "_s", "_n").select(
+        "polygon_id", "rings",
+        F.element_at("_w", F.col("_ri") + 1).alias("_wv"),
+        F.element_at("_e", F.col("_ri") + 1).alias("_ev"),
+        F.element_at("_s", F.col("_ri") + 1).alias("_sv"),
+        F.element_at("_n", F.col("_ri") + 1).alias("_nv"),
+    )
+    x0, y1 = tm.tile_cols("_wv", "_nv", cover_zoom)
+    x1_, y0 = tm.tile_cols("_ev", "_sv", cover_zoom)
+    cover = (
+        shells.withColumn("_x0", x0).withColumn("_x1", x1_)
+        .withColumn("_y0", y1).withColumn("_y1", y0)
+        .withColumn("tile_x", F.explode(F.sequence("_x0", "_x1")))
+        .withColumn("tile_y", F.explode(F.sequence("_y0", "_y1")))
+        .select("polygon_id", "rings", "tile_x", "tile_y")
+        .dropDuplicates(["polygon_id", "tile_x", "tile_y"])
+    )
+
+    pts = with_tile_key(points, cover_zoom, lon, lat)
+    cand = pts.join(cover, on=["tile_x", "tile_y"], how="inner")
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series, rings_s: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon_s), dtype=bool)
+        lon_np = lon_s.to_numpy(np.float64)
+        lat_np = lat_s.to_numpy(np.float64)
+        # vectorize per polygon within the batch (parse rings once each)
+        for p, idx in pid_s.groupby(pid_s).groups.items():
+            ii = np.asarray(idx)
+            # Arrow hands each ring over as an object-dtype ndarray of
+            # point arrays; go through list() so numpy stacks to (N, 2)
+            rs = [_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings_s.iloc[ii[0]]]
+            out[ii] = point_in_rings(lon_np[ii], lat_np[ii], rs)
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("_inside", refine(F.col(lon), F.col(lat), F.col("polygon_id"), F.col("rings")))
+        .filter(F.col("_inside"))
+        .drop("_inside", "tile_x", "tile_y", "tile_z", "rings")
+    )

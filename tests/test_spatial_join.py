@@ -141,6 +141,9 @@ def test_pip_join_antimeridian(spark):
     # cover is bounded: two shell bboxes ~5 deg wide at z5 (~11 deg/tile)
     cover = sj.polygon_tile_cover([poly], 5)
     assert len(cover) <= 8
+
+
+def test_pip_join_exact(spark):
     rng = np.random.RandomState(11)
     pts = pd.DataFrame({
         "pid": np.arange(2000),
@@ -164,6 +167,38 @@ def test_pip_join_antimeridian(spark):
     exp = pd.DataFrame(exp_rows, columns=["pid", "polygon_id"]).sort_values(["pid", "polygon_id"]).reset_index(drop=True)
     assert len(out) > 50
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_pip_distributed_matches_broadcast(spark):
+    """point_in_polygon_join_distributed (polygon TABLE, shuffle join,
+    no broadcast, no driver pass) == the broadcast variant, including
+    holes and multipolygon shells."""
+    rng = np.random.RandomState(31)
+    pts = pd.DataFrame({
+        "pid": np.arange(2500),
+        "lon": rng.uniform(-30, 30, 2500),
+        "lat": rng.uniform(-30, 30, 2500),
+    })
+    polys = [
+        sj.Polygon("donut", np.array([[-20, -20], [20, -20], [0, 25]], dtype=float),
+                   holes=(np.array([[-8, -15], [8, -15], [0, 5]], dtype=float),)),
+        sj.Polygon("tri", np.array([[-25, 5], [-5, 5], [-15, 28]], dtype=float)),
+        sj.Polygon("twin", np.array([[-28, -28], [-22, -28], [-25, -18]], dtype=float),
+                   shells=(np.array([[22, -28], [28, -28], [25, -18]], dtype=float),)),
+    ]
+    pdf = spark.createDataFrame(pts)
+    a = (
+        sj.point_in_polygon_join(spark, pdf, polys, cover_zoom=5)
+        .select("pid", "polygon_id").toPandas()
+        .sort_values(["pid", "polygon_id"]).reset_index(drop=True)
+    )
+    b = (
+        sj.point_in_polygon_join_distributed(spark, pdf, sj.polygons_df(spark, polys), cover_zoom=5)
+        .select("pid", "polygon_id").toPandas()
+        .sort_values(["pid", "polygon_id"]).reset_index(drop=True)
+    )
+    assert len(a) > 200
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_assign_to_shards_disjoint_and_total(spark):
