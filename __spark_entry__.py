@@ -5,9 +5,12 @@ points + tags from the testdata tables, run the engine's classify ->
 tile/cell encode -> per-class/per-tile aggregation.
 
 ``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2
-(see osm_poi_cloud_spark/plans/contract.py). Shared-SQL queries execute
-the *same text* in Spark and DuckDB; engine-native ops (S2 cells) have
-no SQL oracle and take the rows-only check.
+(see osm_poi_cloud_spark/plans/contract.py). Every query carries an
+oracle: shared-SQL queries execute the *same text* in Spark and DuckDB,
+dialect-split queries pair independent formulations, and engine-native
+ops (S2, minhash/simhash/LSH, IVF, MVT bytes, components, fingerprints)
+read golden fixtures that tools/make_goldens.py verifies against
+second, independent pure-Python implementations before writing.
 """
 
 from __future__ import annotations

@@ -58,6 +58,47 @@ def test_pipeline_has_single_python_stage(spark, tmp_path):
     assert "*(" in plan
 
 
+def test_url_canonicalization_is_codegen(spark, pois_path):
+    """Canonicalization must stay fully JVM-side: no Python stage; the
+    snapshot dedup adds exactly one Exchange (on the canonical key)."""
+    from osm_poi_cloud_spark.functions.url import dedup_by_canonical_url
+
+    # parquet-backed source: pages_df itself is a mapInPandas generator
+    path = pois_path + "_urlpages"
+    pg.pages_df(spark, 50, partitions=2).select("url", "warc_ts", "text").write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _plan(dedup_by_canonical_url(pages, order_col="warc_ts"))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_centroid_collapse_no_shuffle_no_python(spark, pois_path):
+    from osm_poi_cloud_spark.functions.geometry import collapse_polygons_to_points
+
+    pois = spark.read.parquet(pois_path)
+    rings = pois.select(
+        "poi_id",
+        F.array(F.array(F.col("lon"), F.col("lat")),
+                F.array(F.col("lon") + 0.1, F.col("lat")),
+                F.array(F.col("lon"), F.col("lat") + 0.1)).alias("ring"),
+    )
+    plan = _plan(collapse_polygons_to_points(rings))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_distributed_pip_no_broadcast_one_python(spark, pois_path):
+    """The large-|polygons| PIP: shuffle join (no broadcast of rings via
+    closure), native cover build, exactly one Python eval (the refine)."""
+    polys = sj.polygons_df(spark, [
+        sj.Polygon("a", np.array([[-10.0, -10.0], [10.0, -10.0], [0.0, 15.0]])),
+    ])
+    pois = spark.read.parquet(pois_path)
+    plan = _plan(sj.point_in_polygon_join_distributed(spark, pois, polys, cover_zoom=5))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "MapInPandas" not in plan
+
+
 def test_topk_uses_take_ordered(spark, pois_path):
     stored = spark.read.parquet(pois_path)
     top = qa.class_histogram(stored).limit(10)
