@@ -9,6 +9,10 @@ Routes (query-string parameters mirror lambda_handler.py:92-135):
 * ``GET /classes``                       -> per-class counts
 * ``GET /pois?min_lon=&min_lat=&max_lon=&max_lat=[&class=][&limit=]``
                                          -> GeoJSON FeatureCollection
+* ``GET /tiles/{z}/{x}/{y}.mvt``         -> binary Mapbox vector tile
+  (served from the engine's tile table — the live analog of the
+  reference's PMTiles artifact, generate_pmtiles.py:135-162; 204 for
+  an empty tile, like a tile server's no-content convention)
 
 Validation errors return 400 with ``{"error": ...}`` exactly like the
 reference (lambda_handler.py:103-135); unknown paths 404. The driver-
@@ -51,9 +55,27 @@ def _classes_response(pois: DataFrame) -> dict:
     return {"classes": [{"class": r["class"], "count": r["count"]} for r in rows]}
 
 
-def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+import re
+
+_TILE_RE = re.compile(r"^/tiles/(\d{1,2})/(\d+)/(\d+)\.mvt$")
+
+
+def _tile_bytes(tiles: DataFrame, z: int, x: int, y: int) -> bytes | None:
+    from pyspark.sql import functions as F
+
+    rows = (
+        tiles.filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
+        .select("mvt").limit(1).collect()
+    )
+    return bytes(rows[0]["mvt"]) if rows else None
+
+
+def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0,
+                tiles: DataFrame | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
-    ephemeral port (``server.server_address[1]`` has the real one)."""
+    ephemeral port (``server.server_address[1]`` has the real one).
+    ``tiles``: optional (z, x, y, mvt) table enabling ``/tiles/...``
+    (partition-pruned + limit-1 point lookup per request)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; Spark logs are noisy enough
@@ -76,6 +98,17 @@ def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0) -> Thre
                     self._send(200, _classes_response(pois))
                 elif url.path == "/pois":
                     self._send(200, _pois_response(pois, parse_qs(url.query)))
+                elif (m := _TILE_RE.match(url.path)) and tiles is not None:
+                    blob = _tile_bytes(tiles, int(m[1]), int(m[2]), int(m[3]))
+                    if blob is None:
+                        self.send_response(204)
+                        self.end_headers()
+                    else:
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/vnd.mapbox-vector-tile")
+                        self.send_header("Content-Length", str(len(blob)))
+                        self.end_headers()
+                        self.wfile.write(blob)
                 else:
                     self._send(404, {"error": f"unknown path {url.path}"})
             except ValueError as e:

@@ -100,6 +100,18 @@ def session_stats_stream(events_stream: DataFrame, gap: str = "6 hours",
     )
 
 
+def tile_counts_stream(pois_stream: DataFrame, min_zoom: int = 2, max_zoom: int = 8) -> DataFrame:
+    """Continuously maintained tile-count pyramid: the streaming form of
+    the batch pyramid aggregation (tiling.assign_tile_pyramid is pure
+    native expressions, so it applies to a stream unchanged). Run in
+    update/complete mode — tile counts are keyed state, not event-time
+    windows, so freshness is per-microbatch."""
+    from ..operators.tiling import assign_tile_pyramid
+
+    tiled = assign_tile_pyramid(pois_stream, min_zoom, max_zoom)
+    return tiled.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+
+
 def deduped_pages_stream(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Stateful streaming dedup: drop re-crawls of a url already seen
     within the watermark horizon. Uses ``dropDuplicatesWithinWatermark``

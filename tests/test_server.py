@@ -24,7 +24,12 @@ def base_url(spark):
         "lon_bucket": [-123] * 30,
         "lat_bucket": [37] * 30,
     })
-    srv = make_server(spark.createDataFrame(pdf))
+    from osm_poi_cloud_spark.operators.mvt import encode_tiles_mvt
+    from osm_poi_cloud_spark.operators.tiling import assign_tile_pyramid, build_tiles
+
+    pois = spark.createDataFrame(pdf)
+    tiles = encode_tiles_mvt(build_tiles(assign_tile_pyramid(pois, 2, 4)))
+    srv = make_server(pois, tiles=tiles)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     host, port = srv.server_address
@@ -67,6 +72,32 @@ def test_pois_bbox_and_class_filter(base_url):
 
     code, body = _get(f"{base_url}/pois?{q}&limit=5")
     assert code == 200 and body["count"] == 5
+
+
+def test_tile_endpoint(base_url):
+    """/tiles/z/x/y.mvt serves decodable binary vector tiles; empty
+    tiles return 204."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import mvt_decode as md
+
+    from osm_poi_cloud_spark.functions import tile_math as tm
+    import numpy as np
+
+    # the fixture's POIs all sit near (-122.4, 37.7); find their z4 tile
+    x, y = tm.lon_lat_to_tile(np.float64(-122.40), np.float64(37.70), 4)
+    with urllib.request.urlopen(f"{base_url}/tiles/4/{int(x)}/{int(y)}.mvt") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/vnd.mapbox-vector-tile"
+        blob = r.read()
+    layers = md.decode_mvt(blob)
+    assert layers[0]["name"] == "pois"
+    assert len(layers[0]["features"]) == 30
+
+    # far-away tile -> 204 no content
+    with urllib.request.urlopen(f"{base_url}/tiles/4/0/0.mvt") as r:
+        assert r.status == 204
 
 
 def test_pois_validation_errors(base_url):

@@ -113,6 +113,41 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert sorted(got["n_events"].tolist()) == [2] * 5 + [3] * 5
 
 
+def test_tile_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming tile-count pyramid == the batch pyramid aggregation."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(41)
+    pdf = pd.DataFrame({
+        "poi_id": [f"p{i}" for i in range(500)],
+        "lon": rng.uniform(-170, 170, 500),
+        "lat": rng.uniform(-80, 80, 500),
+    })
+    pois_dir = str(tmp_path / "pois_stream")
+    df = spark.createDataFrame(pdf)
+    df.write.parquet(pois_dir)
+
+    stream = spark.readStream.schema("poi_id string, lon double, lat double").parquet(pois_dir)
+    q = (
+        ing.tile_counts_stream(stream, 2, 6)
+        .writeStream.format("memory").queryName("tiles_c")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tiles_c").toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+    from osm_poi_cloud_spark.operators.tiling import assign_tile_pyramid
+
+    batch = (
+        assign_tile_pyramid(df, 2, 6).groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    assert got[got["z"] == 2]["n"].sum() == 500
+
+
 def test_windowed_class_stats_stream(spark, tmp_path):
     pages_dir = str(tmp_path / "pages2")
     _write_batch(spark, pages_dir, 0, 200, "a")
