@@ -369,18 +369,22 @@ def point_in_polygon_join_distributed(
     The broadcast variant (``point_in_polygon_join``) ships every ring
     to every task inside the UDF closure — right for admin-boundary-
     sized sets (the north rule's broadcast R-tree), wrong for millions
-    of polygons. Here both sides are keyed by cover tile natively:
+    of polygons. Here everything stays distributed:
 
     * polygon side: per-ring bbox -> covered (tile_x, tile_y) rows via
-      one JVM-side sequence/explode (no Python, no driver pass);
-    * point side: native tile key;
-    * shuffle hash join on the tile key, then ONE vectorized pandas UDF
-      refines (lon, lat, rings) candidate rows.
+      one JVM-side sequence/explode (no Python, no driver pass) — the
+      cover carries NO geometry;
+    * point side: native tile key; shuffle hash join on the tile key;
+    * refine: ``cogroup(polygon_id).applyInPandas`` — each polygon's
+      rings cross the wire ONCE per group, never once per candidate
+      row, and the ray cast is vectorized over the group's points.
 
-    Rings travel the shuffle once per covered tile — bounded by
-    cover_zoom; pick it so polygons cover O(1..10) tiles each. Output
-    matches the broadcast variant exactly (same even-odd convention).
-    """
+    Rows with empty ``rings`` are ignored. A mega-polygon whose
+    candidates overflow one task should be pre-split (e.g. by
+    ``split_antimeridian``-style clipping) — noted, not automated.
+    Output matches the broadcast variant exactly (same even-odd
+    convention)."""
+    polygons = polygons.filter(F.size("rings") > 0)
     shells = polygons.select(
         "polygon_id", "rings",
         F.expr("transform(rings, r -> aggregate(r, CAST(180.0 AS DOUBLE), (acc, p) -> least(acc, p[0])))").alias("_w"),
@@ -405,29 +409,32 @@ def point_in_polygon_join_distributed(
         .withColumn("_y0", y1).withColumn("_y1", y0)
         .withColumn("tile_x", F.explode(F.sequence("_x0", "_x1")))
         .withColumn("tile_y", F.explode(F.sequence("_y0", "_y1")))
-        .select("polygon_id", "rings", "tile_x", "tile_y")
+        .select("polygon_id", "tile_x", "tile_y")
         .dropDuplicates(["polygon_id", "tile_x", "tile_y"])
     )
 
     pts = with_tile_key(points, cover_zoom, lon, lat)
-    cand = pts.join(cover, on=["tile_x", "tile_y"], how="inner")
+    cand = pts.join(cover, on=["tile_x", "tile_y"], how="inner").drop("tile_x", "tile_y", "tile_z")
+    out_schema = cand.schema
 
-    @F.pandas_udf(T.BooleanType())
-    def refine(lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series, rings_s: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon_s), dtype=bool)
-        lon_np = lon_s.to_numpy(np.float64)
-        lat_np = lat_s.to_numpy(np.float64)
-        # vectorize per polygon within the batch (parse rings once each)
-        for p, idx in pid_s.groupby(pid_s).groups.items():
-            ii = np.asarray(idx)
-            # Arrow hands each ring over as an object-dtype ndarray of
-            # point arrays; go through list() so numpy stacks to (N, 2)
-            rs = [_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings_s.iloc[ii[0]]]
-            out[ii] = point_in_rings(lon_np[ii], lat_np[ii], rs)
-        return pd.Series(out)
+    def refine_group(pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pts_pdf) or not len(poly_pdf):
+            return pts_pdf.iloc[0:0]
+        # Arrow hands each ring over as an object-dtype ndarray of point
+        # arrays; go through list() so numpy stacks to (N, 2)
+        rings = [_close_ring(np.asarray(list(r), dtype=np.float64))
+                 for r in poly_pdf["rings"].iloc[0]]
+        inside = point_in_rings(
+            pts_pdf[lon].to_numpy(np.float64), pts_pdf[lat].to_numpy(np.float64), rings
+        )
+        return pts_pdf[inside]
 
+    # fresh attribute ids on the rings side: cand already descends from
+    # `polygons` (via the cover), so reusing its polygon_id would be an
+    # ambiguous self-join
+    rings_side = polygons.select(F.col("polygon_id").alias("_pid"), "rings")
     return (
-        cand.withColumn("_inside", refine(F.col(lon), F.col(lat), F.col("polygon_id"), F.col("rings")))
-        .filter(F.col("_inside"))
-        .drop("_inside", "tile_x", "tile_y", "tile_z", "rings")
+        cand.groupby("polygon_id")
+        .cogroup(rings_side.groupby("_pid"))
+        .applyInPandas(refine_group, schema=out_schema)
     )

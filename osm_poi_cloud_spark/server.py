@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -55,8 +56,6 @@ def _classes_response(pois: DataFrame) -> dict:
     return {"classes": [{"class": r["class"], "count": r["count"]} for r in rows]}
 
 
-import re
-
 _TILE_RE = re.compile(r"^/tiles/(\d{1,2})/(\d+)/(\d+)\.mvt$")
 
 
@@ -74,8 +73,13 @@ def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0,
                 tiles: DataFrame | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
     ephemeral port (``server.server_address[1]`` has the real one).
-    ``tiles``: optional (z, x, y, mvt) table enabling ``/tiles/...``
-    (partition-pruned + limit-1 point lookup per request)."""
+    ``tiles``: optional (z, x, y, mvt) table enabling ``/tiles/...``.
+    The DataFrame is persisted here so each request is a filter over
+    cached tiles, not a re-run of the tile-build plan; for production
+    point lookups, back it with a parquet table partitioned by z
+    (directory pruning + row-group stats make the filter a seek)."""
+    if tiles is not None:
+        tiles = tiles.persist()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; Spark logs are noisy enough

@@ -87,16 +87,21 @@ def test_centroid_collapse_no_shuffle_no_python(spark, pois_path):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_distributed_pip_no_broadcast_one_python(spark, pois_path):
-    """The large-|polygons| PIP: shuffle join (no broadcast of rings via
-    closure), native cover build, exactly one Python eval (the refine)."""
+def test_distributed_pip_cogroup_refine(spark, pois_path):
+    """The large-|polygons| PIP: rings never enter a UDF closure or the
+    candidate join — the refine is a cogroup (rings once per polygon
+    group, FlatMapCoGroupsInPandas), the only Python in the plan."""
     polys = sj.polygons_df(spark, [
         sj.Polygon("a", np.array([[-10.0, -10.0], [10.0, -10.0], [0.0, 15.0]])),
     ])
     pois = spark.read.parquet(pois_path)
     plan = _plan(sj.point_in_polygon_join_distributed(spark, pois, polys, cover_zoom=5))
-    assert plan.count("ArrowEvalPython") == 1
-    assert "MapInPandas" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # the tile-cover candidate join must not carry the rings geometry —
+    # rings appear only in the cogroup's polygon-side child
+    tile_join_lines = [l for l in plan.splitlines() if "Join" in l and "tile_x" in l]
+    assert tile_join_lines and all("rings" not in l for l in tile_join_lines)
 
 
 def test_topk_uses_take_ordered(spark, pois_path):
