@@ -94,6 +94,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", score.cast("double"))
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1):
+    duplicate-line, duplicate-word and duplicate-bigram fractions —
+    boilerplate and templated spam score high and get filtered before
+    pretraining. Pure native array expressions (split / array_distinct /
+    zip_with), no Python."""
+    t = F.col(text_col)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return (n - F.size(F.array_distinct(arr))).cast("double") / F.greatest(n, F.lit(1))
+
+    toks = tokens_col(t)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.withColumn("dup_line_frac", dup_frac(F.split(t, "\n")))
+        .withColumn("dup_word_frac", dup_frac(toks))
+        .withColumn("dup_bigram_frac", dup_frac(bigrams))
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint over normalized text
     (case/whitespace-insensitive) — the cheap exact-dup key."""

@@ -452,6 +452,38 @@ def _pip_donut_oracle() -> str:
     )
 
 
+def _q_repetition_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring (duplicate word/bigram fractions)
+    via native array exprs; DuckDB recomputes with its own list
+    functions (independent formulation)."""
+    from ..functions.text_analysis import repetition_features
+
+    _register(spark, sf_dir, ["documents"])
+    df = spark.table("documents").filter(F.length("text") > 0)
+    return (
+        repetition_features(df)
+        .select(
+            "doc_id",
+            F.round("dup_word_frac", 6).alias("dup_word_frac6"),
+            F.round("dup_bigram_frac", 6).alias("dup_bigram_frac6"),
+        )
+        .orderBy("doc_id")
+        .limit(5000)
+    )
+
+
+_Q_REPETITION_ORACLE = (
+    "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+    "FROM documents WHERE length(text) > 0), "
+    "big AS (SELECT doc_id, toks, "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams FROM tok) "
+    "SELECT doc_id, "
+    "ROUND(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS dup_word_frac6, "
+    "ROUND(CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE) / greatest(len(bigrams), 1), 6) AS dup_bigram_frac6 "
+    "FROM big ORDER BY doc_id LIMIT 5000"
+)
+
+
 _SESSION_GAP = "6 hours"
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -828,6 +860,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["polygon_centroid"] = _q_polygon_centroid_spark
     q["url_canonical_dedup"] = _q_url_canonical_spark
     q["sessionization"] = _q_sessionization_spark
+    q["repetition_scores"] = _q_repetition_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -894,6 +927,7 @@ def build_oracles() -> dict[str, str]:
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
     o["url_canonical_dedup"] = _Q_URL_CANONICAL_ORACLE
     o["sessionization"] = _Q_SESSIONIZATION_ORACLE
+    o["repetition_scores"] = _Q_REPETITION_ORACLE
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from osm_poi_cloud_spark.functions import text_analysis as ta
@@ -120,6 +121,23 @@ def test_quality_and_tokens(spark):
     fps = one.select(ta.fingerprint_col(F.col("text")).alias("fp")).toPandas()["fp"]
     assert fps[0] == fps[1]
     assert fp["fp"].nunique() > 150
+
+
+def test_repetition_features_hand_computed(spark):
+    cases = pd.DataFrame({
+        "text": [
+            "a b c d",                    # all unique: word 0, bigram 0
+            "a a a a",                    # word 3/4; bigrams 'a a' x3 -> 2/3
+            "x y x y",                    # word 2/4; bigrams: 'x y','y x','x y' -> 1/3
+            "line\nline\nother",          # dup line 1/3
+        ]
+    })
+    out = ta.repetition_features(spark.createDataFrame(cases)).toPandas()
+    # note: \s+ tokenization treats newlines as separators, so case 4's
+    # words are [line, line, other] -> dup 1/3
+    assert out["dup_word_frac"].tolist() == pytest.approx([0.0, 0.75, 0.5, 1 / 3])
+    assert out["dup_bigram_frac"].tolist() == pytest.approx([0.0, 2 / 3, 1 / 3, 0.0])
+    assert out["dup_line_frac"].tolist() == pytest.approx([0.0, 0.0, 0.0, 1 / 3])
 
 
 def test_multimodal_plumbing(spark):
