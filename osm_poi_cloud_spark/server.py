@@ -128,13 +128,16 @@ def main(argv: list[str] | None = None) -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pois", required=True, help="POI parquet path")
+    ap.add_argument("--tiles", default=None,
+                    help="tile parquet path (z,x,y,mvt — app.py stage_tiles output); enables /tiles")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args(argv)
 
     spark = get_spark("poi-server")
     pois = spark.read.parquet(args.pois)
-    srv = make_server(pois, args.host, args.port)
+    tiles = spark.read.parquet(args.tiles) if args.tiles else None
+    srv = make_server(pois, args.host, args.port, tiles=tiles)
     print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
     srv.serve_forever()
 
