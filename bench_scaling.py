@@ -174,6 +174,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n", type=int, default=4, help="small parallelism level (4N derived)")
     ap.add_argument("--rounds", type=int, default=2, help="interleaved measurement rounds")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print JSON only; don't rewrite BENCH/BASELINE.md "
+                         "(for extra measurement pairs merged by hand)")
     args = ap.parse_args()
 
     # Interleave the two levels across rounds: this VM's wall-clock noise
@@ -222,6 +225,8 @@ def main() -> None:
     }
     print(json.dumps(result), flush=True)
 
+    if args.no_md:
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
