@@ -116,6 +116,9 @@ def main() -> None:
         ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
         polys.append(sj.Polygon(f"poly{i}", ring))
     timed("pip_refine", lambda: force(sj.point_in_polygon_join(spark, pois, polys, cover_zoom=6)))
+    polys_tbl = sj.polygons_df(spark, polys)
+    timed("pip_distributed", lambda: force(
+        sj.point_in_polygon_join_distributed(spark, pois, polys_tbl, cover_zoom=6)))
 
     # ---- 4. tile pyramid z2-14 with density cap ----
     def run_pyramid():

@@ -191,28 +191,99 @@ class Polygon:
         )
 
 
-def _clip_halfplane(ring: np.ndarray, bound: float, keep_le: bool) -> np.ndarray | None:
-    """Sutherland-Hodgman clip of a closed ring against a vertical line
-    (keep lon <= bound, or lon >= bound). Returns an open ring or None."""
-    out: list[tuple[float, float]] = []
+def _split_by_vertical_line(ring: np.ndarray, bound: float) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Split a SIMPLE closed ring by the vertical line x = bound into
+    (left_rings, right_rings) — possibly several shells per side.
+
+    Unlike a Sutherland-Hodgman half-plane clip (exact only for convex /
+    two-crossing rings; concave multi-crossing rings come back as
+    self-overlapping bridged output), this is the chain-stitching
+    split: boundary chains on each side are re-closed through cut
+    segments obtained by pairing the crossing points in sorted-y order
+    (the region's intersection with the line is a union of disjoint
+    intervals whose endpoints are exactly the sorted crossings).
+    Assumes transversal crossings — no vertex exactly on the line —
+    which holds generically for float geographic data."""
     pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
     n = len(pts)
+    aug: list[tuple[float, float, bool]] = []  # (x, y, is_cut_point)
     for i in range(n):
         x1, y1 = pts[i]
         x2, y2 = pts[(i + 1) % n]
-        in1 = x1 <= bound if keep_le else x1 >= bound
-        in2 = x2 <= bound if keep_le else x2 >= bound
-        if in1:
-            out.append((x1, y1))
-        if in1 != in2:
+        aug.append((float(x1), float(y1), False))
+        if (x1 < bound < x2) or (x2 < bound < x1):
             t = (bound - x1) / (x2 - x1)
-            out.append((bound, y1 + t * (y2 - y1)))
-    return np.asarray(out, dtype=np.float64) if len(out) >= 3 else None
+            aug.append((bound, float(y1 + t * (y2 - y1)), True))
+
+    m = len(aug)
+    has_cuts = any(c for _, _, c in aug)
+
+    def side_rings(keep_left: bool) -> list[np.ndarray]:
+        def kept(i: int) -> bool:
+            x = aug[i][0]
+            return (x < bound) if keep_left else (x > bound)
+
+        if not has_cuts:
+            return [np.asarray([(x, y) for x, y, _ in aug])] if kept(0) else []
+        # maximal boundary chains on this side, bounded by cut points;
+        # walk the cycle starting AT a cut so every chain closes
+        start = next(i for i in range(m) if aug[i][2])
+        chains: list[list[int]] = []
+        cur: list[int] = [start]
+        for k in range(1, m + 1):
+            idx = (start + k) % m
+            if aug[idx][2]:
+                cur.append(idx)
+                if any(kept(i) for i in cur):
+                    chains.append(cur)
+                cur = [idx]
+            elif kept(idx):
+                cur.append(idx)
+            else:
+                cur = []
+        if not chains:
+            return []
+        # pair crossings in sorted-y order: (0,1), (2,3), ... — interval
+        # endpoints of (region ∩ line)
+        cuts = sorted((i for i in range(m) if aug[i][2]), key=lambda i: aug[i][1])
+        partner: dict[int, int] = {}
+        for a, b in zip(cuts[0::2], cuts[1::2]):
+            partner[a] = b
+            partner[b] = a
+        by_endpoint: dict[int, list[int]] = {}
+        for ci, c in enumerate(chains):
+            by_endpoint.setdefault(c[0], []).append(ci)
+            by_endpoint.setdefault(c[-1], []).append(ci)
+        used = [False] * len(chains)
+        rings_out: list[np.ndarray] = []
+        for ci in range(len(chains)):
+            if used[ci]:
+                continue
+            path: list[int] = []
+            cur_ci, enter = ci, chains[ci][0]
+            while True:
+                used[cur_ci] = True
+                c = chains[cur_ci] if chains[cur_ci][0] == enter else chains[cur_ci][::-1]
+                path.extend(c)  # cut segment exit->next entry closes implicitly
+                nxt_pt = partner[c[-1]]
+                if nxt_pt == path[0]:
+                    break
+                cands = [k for k in by_endpoint.get(nxt_pt, []) if not used[k]]
+                if not cands:
+                    break  # degenerate tangency; emit what we have
+                cur_ci, enter = cands[0], nxt_pt
+            rings_out.append(np.asarray([(aug[i][0], aug[i][1]) for i in path], dtype=np.float64))
+        return [r for r in rings_out if len(r) >= 3]
+
+    return side_rings(True), side_rings(False)
 
 
 def split_antimeridian(ring) -> list[np.ndarray]:
-    """Split a ring that crosses the +-180 meridian into shells with all
-    longitudes inside [-180, 180] (the GeoJSON RFC 7946 §3.1.9 rule).
+    """Split a SIMPLE ring that crosses the +-180 meridian into shells
+    with all longitudes inside [-180, 180] (the GeoJSON RFC 7946
+    §3.1.9 rule). Concave rings crossing the meridian any number of
+    times split exactly (chain-stitching, not a half-plane clip) —
+    area and even-odd membership are preserved (property-tested).
 
     Input longitudes may be either raw (with apparent ~360-degree jumps
     at the crossing) or already unwrapped/continuous: consecutive
@@ -235,15 +306,12 @@ def split_antimeridian(ring) -> list[np.ndarray]:
     r = np.column_stack([unwrapped, r[:, 1]])
     if unwrapped.max() <= 180.0:
         return [r]
-    west = _clip_halfplane(_close_ring(r), 180.0, keep_le=True)
-    east = _clip_halfplane(_close_ring(r), 180.0, keep_le=False)
-    shells = []
-    if west is not None:
-        shells.append(west)
-    if east is not None:
-        east = east.copy()
-        east[:, 0] -= 360.0
-        shells.append(east)
+    west, east = _split_by_vertical_line(_close_ring(r), 180.0)
+    shells = list(west)
+    for e in east:
+        e = e.copy()
+        e[:, 0] -= 360.0
+        shells.append(e)
     return shells
 
 

@@ -122,6 +122,41 @@ def test_split_antimeridian():
         sj.split_antimeridian([(0.0, 0.0), (120.0, 1.0), (240.0, 0.0), (365.0, 1.0)])
 
 
+def test_split_antimeridian_preserves_area():
+    """Splitting at +-180 preserves total area and point membership for
+    random rings straddling the meridian."""
+    from osm_poi_cloud_spark.functions.geometry import ring_centroid
+
+    rng = np.random.RandomState(13)
+    for _ in range(50):
+        # star-shaped ring around a center near the meridian; all angular
+        # gaps < pi keeps each edge inside its own convex wedge, which
+        # GUARANTEES a simple (possibly concave, multi-crossing) polygon
+        # — random radii with larger gaps self-intersect
+        cx = 180.0 + rng.uniform(-10, 10)
+        cy = rng.uniform(-60, 60)
+        while True:
+            n = rng.randint(5, 12)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+            if gaps.max() < np.pi * 0.95:
+                break
+        rad = rng.uniform(2, 15, n)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        shells = sj.split_antimeridian(ring)
+        total = sum(abs(ring_centroid(s)[2]) for s in shells)
+        assert total == pytest.approx(abs(ring_centroid(ring)[2]), rel=1e-9)
+        # membership: random probe points, wrapped into [-180, 180]
+        plon = cx + rng.uniform(-20, 20, 200)
+        plat = cy + rng.uniform(-20, 20, 200)
+        expect = sj.point_in_rings(plon, plat, (sj._close_ring(ring),))
+        wrapped = (plon + 180.0) % 360.0 - 180.0
+        got = sj.point_in_rings(wrapped, plat, tuple(sj._close_ring(s) for s in shells))
+        # points exactly on the cut line are convention-sensitive; none
+        # land there with continuous random draws
+        assert (got == expect).all()
+
+
 def test_pip_join_antimeridian(spark):
     """A polygon straddling +-180 matches points on BOTH sides, and the
     tile cover stays local to the two shells (not the globe-width box)."""

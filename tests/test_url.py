@@ -32,6 +32,29 @@ def test_canonical_rules(spark):
         assert by_raw[raw] == want, f"{raw}: {by_raw[raw]} != {want}"
 
 
+def test_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a URL fuzz set —
+    the property that makes re-canonicalizing merged crawls safe."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    hosts = ["Example.COM", "example.com", "A.b.C.net:8080", "x.org:80", "y.io:443"]
+    schemes = ["http", "HTTPS", "https"]
+    paths = ["", "/", "/a", "/a/", "/a//b///", "/p.q/r"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=1&a=1&z", "?gclid=1&k=v"]
+    frags = ["", "#f", "#a/b?c=1"]
+    urls = ["://".join([s, h]) + p + q + f
+            for s, h, p, q, f in itertools.islice(
+                ((rng.choice(schemes), rng.choice(hosts), rng.choice(paths),
+                  rng.choice(queries), rng.choice(frags)) for _ in range(200)), 200)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonical_url_col(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url_col(F.col("c1")).alias("c2")).toPandas()
+    mismatch = twice[twice["c1"] != twice["c2"]]
+    assert mismatch.empty, mismatch.head()
+
+
 def test_dedup_latest_capture(spark):
     t = datetime.datetime(2026, 1, 1)
     rows = [
