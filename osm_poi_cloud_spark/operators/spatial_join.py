@@ -315,6 +315,36 @@ def split_antimeridian(ring) -> list[np.ndarray]:
     return shells
 
 
+def split_ring_into_lon_bands(ring, band_deg: float = 10.0) -> list[np.ndarray]:
+    """Cut a SIMPLE ring into vertical longitude bands of width
+    <= band_deg (exact chain-stitching split at each boundary; area and
+    even-odd membership preserved — property-tested).
+
+    The scale use: a mega-polygon (a country, a continent hull) makes
+    one giant cogroup in ``point_in_polygon_join_distributed``; banding
+    it first turns the skewed group into ~extent/band_deg independent
+    groups. Band boundaries are placed relative to the ring's own min
+    longitude plus a small offset, so grid-aligned vertex coordinates
+    don't land exactly on a cut line (the splitter assumes transversal
+    crossings)."""
+    r = _close_ring(np.asarray(ring, dtype=np.float64))
+    lo = float(r[:, 0].min())
+    hi = float(r[:, 0].max())
+    out: list[np.ndarray] = []
+    pieces = [r]
+    bound = lo + band_deg + 1.3e-7  # offset: avoid vertices exactly on cuts
+    while bound < hi and pieces:
+        nxt: list[np.ndarray] = []
+        for p in pieces:
+            left, right = _split_by_vertical_line(p, bound)
+            out.extend(left)
+            nxt.extend(_close_ring(q) for q in right)
+        pieces = nxt
+        bound += band_deg
+    out.extend(pieces)
+    return out
+
+
 def polygon_from_unwrapped(polygon_id: str, ring, holes=()) -> Polygon:
     """Build a Polygon from rings that may cross the antimeridian: each
     shell/hole is split at +-180 and the pieces become even-odd rings.
@@ -448,8 +478,9 @@ def point_in_polygon_join_distributed(
       row, and the ray cast is vectorized over the group's points.
 
     Rows with empty ``rings`` are ignored. A mega-polygon whose
-    candidates overflow one task should be pre-split (e.g. by
-    ``split_antimeridian``-style clipping) — noted, not automated.
+    candidates overflow one task should be pre-split into longitude
+    bands with ``split_ring_into_lon_bands`` (exact; one sub-polygon
+    per band -> bounded group size), re-uniting ids downstream.
     Output matches the broadcast variant exactly (same even-odd
     convention)."""
     polygons = polygons.filter(F.size("rings") > 0)

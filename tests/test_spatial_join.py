@@ -157,6 +157,36 @@ def test_split_antimeridian_preserves_area():
         assert (got == expect).all()
 
 
+def test_split_into_lon_bands_preserves_area_and_membership():
+    """Banding a simple ring into lon slabs preserves total area and
+    even-odd membership; every band piece respects the width bound."""
+    from osm_poi_cloud_spark.functions.geometry import ring_centroid
+
+    rng = np.random.RandomState(29)
+    for _ in range(20):
+        cx, cy = rng.uniform(-120, 120), rng.uniform(-55, 55)
+        while True:
+            n = rng.randint(5, 12)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+            if gaps.max() < np.pi * 0.95:
+                break
+        rad = rng.uniform(3, 20, n)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        band = 5.0
+        pieces = sj.split_ring_into_lon_bands(ring, band_deg=band)
+        assert len(pieces) >= 2
+        total = sum(abs(ring_centroid(p)[2]) for p in pieces)
+        assert total == pytest.approx(abs(ring_centroid(ring)[2]), rel=1e-9)
+        for p in pieces:
+            assert p[:, 0].max() - p[:, 0].min() <= band + 1e-6
+        plon = cx + rng.uniform(-25, 25, 300)
+        plat = cy + rng.uniform(-25, 25, 300)
+        expect = sj.point_in_rings(plon, plat, (sj._close_ring(ring),))
+        got = sj.point_in_rings(plon, plat, tuple(sj._close_ring(p) for p in pieces))
+        assert (got == expect).all()
+
+
 def test_pip_join_antimeridian(spark):
     """A polygon straddling +-180 matches points on BOTH sides, and the
     tile cover stays local to the two shells (not the globe-width box)."""
