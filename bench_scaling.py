@@ -100,6 +100,11 @@ def job_extract():
 def job_join():
     noop(sj.assign_to_shards_grid(spark, pois_big, manifest, grid_zoom=8))
 
+def job_join_idx():
+    # the at-scale recommended form: dense int shard key through the
+    # 56M output rows instead of the shard_id string
+    noop(sj.assign_to_shards_grid(spark, pois_big, manifest, grid_zoom=8, emit="shard_idx"))
+
 # join-stage profile: which stage stops scaling? scan-only isolates the
 # parquet read + snappy decode; scan+key adds the native tile encode;
 # the full join adds the broadcast hash probe.
@@ -114,7 +119,8 @@ def job_scan_key():
 
 out = {{"cpus": cpus, "n_pois": n_pois}}
 for name, job in (("extract", job_extract), ("scan", job_scan),
-                  ("scan_key", job_scan_key), ("join", job_join)):
+                  ("scan_key", job_scan_key), ("join", job_join),
+                  ("join_idx", job_join_idx)):
     job()  # warmup: workers, codegen, page cache
     best = None
     for _ in range(repeats):
@@ -182,7 +188,7 @@ def main() -> None:
     # Interleave the two levels across rounds: this VM's wall-clock noise
     # is time-correlated (other tenants), so A,B,A,B with per-level min
     # beats AAA,BBB.
-    JOBS = ("extract_sec", "scan_sec", "scan_key_sec", "join_sec")
+    JOBS = ("extract_sec", "scan_sec", "scan_key_sec", "join_sec", "join_idx_sec")
     lo, hi = None, None
     probe_lo, probe_hi = 0.0, 0.0
     for _ in range(args.rounds):
@@ -200,6 +206,8 @@ def main() -> None:
     hi["docs_per_sec"] = round(args.pages / hi["extract_sec"], 1)
     lo["joined_rows_per_sec"] = round(lo["n_pois"] / lo["join_sec"], 1)
     hi["joined_rows_per_sec"] = round(hi["n_pois"] / hi["join_sec"], 1)
+    lo["joined_rows_per_sec_idx"] = round(lo["n_pois"] / lo["join_idx_sec"], 1)
+    hi["joined_rows_per_sec_idx"] = round(hi["n_pois"] / hi["join_idx_sec"], 1)
 
     envelope = round((probe_hi / probe_lo) / 4.0, 3)
 
@@ -209,6 +217,7 @@ def main() -> None:
 
     ex_s, ex_e, ex_n = eff("extract_sec")
     jn_s, jn_e, jn_n = eff("join_sec")
+    ji_s, ji_e, ji_n = eff("join_idx_sec")
     sc_s, sc_e, _ = eff("scan_sec")
     sk_s, sk_e, _ = eff("scan_key_sec")
     result = {
@@ -219,6 +228,7 @@ def main() -> None:
         "envelope": envelope,
         "extract": {"speedup": ex_s, "efficiency": ex_e, "normalized": ex_n},
         "join": {"speedup": jn_s, "efficiency": jn_e, "normalized": jn_n},
+        "join_idx": {"speedup": ji_s, "efficiency": ji_e, "normalized": ji_n},
         "join_profile": {"scan": {"speedup": sc_s, "efficiency": sc_e},
                          "scan_key": {"speedup": sk_s, "efficiency": sk_e}},
         "target": 0.8,
@@ -242,7 +252,8 @@ def main() -> None:
             f"| job | local[{args.n}] (N) | local[{4 * args.n}] (4N) | speedup | efficiency | envelope-normalized |\n"
             "|---|---|---|---|---|---|\n"
             + f"| extract (docs/sec) | {lo['docs_per_sec']:,} | {hi['docs_per_sec']:,} | {ex_s}x | **{ex_e}** | **{ex_n}** |\n"
-            + f"| spatial join (rows/sec) | {lo['joined_rows_per_sec']:,} | {hi['joined_rows_per_sec']:,} | {jn_s}x | **{jn_e}** | **{jn_n}** |\n\n"
+            + f"| spatial join, int key (rows/sec; the at-scale default) | {lo['joined_rows_per_sec_idx']:,} | {hi['joined_rows_per_sec_idx']:,} | {ji_s}x | **{ji_e}** | **{ji_n}** |\n"
+            + f"| spatial join, shard_id string (fixture-compat form) | {lo['joined_rows_per_sec']:,} | {hi['joined_rows_per_sec']:,} | {jn_s}x | **{jn_e}** | **{jn_n}** |\n\n"
             "Target: >= 0.8 (north rule, for real N vs 4N executor clusters).\n\n"
             "## Hardware envelope (measured in the SAME run)\n\n"
             "A zero-coordination pure-Python multiprocess probe (fixed arithmetic\n"
