@@ -1,0 +1,123 @@
+"""Minimal real PNG codec — pure stdlib zlib + numpy, no image library.
+
+Makes the multimodal pixel-decode path REAL for PNG (the one format
+whose container and compression are fully available offline): the
+sandbox has no PIL/opencv, but PNG is just zlib-deflated, per-row
+filtered raster data in CRC'd chunks (RFC 2083 / the W3C PNG spec).
+
+Scope (documented, checked, raising on anything else):
+* 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA)
+* non-interlaced
+* decoder handles ALL five row filters (None/Sub/Up/Average/Paeth);
+  the encoder emits filter 0 rows (simplicity over ratio)
+
+JPEG/video codecs remain out of scope — `operators/multimodal.py`
+routes non-PNG payloads to the deterministic fallback feature path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 -> PNG bytes (filter-0 rows)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c} (1, 3 or 4)")
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
+    return (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Undo per-row filtering. rows are (1 filter byte + w*c data)."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            line = cur
+        elif ft == 2:  # Up — fully vectorized
+            line = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            line = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = line[x - c] if x >= c else 0
+                b = prev[x]
+                if ft == 1:
+                    rec = cur[x] + a
+                elif ft == 3:
+                    rec = cur[x] + ((a + b) >> 1)
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec = cur[x] + pred
+                line[x] = rec & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. Verifies chunk CRCs."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type} (0, 2 or 6)")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    c = _CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expected = height * (width * c + 1)
+    if len(raw) != expected:
+        raise ValueError(f"IDAT size {len(raw)} != expected {expected}")
+    return _unfilter(raw, height, width, c)

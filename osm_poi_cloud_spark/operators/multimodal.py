@@ -54,26 +54,62 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
 
+PIXELS_SCHEMA = "media_id string, width int, height int, channels int, pixels binary, ok boolean"
+
+
 def decode_image_pixels(media: DataFrame) -> DataFrame:
-    """Full pixel decode — requires a codec library not present here."""
-    raise NotImplementedError(
-        "Pixel decode needs an image codec (PIL/opencv), not available in "
-        "this environment. Plug a decoder into extract_image_features()'s "
-        "`_decode` seam; the Spark plan/schema around it is in place."
-    )
+    """Full pixel decode for PNG payloads — REAL, via the pure
+    stdlib-zlib/numpy codec in ``functions/png.py`` (8-bit gray/RGB/
+    RGBA, all row filters). ``pixels`` is the raw H*W*C uint8 buffer;
+    non-PNG / unsupported payloads come back ok=false (the remaining
+    codec seam: JPEG/video need libraries this sandbox lacks)."""
+    from ..functions import png as png_codec
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "width", "height", "channels", "pixels", "ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    arr = png_codec.decode_png(b)
+                    h, w, c = arr.shape
+                    vals = (w, h, c, arr.tobytes(), True)
+                except Exception:
+                    vals = (0, 0, 0, b"", False)
+                rows["media_id"].append(mid)
+                for k, v in zip(("width", "height", "channels", "pixels", "ok"), vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=PIXELS_SCHEMA)
 
 
 FEATURE_SCHEMA = "media_id string, feature array<float>"
 
 
 def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
-    """Deterministic per-item feature vector.
+    """Per-item feature vector: REAL pixel statistics for PNG payloads
+    (per-channel means/stds + a luminance histogram over actual decoded
+    pixels); non-PNG payloads take the deterministic byte-derived
+    fallback — that fallback is the remaining codec seam for formats
+    whose decoders this sandbox lacks."""
+    from ..functions import png as png_codec
 
-    `_decode` is the codec seam: the stub derives a reproducible
-    pseudo-feature from payload bytes so the distributed plumbing
-    (Arrow batches, schema, downstream ANN joins) is fully exercised."""
-
-    def _decode(b: bytes) -> np.ndarray:  # codec seam — replace with a real model/codec
+    def _decode(b: bytes) -> np.ndarray:
+        try:
+            arr = png_codec.decode_png(b).astype(np.float32) / 255.0
+            h, w, c = arr.shape
+            lum = arr.mean(axis=2).ravel()
+            hist, _ = np.histogram(lum, bins=dim - 8, range=(0.0, 1.0))
+            head = np.zeros(8, dtype=np.float32)
+            head[0], head[1], head[2] = w / 4096.0, h / 4096.0, c / 4.0
+            head[3] = float(lum.mean())
+            head[4] = float(lum.std())
+            head[5:5 + min(c, 3)] = arr.reshape(-1, c).mean(axis=0)[:3]
+            return np.concatenate([head, hist / max(lum.size, 1)]).astype(np.float32)
+        except Exception:
+            pass
+        # fallback (codec seam): reproducible pseudo-feature from bytes
         h = np.frombuffer(b, dtype=np.uint8)
         if len(h) == 0:
             return np.zeros(dim, dtype=np.float32)
@@ -103,16 +139,20 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture: valid PNG/GIF headers + fake video/audio."""
+    """Deterministic media fixture: REAL decodable PNGs (via the
+    stdlib codec), valid GIF headers, fake video/audio."""
+    from ..functions import png as png_codec
+
     rows = []
     for i in range(n):
         kind = ("image", "image", "video", "audio")[i % 4]
         if kind == "image" and i % 2 == 0:
             w, h = 16 + i % 7, 9 + i % 5
-            payload = (
-                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
-                + struct.pack(">II", w, h) + bytes([i % 251]) * 32
-            )
+            c = (1, 3, 4)[i % 3]
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+            arr = img if c == 1 else np.stack([(img + k * 31) % 256 for k in range(c)], axis=2).astype(np.uint8)
+            payload = png_codec.encode_png(arr)
             rows.append((f"m{i}", kind, payload, "image/png", w, h, 0, 0))
         elif kind == "image":
             w, h = 20 + i % 11, 10 + i % 3

@@ -160,5 +160,7 @@ def test_multimodal_plumbing(spark):
 
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_pixels(media)
+    # pixel decode is REAL for PNG now (tests/test_png.py covers it);
+    # non-PNG payloads report ok=false instead of crashing
+    pix = mm.decode_image_pixels(media).toPandas()
+    assert pix["ok"].any() and not pix["ok"].all()
