@@ -119,6 +119,37 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns shared with the DuckDB oracle — RE2/Java-common subset
+# (no lookaround, no backrefs). Order matters: emails first so their
+# digits can't be half-eaten by the phone pattern.
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("<PHONE>", r"\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{0,4}\d"),
+)
+
+
+def scrub_pii_col(text: Column) -> Column:
+    """Replace emails / IPv4s / phone-shaped numbers with placeholder
+    tokens — the standard pretraining-data redaction pass. Pure chained
+    ``regexp_replace`` (JVM-side); patterns stay in the Java∩RE2 regex
+    subset so the DuckDB oracle runs the same strings."""
+    out = text
+    for token, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts (before scrubbing) for audit metrics."""
+    t = F.col(text_col)
+    out = df
+    for token, pat in PII_PATTERNS:
+        name = token.strip("<>").lower() + "_hits"
+        out = out.withColumn(name, F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))))
+    return out
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint over normalized text
     (case/whitespace-insensitive) — the cheap exact-dup key."""

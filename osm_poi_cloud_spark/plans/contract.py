@@ -484,6 +484,56 @@ _Q_REPETITION_ORACLE = (
 )
 
 
+# deterministic PII-laden text: an email, an IPv4 and a phone woven
+# around each document's first 60 chars
+_PII_TEXT_SQL = (
+    "concat('contact user', CAST(doc_id AS {int_str}), '@mail', CAST(doc_id % 7 AS {int_str}), "
+    "'.com from 10.', CAST(doc_id % 200 AS {int_str}), '.3.', CAST(doc_id % 250 AS {int_str}), "
+    "' or +1-', CAST(200 + doc_id % 700 AS {int_str}), '-555-', CAST(1000 + doc_id % 9000 AS {int_str}), "
+    "' re: ', substr(text, 1, 60))"
+)
+
+
+def _q_pii_scrub_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone shapes -> placeholder
+    tokens) over synthesized PII-laden text; DuckDB replays the same
+    regex strings with its RE2 engine — the patterns live in the
+    Java∩RE2 subset precisely so this cross-engine check is possible."""
+    from ..functions.text_analysis import pii_counts, scrub_pii_col
+
+    _register(spark, sf_dir, ["documents"])
+    laden = spark.table("documents").selectExpr(
+        "doc_id", _PII_TEXT_SQL.format(int_str="STRING") + " AS text"
+    )
+    return (
+        pii_counts(laden)
+        .withColumn("scrubbed", scrub_pii_col(F.col("text")))
+        .select("doc_id", "email_hits", "ip_hits", "phone_hits", F.md5("scrubbed").alias("scrub_md5"))
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    # DuckDB string literals are standard SQL (backslash is literal), so
+    # the Python pattern strings drop in verbatim
+    from ..functions.text_analysis import PII_PATTERNS
+
+    text_sql = _PII_TEXT_SQL.format(int_str="VARCHAR")
+    scrub = "text"
+    for token, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {token.strip('<>').lower()}_hits"
+        for token, pat in PII_PATTERNS
+    )
+    return (
+        f"WITH laden AS (SELECT doc_id, {text_sql} AS text FROM documents) "
+        f"SELECT doc_id, {counts}, md5({scrub}) AS scrub_md5 "
+        "FROM laden ORDER BY doc_id LIMIT 2000"
+    )
+
+
 _SESSION_GAP = "6 hours"
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -861,6 +911,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonical_dedup"] = _q_url_canonical_spark
     q["sessionization"] = _q_sessionization_spark
     q["repetition_scores"] = _q_repetition_spark
+    q["pii_scrub"] = _q_pii_scrub_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
@@ -928,6 +979,7 @@ def build_oracles() -> dict[str, str]:
     o["url_canonical_dedup"] = _Q_URL_CANONICAL_ORACLE
     o["sessionization"] = _Q_SESSIONIZATION_ORACLE
     o["repetition_scores"] = _Q_REPETITION_ORACLE
+    o["pii_scrub"] = _pii_scrub_oracle()
     o["lang_id_counts"] = _lang_id_oracle()
     o.update(_golden_oracles())
     return o

@@ -140,6 +140,36 @@ def test_repetition_features_hand_computed(spark):
     assert out["dup_line_frac"].tolist() == pytest.approx([0.0, 0.0, 0.0, 1 / 3])
 
 
+def test_pii_scrubbing_hand_cases(spark):
+    cases = pd.DataFrame({
+        "text": [
+            "mail me at jo.doe+x@sub.example.co.uk today",
+            "server 192.168.001.1 and 10.0.0.255 up",
+            "call +1-555-123-4567 or 44 20 7946 0958 now",
+            "no pii here, just 42 and v1.2 notes",
+        ],
+        "want": [
+            "mail me at <EMAIL> today",
+            "server <IP> and <IP> up",
+            "call <PHONE> or <PHONE> now",
+            "no pii here, just 42 and v1.2 notes",
+        ],
+    })
+    out = (
+        spark.createDataFrame(cases)
+        .withColumn("got", ta.scrub_pii_col(F.col("text")))
+        .toPandas()
+    )
+    assert out["got"].tolist() == out["want"].tolist()
+    counts = ta.pii_counts(spark.createDataFrame(cases)).toPandas()
+    assert counts["email_hits"].tolist() == [1, 0, 0, 0]
+    assert counts["ip_hits"].tolist() == [0, 2, 0, 0]
+    # counts are per-pattern on the RAW text: dotted IPs also look like
+    # phone shapes (the scrub itself replaces emails/IPs first, so the
+    # redaction never double-fires — asserted above)
+    assert counts["phone_hits"].tolist() == [0, 1, 2, 0]
+
+
 def test_multimodal_plumbing(spark):
     media = mm.make_synthetic_media(spark, 64)
     meta = mm.decode_image_meta(media).toPandas()
