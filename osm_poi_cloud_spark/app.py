@@ -42,9 +42,20 @@ DEFAULT_MAX_ZOOM = 8
 DEFAULT_MAX_NODES = 1_000_000  # reference default (main.rs:26-27)
 
 
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet"):
+    """Pages input: parquet/Iceberg table (default) or raw WARC
+    archives (``fmt="warc"`` — Common Crawl's container; no lang
+    column, so pipeline stages drop the lang filter for it)."""
+    if fmt == "warc":
+        from .sources.warc import read_warc_pages
+
+        return read_warc_pages(spark, path)
+    return spark.read.parquet(path)
+
+
 def stage_plan(spark: SparkSession, pages_path: str, out: str,
                max_zoom: int, max_nodes: int, lang: str = "en",
-               pois=None) -> list[qt.Shard]:
+               pois=None, fmt: str = "parquet") -> list[qt.Shard]:
     manifest_path = os.path.join(out, "manifest.geojson")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -54,7 +65,7 @@ def stage_plan(spark: SparkSession, pages_path: str, out: str,
             for p in (feat["properties"] for feat in fc["features"])
         ]
     if pois is None:
-        pages = spark.read.parquet(pages_path)
+        pages = read_pages(spark, pages_path, fmt)
         pois = pl.build_pois(pages, lang=lang, cell_levels=(12,))
     shards, oversized = qt.plan_quadtree(pois, max_zoom=max_zoom, max_nodes=max_nodes)
     os.makedirs(out, exist_ok=True)
@@ -69,9 +80,9 @@ def stage_plan(spark: SparkSession, pages_path: str, out: str,
 
 def stage_process(spark: SparkSession, pages_path: str, out: str, run_id: str,
                   shards: list[qt.Shard], max_zoom: int, lang: str = "en",
-                  pois=None) -> dict:
+                  pois=None, fmt: str = "parquet") -> dict:
     if pois is None:
-        pages = spark.read.parquet(pages_path)
+        pages = read_pages(spark, pages_path, fmt)
         pois = pl.build_pois(pages, lang=lang, cell_levels=(8, 12))
     # drop the pipeline's default fixed-zoom shard_id: the authoritative
     # provenance id is the quadtree-manifest leaf (reference P13 literal)
@@ -128,7 +139,8 @@ def stage_tiles(spark: SparkSession, out: str, min_zoom: int = 2, max_zoom: int 
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--pages", required=True, help="pages parquet path (or WARC glob with --format warc)")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "warc"])
     ap.add_argument("--out", required=True, help="run output root")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--stage", default="all", choices=["plan", "process", "merge", "tiles", "all"])
@@ -140,15 +152,16 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(f"poi-pipeline-{args.run_id}")
     shards = None
     pois = None
+    lang = None if args.format == "warc" else args.lang  # WARC has no lang column
     if args.stage == "all":
         # extraction is the dominant cost — run it ONCE and share the
         # persisted result between the plan and process stages
-        pages = spark.read.parquet(args.pages)
-        pois = pl.build_pois(pages, lang=args.lang, cell_levels=(8, 12)).persist()
+        pages = read_pages(spark, args.pages, args.format)
+        pois = pl.build_pois(pages, lang=lang, cell_levels=(8, 12)).persist()
     if args.stage in ("plan", "process", "all"):
-        shards = stage_plan(spark, args.pages, args.out, args.max_zoom, args.max_nodes, args.lang, pois=pois)
+        shards = stage_plan(spark, args.pages, args.out, args.max_zoom, args.max_nodes, lang, pois=pois, fmt=args.format)
     if args.stage in ("process", "all"):
-        stage_process(spark, args.pages, args.out, args.run_id, shards, args.max_zoom, args.lang, pois=pois)
+        stage_process(spark, args.pages, args.out, args.run_id, shards, args.max_zoom, lang, pois=pois, fmt=args.format)
     if pois is not None:
         pois.unpersist()
     if args.stage in ("merge", "all"):

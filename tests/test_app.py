@@ -45,3 +45,30 @@ def test_full_app_run_and_resume(spark, tmp_path, monkeypatch):
     log = ln.LineageLog(spark, os.path.join(out, "lineage"))
     bad = ln.verify_against_lineage(spark, os.path.join(out, "pois"), log, "r1", "process", "shard_id")
     assert bad.count() == 0
+
+
+def test_app_warc_input(spark, tmp_path, monkeypatch):
+    """The app ingests raw WARC archives (--format warc) through the
+    same five stages."""
+    import datetime as dt
+
+    from osm_poi_cloud_spark.sources import warc as W
+
+    monkeypatch.setattr(app, "get_spark", lambda *a, **k: spark)
+    pages = pg.pages_df(spark, 150, partitions=2).toPandas()
+    recs = [
+        (r["url"], r["warc_ts"].to_pydatetime().replace(microsecond=0), bytes(r["html"]))
+        for _, r in pages.iterrows()
+    ]
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    W.write_warc(str(warc_dir / "a.warc.gz"), recs[:75], gzip_members=True)
+    W.write_warc(str(warc_dir / "b.warc"), recs[75:])
+    out = str(tmp_path / "wrun")
+
+    app.main(["--pages", str(warc_dir) + "/*", "--format", "warc", "--out", out,
+              "--run-id", "w1", "--stage", "all", "--max-zoom", "5", "--max-nodes", "100"])
+
+    pois = spark.read.parquet(os.path.join(out, "pois_merged"))
+    assert pois.count() > 50
+    assert os.path.exists(os.path.join(out, "pois.pmtiles"))
