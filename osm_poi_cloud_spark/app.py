@@ -45,11 +45,19 @@ DEFAULT_MAX_NODES = 1_000_000  # reference default (main.rs:26-27)
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet"):
     """Pages input: parquet/Iceberg table (default) or raw WARC
     archives (``fmt="warc"`` — Common Crawl's container; no lang
-    column, so pipeline stages drop the lang filter for it)."""
+    column, so pipeline stages drop the lang filter for it).
+
+    The repartition after the WARC parse is load-bearing twice over:
+    it breaks the otherwise-chained parse->extract Python stages (the
+    CLAUDE.md single-Python-stage rule — chained narrow Python UDF
+    stages measurably anti-scale) and it rebalances records from
+    file granularity to even partitions (archives are few and
+    uneven; cores are many)."""
     if fmt == "warc":
         from .sources.warc import read_warc_pages
 
-        return read_warc_pages(spark, path)
+        par = spark.sparkContext.defaultParallelism
+        return read_warc_pages(spark, path).repartition(par * 2)
     return spark.read.parquet(path)
 
 

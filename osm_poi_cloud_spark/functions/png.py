@@ -64,22 +64,29 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
             line = cur
         elif ft == 2:  # Up — fully vectorized
             line = (cur + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
-            line = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = line[x - c] if x >= c else 0
-                b = prev[x]
-                if ft == 1:
-                    rec = cur[x] + a
-                elif ft == 3:
-                    rec = cur[x] + ((a + b) >> 1)
-                else:
-                    cc = int(prev[x - c]) if x >= c else 0
+        elif ft == 1:  # Sub — per-channel cumsum mod 256, vectorized
+            line = np.cumsum(cur.reshape(w, c), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif ft in (3, 4):  # Average/Paeth — inherently sequential in x;
+            # plain Python ints are ~50x numpy scalar indexing here
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            line_l = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    a = line_l[x - c] if x >= c else 0
+                    line_l[x] = (cur_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = line_l[x - c] if x >= c else 0
+                    b = prev_l[x]
+                    cc = prev_l[x - c] if x >= c else 0
                     p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - cc if p >= cc else cc - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                    rec = cur[x] + pred
-                line[x] = rec & 0xFF
+                    line_l[x] = (cur_l[x] + pred) & 0xFF
+            line = np.asarray(line_l, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = line.astype(np.uint8)
@@ -94,8 +101,12 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = color_type = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError("truncated PNG (incomplete chunk header)")
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG ({tag!r} chunk exceeds buffer)")
         payload = data[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:

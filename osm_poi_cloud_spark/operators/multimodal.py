@@ -2,13 +2,13 @@
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side contract (schemas, batch shapes, partitioning) is real
-and tested; the codec step is STUBBED — image/audio libraries are not
-available in this environment, so ``decode_image_meta`` parses only
-formats with trivially parseable headers (PNG/GIF/fake-RAW) and
-``extract_image_features`` computes deterministic fake features from
-the bytes. Swapping in a real codec changes ONE function body and no
-plan shape. Functions that would need a real codec raise
-``NotImplementedError`` with a clear message.
+and tested. Decoding is REAL for PNG: ``functions/png.py`` is a pure
+stdlib-zlib + numpy codec, so ``decode_image_pixels`` returns actual
+pixel buffers and ``extract_image_features`` computes genuine pixel
+statistics for PNG payloads. Formats whose decoders this sandbox
+lacks (JPEG, audio, video) route to a clearly-marked deterministic
+byte-derived fallback — that fallback is the remaining codec seam;
+swapping in a decoder changes one branch and no plan shape.
 """
 
 from __future__ import annotations
@@ -93,11 +93,21 @@ def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
     pixels); non-PNG payloads take the deterministic byte-derived
     fallback — that fallback is the remaining codec seam for formats
     whose decoders this sandbox lacks."""
+    import zlib
+
     from ..functions import png as png_codec
+
+    if dim < 16:
+        raise ValueError(f"dim must be >= 16 (8 header stats + histogram), got {dim}")
 
     def _decode(b: bytes) -> np.ndarray:
         try:
+            # narrow except: only decode failures route to the fallback —
+            # a post-decode numpy error should surface, not get shadowed
             arr = png_codec.decode_png(b).astype(np.float32) / 255.0
+        except (ValueError, zlib.error, struct.error):
+            arr = None
+        if arr is not None:
             h, w, c = arr.shape
             lum = arr.mean(axis=2).ravel()
             hist, _ = np.histogram(lum, bins=dim - 8, range=(0.0, 1.0))
@@ -107,8 +117,6 @@ def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
             head[4] = float(lum.std())
             head[5:5 + min(c, 3)] = arr.reshape(-1, c).mean(axis=0)[:3]
             return np.concatenate([head, hist / max(lum.size, 1)]).astype(np.float32)
-        except Exception:
-            pass
         # fallback (codec seam): reproducible pseudo-feature from bytes
         h = np.frombuffer(b, dtype=np.uint8)
         if len(h) == 0:

@@ -4,16 +4,21 @@ table shape (``url, warc_ts, html``).
 Common Crawl ships its corpus as ~1 GB WARC files (ISO 28500), usually
 with per-record gzip members concatenated. The standard Spark pattern
 (see the public ``commoncrawl/cc-pyspark`` examples) is FILE-level
-parallelism: one task per WARC file, parsing records inside the task.
-That is what this source does — ``binaryFile`` scan -> one Arrow batch
-of records per archive via ``mapInPandas``. With thousands of archives
-per crawl, file-level parallelism saturates any cluster.
+parallelism: one task per WARC file, STREAMING records off disk. This
+source reads only the file *paths* through Spark (``binaryFile`` with
+the content column pruned), opens each archive inside the task with a
+buffered (multi-member-aware) gzip stream, and yields records in
+bounded chunks — peak memory per task is one chunk, not three copies
+of the archive.
 
-Scope: WARC/1.0 ``response`` records; payloads are HTTP responses and
-the HTML body is extracted past the HTTP header block. Whole-file gzip
-and concatenated gzip members both decode via stdlib ``gzip``
-(multi-member aware). A matching ``write_warc`` fixture writer keeps
-tests self-contained.
+Robustness rules (a crawl archive always contains some garbage):
+* malformed records (bad dates, non-numeric Content-Length) are
+  SKIPPED, never fatal — one junk record must not kill a 1 GB archive;
+* a record without Content-Length forfeits payload framing; the parser
+  rescans for the next ``\\r\\n\\r\\nWARC/`` boundary instead of locking
+  onto a literal "WARC/" inside page text;
+* WARC/1.0 and /1.1 dates parse (with or without fractional seconds)
+  and are UTC-aware — ``Z`` means Zulu, not session timezone.
 """
 
 from __future__ import annotations
@@ -28,15 +33,22 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 _CRLF2 = b"\r\n\r\n"
+_UTC = dt.timezone.utc
 
 
 def write_warc(path: str, records: list[tuple[str, dt.datetime, bytes]],
                gzip_members: bool = False) -> None:
-    """Write (url, ts, html_bytes) as WARC/1.0 response records whose
-    payloads are minimal HTTP responses. ``gzip_members`` mimics the
-    Common-Crawl layout (each record an independent gzip member)."""
+    """Write (url, ts, html_bytes) as WARC response records whose
+    payloads are minimal HTTP responses. Microseconds are preserved
+    (WARC/1.1 fractional dates) when present; naive datetimes are
+    stamped as UTC. ``gzip_members`` mimics the Common-Crawl layout."""
     out = io.BytesIO()
     for url, ts, html in records:
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_UTC).replace(tzinfo=None)
+        stamp = ts.strftime("%Y-%m-%dT%H:%M:%S")
+        if ts.microsecond:
+            stamp += f".{ts.microsecond:06d}"
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
             + f"Content-Length: {len(html)}\r\n\r\n".encode()
@@ -46,7 +58,7 @@ def write_warc(path: str, records: list[tuple[str, dt.datetime, bytes]],
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
             f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"WARC-Date: {stamp}Z\r\n"
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode()
         rec = head + http + _CRLF2
@@ -55,56 +67,140 @@ def write_warc(path: str, records: list[tuple[str, dt.datetime, bytes]],
         f.write(out.getvalue())
 
 
-def parse_warc_bytes(data: bytes) -> list[tuple[str, dt.datetime, bytes]]:
-    """Parse WARC bytes (plain, whole-file gzip, or concatenated gzip
-    members) into (url, ts, html) tuples for response records."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # multi-member aware
-    out = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if data[pos:pos + 5] != b"WARC/":
-            nxt = data.find(b"WARC/", pos + 1)
-            if nxt < 0:
+def _parse_date(s: str) -> dt.datetime:
+    s = s.strip()
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return dt.datetime.strptime(s, fmt).replace(tzinfo=_UTC)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable WARC-Date {s!r}")
+
+
+class _Pushback:
+    """Tiny buffered reader with pushback over a binary stream."""
+
+    def __init__(self, fp):
+        self._fp = fp
+        self._buf = b""
+
+    def push(self, data: bytes) -> None:
+        self._buf = data + self._buf
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while len(out) < n:
+            if self._buf:
+                take = self._buf[: n - len(out)]
+                self._buf = self._buf[len(take):]
+                out.extend(take)
+                continue
+            chunk = self._fp.read(n - len(out))
+            if not chunk:
                 break
-            pos = nxt
-        head_end = data.find(_CRLF2, pos)
-        if head_end < 0:
-            break
+            out.extend(chunk)
+        return bytes(out)
+
+    def readline(self) -> bytes:
+        out = bytearray()
+        while True:
+            if self._buf:
+                nl = self._buf.find(b"\n")
+                if nl >= 0:
+                    out.extend(self._buf[: nl + 1])
+                    self._buf = self._buf[nl + 1:]
+                    return bytes(out)
+                out.extend(self._buf)
+                self._buf = b""
+            chunk = self._fp.read(65536)
+            if not chunk:
+                return bytes(out)
+            self._buf = chunk
+
+
+def iter_warc_records(raw_fp):
+    """Stream (url, ts_utc, html_body) response records from a WARC
+    file object (plain or gzip — multi-member handled by GzipFile).
+    Malformed records are skipped; framing failures rescan forward."""
+    head2 = raw_fp.read(2)
+    raw_fp.seek(0)
+    fp = _Pushback(gzip.GzipFile(fileobj=raw_fp) if head2 == b"\x1f\x8b" else raw_fp)
+    while True:
+        line = fp.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue  # inter-record padding / resync leftovers
         headers: dict[str, str] = {}
-        for line in data[pos:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", 0))
-        payload = data[head_end + 4:head_end + 4 + length]
-        pos = head_end + 4 + length + 4  # skip trailing CRLFCRLF
+        while True:
+            h = fp.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.decode("ascii", "replace").strip().lower()] = v.decode("utf-8", "replace").strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            # framing lost — jump to the next explicit record boundary
+            marker = _CRLF2 + b"WARC/"
+            window = b""
+            while True:
+                chunk = fp.read(65536)
+                if not chunk:
+                    return
+                window += chunk
+                idx = window.find(marker)
+                if idx >= 0:
+                    fp.push(window[idx + 4:])
+                    break
+                window = window[-len(marker):]
+            continue
+        payload = fp.read(length)
+        fp.read(4)  # trailing CRLFCRLF
         if headers.get("warc-type") != "response":
             continue
-        url = headers.get("warc-target-uri", "")
-        ts = dt.datetime.strptime(headers.get("warc-date", "1970-01-01T00:00:00Z"),
-                                  "%Y-%m-%dT%H:%M:%SZ")
+        try:
+            ts = _parse_date(headers["warc-date"])
+            url = headers["warc-target-uri"]
+        except (KeyError, ValueError):
+            continue  # malformed record: skip, don't kill the archive
         http_split = payload.find(_CRLF2)
         body = payload[http_split + 4:] if http_split >= 0 else payload
-        out.append((url, ts, body))
-    return out
+        yield url, ts, body
 
 
-def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WARC archives -> (url, warc_ts, html) DataFrame, one parse task
-    per archive file. Feed into ``plans.pipeline.build_pois(lang=None)``
-    (or attach a lang column via ``text_analysis.lang_id_col``)."""
-    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+def parse_warc_bytes(data: bytes) -> list[tuple[str, dt.datetime, bytes]]:
+    """Convenience: parse in-memory WARC bytes (tests / small files)."""
+    return list(iter_warc_records(io.BytesIO(data)))
+
+
+def read_warc_pages(spark: SparkSession, path_glob: str,
+                    chunk_rows: int = 2000) -> DataFrame:
+    """WARC archives -> (url, warc_ts, html) DataFrame. Spark lists the
+    files; each task opens its archive locally and STREAMS records in
+    ``chunk_rows`` batches (bounded memory even for 1 GB archives).
+    Feed into ``plans.pipeline.build_pois(lang=None)`` — and repartition
+    first (as ``app.read_pages`` does) so the parse stage and the
+    extraction UDF aren't a chained narrow Python pipeline."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path")
 
     def batches(it):
         for pdf in it:
-            urls, tss, htmls = [], [], []
-            for content in pdf["content"]:
-                for url, ts, body in parse_warc_bytes(bytes(content)):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(body)
-            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+            for path in pdf["path"]:
+                from urllib.parse import unquote, urlparse
+
+                local = unquote(urlparse(path).path) if path.startswith("file:") else path
+                with open(local, "rb") as f:
+                    urls, tss, htmls = [], [], []
+                    for url, ts, body in iter_warc_records(f):
+                        urls.append(url)
+                        tss.append(ts)
+                        htmls.append(body)
+                        if len(urls) >= chunk_rows:
+                            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+                            urls, tss, htmls = [], [], []
+                    if urls:
+                        yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
 
     return files.mapInPandas(batches, schema=PAGES_FROM_WARC_SCHEMA)

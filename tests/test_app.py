@@ -57,7 +57,7 @@ def test_app_warc_input(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(app, "get_spark", lambda *a, **k: spark)
     pages = pg.pages_df(spark, 150, partitions=2).toPandas()
     recs = [
-        (r["url"], r["warc_ts"].to_pydatetime().replace(microsecond=0), bytes(r["html"]))
+        (r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
         for _, r in pages.iterrows()
     ]
     warc_dir = tmp_path / "warcs"

@@ -30,7 +30,9 @@ def test_warc_round_trip_plain_and_gzipped(tmp_path):
     W.write_warc(p2, recs, gzip_members=True)
     for p in (p1, p2):
         got = W.parse_warc_bytes(open(p, "rb").read())
-        assert [(u, t) for u, t, _ in got] == [(u, t) for u, t, _ in recs]
+        # parsed timestamps are UTC-aware ('Z' means Zulu, not session tz)
+        assert all(t.tzinfo is not None for _, t, _ in got)
+        assert [(u, t.replace(tzinfo=None)) for u, t, _ in got] == [(u, t) for u, t, _ in recs]
         assert [h for _, _, h in got] == [h for _, _, h in recs]
 
 
@@ -58,8 +60,9 @@ def test_warc_to_extraction_pipeline(spark, tmp_path):
     from osm_poi_cloud_spark.plans import pipeline as pl
 
     pages = pg.pages_df(spark, 60, partitions=2).toPandas()
+    # microseconds survive the WARC round trip (fractional WARC-Date)
     recs = [
-        (r["url"], r["warc_ts"].to_pydatetime().replace(microsecond=0), bytes(r["html"]))
+        (r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
         for _, r in pages.iterrows()
     ]
     W.write_warc(str(tmp_path / "crawl.warc.gz"), recs, gzip_members=True)
