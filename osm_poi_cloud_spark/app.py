@@ -125,21 +125,19 @@ def stage_tiles(spark: SparkSession, out: str, min_zoom: int = 2, max_zoom: int 
 
     The parquet tile table WITH the mvt binary column is the distributed
     artifact (any tile server can range-read it); the single-file
-    .pmtiles packaging is a bounded driver step (<= 4^pmtiles_max_zoom
-    entries) — same shape as the reference, where tippecanoe runs
-    single-node after the merge (generate_pmtiles.py:135-162)."""
+    .pmtiles packaging streams through the driver — Spark does the
+    Hilbert sort, the writer holds only directory entries, payload
+    bytes go disk-to-disk — same shape as the reference, where
+    tippecanoe runs single-node after the merge
+    (generate_pmtiles.py:135-162), but without tile data in memory."""
     pois = spark.read.parquet(os.path.join(out, "pois_merged"))
     tiled = tl.per_tile_cap(tl.assign_tile_pyramid(pois, min_zoom, max_zoom), cap=cap)
     tiles = mvt.encode_tiles_mvt(tl.build_tiles(tiled))
     tiles.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out, "tiles"))
     stored = spark.read.parquet(os.path.join(out, "tiles"))
     n = stored.count()
-    arc_rows = (
-        stored.filter(F.col("z") <= pmtiles_max_zoom)
-        .select("z", "x", "y", "mvt").toLocalIterator()
-    )
-    stats = mvt.write_pmtiles(
-        ((r["z"], r["x"], r["y"], bytes(r["mvt"])) for r in arc_rows),
+    stats = mvt.write_pmtiles_streamed(
+        stored.filter(F.col("z") <= pmtiles_max_zoom).select("z", "x", "y", "mvt"),
         os.path.join(out, "pois.pmtiles"), min_zoom, min(max_zoom, pmtiles_max_zoom),
     )
     print(f"tiles: {n:,} tiles z{min_zoom}-z{max_zoom}; pmtiles: {stats}")

@@ -15,12 +15,18 @@ Design:
   over the ``build_tiles`` output (already one row per tile), emitting
   a ``mvt`` binary column. Distributed: tiles encode where they live;
   nothing funnels through the driver.
-* ``write_pmtiles`` — assembles the (small, bounded: <= 4^max_zoom
-  entries) tile directory into a PMTiles v3 file: Hilbert tile ids,
-  clustered tile data, identical-tile dedup, gzipped root directory +
-  JSON metadata. The directory/merge step is the only driver-side part
-  (same shape as the reference, where tippecanoe runs single-node on
-  the merged table); tile *encoding* stays distributed.
+* ``PMTilesWriter`` / ``write_pmtiles`` / ``write_pmtiles_streamed`` —
+  assemble tiles into a PMTiles v3 archive: Hilbert tile ids, clustered
+  tile data, identical-payload dedup, run-length coalescing, gzipped
+  root + LEAF directories (spec: root stays <= 16 KiB; overflow entries
+  go to leaves), JSON metadata. Payload bytes STREAM through a temp
+  data file — driver memory holds only the integer directory entries
+  and a 16-byte-digest dedup map, so a planet z2-14 archive (the
+  reference's actual artifact, generate_pmtiles.py:139-152) assembles
+  without buffering tile data. The archive-assembly step is the only
+  driver-side part (same shape as the reference, where tippecanoe runs
+  single-node on the merged table); tile *encoding* stays distributed,
+  and ``write_pmtiles_streamed`` lets Spark do the Hilbert sort.
 
 MVT spec: https://github.com/mapbox/vector-tile-spec (2.1).
 PMTiles v3 spec: https://github.com/protomaps/PMTiles/blob/main/spec/v3.
@@ -203,7 +209,7 @@ def hilbert_tile_id(z: int, x: int, y: int) -> int:
     return acc + d
 
 
-def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+def _serialize_directory(entries) -> bytes:
     """entries: sorted (tile_id, offset, length, run_length) -> spec bytes."""
     out = bytearray(_varint(len(entries)))
     last = 0
@@ -214,16 +220,171 @@ def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
         out += _varint(rl)
     for _, _, ln, _ in entries:
         out += _varint(ln)
-    for i, (_, off, ln, _) in enumerate(entries):
-        if i > 0 and off == entries[i - 1][1] + entries[i - 1][2]:
+    prev_end = None
+    for _, off, ln, _ in entries:
+        if prev_end is not None and off == prev_end:
             out += _varint(0)  # contiguous with previous
         else:
             out += _varint(off + 1)
+        prev_end = off + ln
     return bytes(out)
 
 
 def _gz(data: bytes) -> bytes:
     return gzip.compress(data, mtime=0)
+
+
+MAX_ROOT_BYTES = 16384  # PMTiles v3 spec: root directory should stay <= 16 KiB
+
+
+def _build_directories(tids, offs, lens, runs,
+                       max_root_bytes: int = MAX_ROOT_BYTES) -> tuple[bytes, bytes, int]:
+    """Split entries (four parallel int sequences, tile-id sorted) into a
+    gzipped root directory + concatenated gzipped leaf directories so the
+    root stays within ``max_root_bytes`` (spec v3 layout).
+
+    Returns (root_gz, leaves_blob, n_leaves). Root-only when everything
+    fits; otherwise leaf entries carry run_length=0 and their offset /
+    length address the leaf inside the leaf-directory section. Each leaf
+    is serialized from a bounded slice, so peak extra memory is one leaf,
+    not the full entry set."""
+    n = len(tids)
+    if n <= max_root_bytes:  # small enough that a root-only attempt is cheap
+        root = _gz(_serialize_directory(list(zip(tids, offs, lens, runs))))
+        if len(root) <= max_root_bytes:
+            return root, b"", 0
+    leaf_size = 4096
+    while True:
+        leaves = bytearray()
+        root_entries: list[tuple[int, int, int, int]] = []
+        for i in range(0, n, leaf_size):
+            j = min(i + leaf_size, n)
+            leaf = _gz(_serialize_directory(list(zip(tids[i:j], offs[i:j], lens[i:j], runs[i:j]))))
+            root_entries.append((tids[i], len(leaves), len(leaf), 0))
+            leaves += leaf
+        root = _gz(_serialize_directory(root_entries))
+        if len(root) <= max_root_bytes or len(root_entries) == 1:
+            return root, bytes(leaves), len(root_entries)
+        leaf_size = leaf_size + (leaf_size >> 1)  # grow 1.5x until the root fits
+
+
+class PMTilesWriter:
+    """Incremental PMTiles v3 archive writer.
+
+    ``add(tile_id, blob)`` in strictly increasing Hilbert tile-id order;
+    ``finalize()`` assembles the file. Payload bytes go straight to a
+    temp data file — the writer holds only four int arrays of directory
+    entries (~32 B per entry; run-length coalescing collapses identical
+    consecutive tiles, e.g. empty ocean) plus a 16-byte-digest dedup map,
+    so a planet z2-14 directory fits in driver memory while the multi-TB
+    data section never does more than stream through. This is the scale
+    fix for the r2 root-only / one-bytearray assembly
+    (``stack/tiles/generate_pmtiles.py:139-152`` is the reference's
+    planet-scale artifact)."""
+
+    def __init__(self, path: str, min_zoom: int, max_zoom: int,
+                 bounds: tuple[float, float, float, float] = (-180.0, -85.05112878, 180.0, 85.05112878),
+                 metadata: dict | None = None, dedup: bool = True):
+        from array import array
+
+        self.path = path
+        self.min_zoom = min_zoom
+        self.max_zoom = max_zoom
+        self.bounds = bounds
+        self.metadata = metadata
+        self._tmp = path + ".data.tmp"
+        self._fh = open(self._tmp, "wb")
+        self._tids = array("q")
+        self._offs = array("q")
+        self._lens = array("q")
+        self._runs = array("q")
+        self._digests: dict[bytes, tuple[int, int]] | None = {} if dedup else None
+        self._data_len = 0
+        self._addressed = 0
+        self._contents = 0
+        self._last_tid = -1
+
+    def add(self, tile_id: int, blob: bytes) -> None:
+        tile_id = int(tile_id)
+        if tile_id <= self._last_tid:
+            raise ValueError(f"tile ids must be strictly increasing (got {tile_id} after {self._last_tid})")
+        loc = None
+        if self._digests is not None:
+            import hashlib
+
+            key = hashlib.md5(blob).digest()
+            loc = self._digests.get(key)
+        if loc is None:
+            loc = (self._data_len, len(blob))
+            self._fh.write(blob)
+            self._data_len += len(blob)
+            self._contents += 1
+            if self._digests is not None:
+                self._digests[key] = loc
+        off, ln = loc
+        t, o, l, r = self._tids, self._offs, self._lens, self._runs
+        if t and o[-1] == off and l[-1] == ln and tile_id == t[-1] + r[-1]:
+            r[-1] += 1  # identical payload, contiguous id: extend the run
+        else:
+            t.append(tile_id)
+            o.append(off)
+            l.append(ln)
+            r.append(1)
+        self._addressed += 1
+        self._last_tid = tile_id
+
+    def finalize(self) -> dict:
+        import os
+
+        self._fh.close()
+        root, leaves, n_leaves = _build_directories(self._tids, self._offs, self._lens, self._runs)
+        meta = _gz(json.dumps(self.metadata or {
+            "name": "osm_poi_cloud_spark tiles",
+            "vector_layers": [{"id": "pois", "fields": {"name": "String", "class": "String"}}],
+        }, sort_keys=True).encode("utf-8"))
+
+        header_len = 127
+        root_off = header_len
+        meta_off = root_off + len(root)
+        leaf_off = meta_off + len(meta)
+        data_off = leaf_off + len(leaves)
+        e7 = 10_000_000
+        b = self.bounds
+
+        header = bytearray()
+        header += b"PMTiles\x03"
+        header += struct.pack("<QQ", root_off, len(root))
+        header += struct.pack("<QQ", meta_off, len(meta))
+        header += struct.pack("<QQ", leaf_off, len(leaves))
+        header += struct.pack("<QQ", data_off, self._data_len)
+        header += struct.pack("<QQQ", self._addressed, len(self._tids), self._contents)
+        # clustered=1, internal_compression=2 (gzip dirs/meta),
+        # tile_compression=1 (none: MVT payloads stored raw), tile_type=1 (MVT)
+        header += bytes([1, 2, 1, 1])
+        header += bytes([self.min_zoom, self.max_zoom])
+        header += struct.pack("<iiii", int(b[0] * e7), int(b[1] * e7), int(b[2] * e7), int(b[3] * e7))
+        header += bytes([self.min_zoom]) + struct.pack(
+            "<ii", int((b[0] + b[2]) / 2 * e7), int((b[1] + b[3]) / 2 * e7))
+        assert len(header) == header_len, len(header)
+
+        with open(self.path, "wb") as out:
+            out.write(bytes(header))
+            out.write(root)
+            out.write(meta)
+            out.write(leaves)
+            with open(self._tmp, "rb") as data:  # chunked copy, never in memory
+                while chunk := data.read(1 << 20):
+                    out.write(chunk)
+        os.unlink(self._tmp)
+        return {
+            "tiles": self._addressed,
+            "entries": len(self._tids),
+            "unique_payloads": self._contents,
+            "data_bytes": self._data_len,
+            "root_dir_bytes": len(root),
+            "leaf_dir_bytes": len(leaves),
+            "n_leaves": n_leaves,
+        }
 
 
 def write_pmtiles(
@@ -236,62 +397,44 @@ def write_pmtiles(
 ) -> dict:
     """Write (z, x, y, mvt_bytes) rows to a PMTiles v3 archive.
 
-    ``rows``: iterable of (z, x, y, bytes) — e.g. the collected
-    ``encode_tiles_mvt`` output (bounded by 4^max_zoom entries; the
-    directory build is the deliberate driver-side merge step).
-    Identical tile payloads are stored once (tile_contents_count <
-    tile_entries_count). Returns summary stats."""
-    tiles = sorted((hilbert_tile_id(int(z), int(x), int(y)), bytes(b)) for z, x, y, b in rows)
-    data = bytearray()
-    offsets: dict[bytes, tuple[int, int]] = {}
-    entries: list[tuple[int, int, int, int]] = []
-    for tid, blob in tiles:
-        if blob in offsets:
-            off, ln = offsets[blob]
-        else:
-            off, ln = len(data), len(blob)
-            data += blob
-            offsets[blob] = (off, ln)
-        entries.append((tid, off, ln, 1))
+    ``rows``: iterable of (z, x, y, bytes), any order — payloads are
+    buffered for the in-driver Hilbert sort, so this convenience form is
+    for bounded inputs (tests, low-zoom archives). For large archives
+    use ``write_pmtiles_streamed`` (Spark sorts, payloads stream).
+    Identical tile payloads are stored once and coalesced into runs.
+    Returns summary stats."""
+    w = PMTilesWriter(path, min_zoom, max_zoom, bounds, metadata)
+    for tid, blob in sorted((hilbert_tile_id(int(z), int(x), int(y)), bytes(b)) for z, x, y, b in rows):
+        w.add(tid, blob)
+    return w.finalize()
 
-    root = _gz(_serialize_directory(entries))
-    meta = _gz(json.dumps(metadata or {
-        "name": "osm_poi_cloud_spark tiles",
-        "vector_layers": [{"id": "pois", "fields": {"name": "String", "class": "String"}}],
-    }, sort_keys=True).encode("utf-8"))
 
-    header_len = 127
-    root_off = header_len
-    meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)
-    data_off = leaf_off  # no leaf directories at these entry counts
-    e7 = 10_000_000
+def write_pmtiles_streamed(
+    tiles: DataFrame,
+    path: str,
+    min_zoom: int,
+    max_zoom: int,
+    bounds: tuple[float, float, float, float] = (-180.0, -85.05112878, 180.0, 85.05112878),
+    metadata: dict | None = None,
+) -> dict:
+    """Archive a (z, x, y, mvt) DataFrame at scale: Spark computes the
+    Hilbert tile id and does the global sort (a distributed range sort,
+    not a driver sort); the driver consumes the sorted stream with
+    ``toLocalIterator`` — one partition in flight — and feeds the
+    incremental writer. Driver memory is O(directory entries), disk I/O
+    is one pass; matches the tippecanoe-stage shape of the reference at
+    planet scale."""
 
-    header = bytearray()
-    header += b"PMTiles\x03"
-    header += struct.pack("<QQ", root_off, len(root))
-    header += struct.pack("<QQ", meta_off, len(meta))
-    header += struct.pack("<QQ", leaf_off, 0)
-    header += struct.pack("<QQ", data_off, len(data))
-    header += struct.pack("<QQQ", len(entries), len(entries), len(offsets))
-    # clustered=1, internal_compression=2 (gzip dirs/meta),
-    # tile_compression=1 (none: MVT payloads stored raw), tile_type=1 (MVT)
-    header += bytes([1, 2, 1, 1])
-    header += bytes([min_zoom, max_zoom])
-    header += struct.pack("<iiii", int(bounds[0] * e7), int(bounds[1] * e7),
-                          int(bounds[2] * e7), int(bounds[3] * e7))
-    header += bytes([min_zoom]) + struct.pack(
-        "<ii", int((bounds[0] + bounds[2]) / 2 * e7), int((bounds[1] + bounds[3]) / 2 * e7))
-    assert len(header) == header_len, len(header)
+    @F.pandas_udf(T.LongType())
+    def _tid(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([hilbert_tile_id(int(zz), int(xx), int(yy))
+                          for zz, xx, yy in zip(z, x, y)], dtype="int64")
 
-    with open(path, "wb") as fh:
-        fh.write(bytes(header))
-        fh.write(root)
-        fh.write(meta)
-        fh.write(bytes(data))
-    return {
-        "tiles": len(entries),
-        "unique_payloads": len(offsets),
-        "data_bytes": len(data),
-        "root_dir_bytes": len(root),
-    }
+    ordered = (
+        tiles.select(_tid(F.col("z"), F.col("x"), F.col("y")).alias("tid"), "mvt")
+        .orderBy("tid")
+    )
+    w = PMTilesWriter(path, min_zoom, max_zoom, bounds, metadata)
+    for row in ordered.toLocalIterator(prefetchPartitions=True):
+        w.add(row["tid"], bytes(row["mvt"]))
+    return w.finalize()

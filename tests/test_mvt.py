@@ -75,6 +75,82 @@ def test_pmtiles_archive(spark, tiles_df, tmp_path):
     assert arc["get"](5, 31, 31) is None or True  # lookup never raises
 
 
+def test_pmtiles_leaf_directories(tmp_path):
+    """>20k distinct tiles force the v3 leaf-directory layout: root must
+    stay <= 16 KiB (spec), overflow entries live in leaves, and every
+    tile still round-trips through the independent decoder. Tiles are
+    fed pre-sorted through the incremental writer (the streamed path's
+    core), so no payload buffering happens."""
+    z = 8
+    coords = [(z, x, y) for x in range(0, 256, 2) for y in range(0, 200)]  # 25600 tiles
+    assert len(coords) > 20000
+
+    def payload(x, y):
+        return b"tile-%d-%d-" % (x, y) + bytes([(x * 31 + y) & 0xFF]) * 8
+
+    path = str(tmp_path / "big.pmtiles")
+    w = mvt.PMTilesWriter(path, z, z)
+    for tid, (zz, x, y) in sorted((mvt.hilbert_tile_id(*c), c) for c in coords):
+        w.add(tid, payload(x, y))
+    stats = w.finalize()
+    assert stats["tiles"] == len(coords)
+    assert stats["n_leaves"] > 0
+    assert stats["root_dir_bytes"] <= mvt.MAX_ROOT_BYTES
+
+    arc = md.read_pmtiles(path)
+    assert arc["n_addressed"] == len(coords) and arc["n_leaves"] == stats["n_leaves"]
+    assert len(arc["entries"]) == stats["entries"]
+    for zz, x, y in coords[::97] + coords[:3] + coords[-3:]:
+        assert arc["get"](zz, x, y) == payload(x, y)
+    # misses (odd x never written) return None, never raise
+    assert arc["get"](z, 1, 0) is None
+    assert arc["get"](z, 3, 199) is None
+    assert arc["get"](2, 0, 0) is None
+
+
+def test_pmtiles_run_length_and_dedup(tmp_path):
+    """Identical consecutive payloads (ocean/empty tiles) coalesce into
+    run-length entries and are stored once; lookups inside and outside
+    runs behave per spec."""
+    z = 6
+    blob = b"\x1a\x00empty"
+    path = str(tmp_path / "runs.pmtiles")
+    w = mvt.PMTilesWriter(path, z, z)
+    n = 1 << z
+    all_tiles = sorted((mvt.hilbert_tile_id(z, x, y), (x, y)) for x in range(n) for y in range(n))
+    for tid, _ in all_tiles:
+        w.add(tid, blob)
+    stats = w.finalize()
+    assert stats["tiles"] == n * n
+    assert stats["entries"] == 1  # one run covers the whole zoom level
+    assert stats["unique_payloads"] == 1 and stats["data_bytes"] == len(blob)
+    arc = md.read_pmtiles(path)
+    assert arc["get"](z, 0, 0) == blob and arc["get"](z, n - 1, n - 1) == blob
+    assert arc["get"](z + 1, 0, 0) is None and arc["get"](z - 1, 0, 0) is None
+
+
+def test_pmtiles_streamed_matches_driver_write(spark, tiles_df, tmp_path):
+    """Spark-sorted streaming assembly produces a byte-identical archive
+    to the in-driver sort path."""
+    enc = mvt.encode_tiles_mvt(tiles_df).select("z", "x", "y", "mvt")
+    p1 = str(tmp_path / "driver.pmtiles")
+    p2 = str(tmp_path / "streamed.pmtiles")
+    rows = enc.collect()
+    s1 = mvt.write_pmtiles(((r["z"], r["x"], r["y"], bytes(r["mvt"])) for r in rows), p1, 2, 5)
+    s2 = mvt.write_pmtiles_streamed(enc.repartition(5), p2, 2, 5)
+    assert s1 == s2
+    with open(p1, "rb") as a, open(p2, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_pmtiles_writer_rejects_unsorted(tmp_path):
+    w = mvt.PMTilesWriter(str(tmp_path / "x.pmtiles"), 0, 2)
+    w.add(5, b"a")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        w.add(5, b"b")
+    w.finalize()
+
+
 def test_hilbert_tile_ids():
     # zoom-0 root is id 0; zoom-1 block starts at 1; zoom-z block at (4^z-1)/3
     assert mvt.hilbert_tile_id(0, 0, 0) == 0

@@ -147,32 +147,62 @@ def read_pmtiles(path: str) -> dict:
     min_zoom, max_zoom = blob[100], blob[101]
     bounds = struct.unpack("<iiii", blob[102:118])
 
-    root = gzip.decompress(blob[root_off:root_off + root_len]) if internal_comp == 2 \
-        else blob[root_off:root_off + root_len]
-    metadata = gzip.decompress(blob[meta_off:meta_off + meta_len]) if internal_comp == 2 \
-        else blob[meta_off:meta_off + meta_len]
+    def _unz(raw: bytes) -> bytes:
+        return gzip.decompress(raw) if internal_comp == 2 else raw
 
-    pos = 0
-    n, pos = read_varint(root, pos)
-    tids, runs, lens, offs = [], [], [], []
-    last = 0
-    for _ in range(n):
-        d, pos = read_varint(root, pos)
-        last += d
-        tids.append(last)
-    for _ in range(n):
-        v, pos = read_varint(root, pos)
-        runs.append(v)
-    for _ in range(n):
-        v, pos = read_varint(root, pos)
-        lens.append(v)
-    for i in range(n):
-        v, pos = read_varint(root, pos)
-        if v == 0:
-            offs.append(offs[i - 1] + lens[i - 1])
+    def _parse_dir(buf: bytes) -> list[tuple[int, int, int, int]]:
+        pos = 0
+        n, pos = read_varint(buf, pos)
+        tids, runs, lens, offs = [], [], [], []
+        last = 0
+        for _ in range(n):
+            d, pos = read_varint(buf, pos)
+            last += d
+            tids.append(last)
+        for _ in range(n):
+            v, pos = read_varint(buf, pos)
+            runs.append(v)
+        for _ in range(n):
+            v, pos = read_varint(buf, pos)
+            lens.append(v)
+        for i in range(n):
+            v, pos = read_varint(buf, pos)
+            if v == 0:
+                offs.append(offs[i - 1] + lens[i - 1])
+            else:
+                offs.append(v - 1)
+        return list(zip(tids, offs, lens, runs))
+
+    root_entries = _parse_dir(_unz(blob[root_off:root_off + root_len]))
+    metadata = _unz(blob[meta_off:meta_off + meta_len])
+
+    leaf_cache: dict[int, list[tuple[int, int, int, int]]] = {}
+
+    def _leaf(off: int, ln: int) -> list[tuple[int, int, int, int]]:
+        if off not in leaf_cache:
+            leaf_cache[off] = _parse_dir(_unz(blob[leaf_off + off:leaf_off + off + ln]))
+        return leaf_cache[off]
+
+    _keys_cache: dict[int, list[int]] = {}
+
+    def _find(entries, tid):
+        """Last entry with entry.tid <= tid (spec directory search)."""
+        import bisect
+
+        keys = _keys_cache.get(id(entries))
+        if keys is None:
+            keys = _keys_cache[id(entries)] = [e[0] for e in entries]
+        i = bisect.bisect_right(keys, tid) - 1
+        return entries[i] if i >= 0 else None
+
+    # fully-expanded tile entries (root + every leaf) for inspection;
+    # leaf pointers are the run_length == 0 rows of the root
+    entries = []
+    for t, o, ln, rl in root_entries:
+        if rl == 0:
+            entries.extend(_leaf(o, ln))
         else:
-            offs.append(v - 1)
-    entries = list(zip(tids, offs, lens, runs))
+            entries.append((t, o, ln, rl))
 
     def tile_id(z, x, y):
         acc = ((1 << (2 * z)) - 1) // 3
@@ -191,13 +221,14 @@ def read_pmtiles(path: str) -> dict:
             s >>= 1
         return acc + d
 
-    by_id = {t: (o, ln) for t, o, ln, _ in entries}
-
     def get(z, x, y):
-        hit = by_id.get(tile_id(z, x, y))
-        if hit is None:
+        tid = tile_id(z, x, y)
+        e = _find(root_entries, tid)
+        if e is not None and e[3] == 0:  # leaf directory pointer
+            e = _find(_leaf(e[1], e[2]), tid)
+        if e is None or e[3] == 0 or tid >= e[0] + e[3]:
             return None
-        o, ln = hit
+        _, o, ln, _ = e
         raw = blob[data_off + o:data_off + o + ln]
         return gzip.decompress(raw) if tile_comp == 2 else raw
 
@@ -205,5 +236,6 @@ def read_pmtiles(path: str) -> dict:
         "n_entries": n_entries, "n_addressed": n_addressed, "n_contents": n_contents,
         "min_zoom": min_zoom, "max_zoom": max_zoom, "bounds": bounds,
         "clustered": clustered, "tile_type": tile_type, "entries": entries,
+        "root_entries": root_entries, "n_leaves": sum(1 for e in root_entries if e[3] == 0),
         "metadata": metadata, "get": get,
     }
