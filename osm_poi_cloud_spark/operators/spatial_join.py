@@ -362,22 +362,35 @@ def point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndar
     return point_in_rings(lon, lat, (ring,))
 
 
-def point_in_rings(lon: np.ndarray, lat: np.ndarray, rings) -> np.ndarray:
+def point_in_rings(lon: np.ndarray, lat: np.ndarray, rings,
+                   edge_chunk: int = 4096) -> np.ndarray:
     """Even-odd containment over a ring set (shells + holes + islands):
     total rightward-ray crossing count over ALL rings, mod 2. Composes
     holes and multipolygon shells with zero extra machinery — a hole's
-    crossings cancel its shell's parity."""
+    crossings cancel its shell's parity.
+
+    The edge axis is processed in ``edge_chunk`` slices, accumulating
+    per-point crossing counts: peak memory is O(points x edge_chunk),
+    not O(points x total edges) — a coastline-grade 10^5-edge ring
+    against a 10k-row Arrow batch stays at tens of MB instead of
+    gigabytes (r2 verdict #3). Chunked counts sum to exactly the dense
+    count, so results are bit-identical."""
     x1 = np.concatenate([r[:-1, 0] for r in rings])
     y1 = np.concatenate([r[:-1, 1] for r in rings])
     x2 = np.concatenate([r[1:, 0] for r in rings])
     y2 = np.concatenate([r[1:, 1] for r in rings])
     px = lon[:, None]
     py = lat[:, None]
-    crosses = (y1[None, :] > py) != (y2[None, :] > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
-    hits = crosses & (px < xint)
-    return hits.sum(axis=1) % 2 == 1
+    counts = np.zeros(len(lon), dtype=np.int64)
+    for s in range(0, len(x1), edge_chunk):
+        e = s + edge_chunk
+        cy1 = y1[s:e][None, :]
+        cy2 = y2[s:e][None, :]
+        crosses = (cy1 > py) != (cy2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2[s:e] - x1[s:e])[None, :] * (py - cy1) / (cy2 - cy1) + x1[s:e][None, :]
+        counts += (crosses & (px < xint)).sum(axis=1)
+    return counts % 2 == 1
 
 
 def polygon_tile_cover(polys: list[Polygon], zoom: int) -> pd.DataFrame:

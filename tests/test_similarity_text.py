@@ -78,6 +78,30 @@ def test_ivf_ann_recall(spark):
     )
 
 
+def test_ivf_hash_sample_partitioning_independent(spark):
+    """The at-scale training sample (xxhash64(id) % m == 0, no total
+    sort) must depend only on table CONTENT: identical centroids no
+    matter how the corpus is partitioned, and the index still answers."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = sim.train_ivf_centroids(emb.repartition(3), 8, sample="hash", max_sample=200)
+    c2 = sim.train_ivf_centroids(emb.repartition(11, "vec_id"), 8, sample="hash", max_sample=200)
+    c3 = sim.train_ivf_centroids(emb.coalesce(1), 8, sample="hash", max_sample=200)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1, c3)
+
+    centroids, indexed = sim.ivf_index(emb, n_centroids=8, sample="hash")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ann = sim.ivf_ann(indexed, centroids, queries, k=5, nprobe=8).toPandas()
+    exact = sim.pairwise_topk_bruteforce(emb, queries, k=5).toPandas()
+    # nprobe == n_centroids degenerates to brute force regardless of sample mode
+    pd.testing.assert_frame_equal(
+        ann.sort_values(["query_id", "rn"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rn"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_embedding_dedup_pairs(spark):
     rng = np.random.RandomState(23)
     base = rng.standard_normal(16)

@@ -187,6 +187,55 @@ def test_split_into_lon_bands_preserves_area_and_membership():
         assert (got == expect).all()
 
 
+def test_point_in_rings_edge_chunk_bounded_memory():
+    """r2 verdict #3: a coastline-grade ring (100k edges) against a big
+    point batch must allocate O(points x edge_chunk), never
+    O(points x total edges) — and chunking must not change the answer.
+
+    Memory pin: numpy >= 1.22 routes data allocations through
+    tracemalloc, so the traced peak is the real array footprint. Dense
+    would need ~2000 x 100k x 8 B = 1.6 GB per temporary; the chunked
+    path is pinned at < 400 MB total. Exactness: per-chunk crossing
+    counts are int64 sums, so any chunking (including misaligned prime
+    sizes) reproduces the dense count bit-for-bit."""
+    import tracemalloc
+
+    rng = np.random.RandomState(7)
+    n_edges = 100_000
+    theta = np.sort(rng.uniform(0, 2 * np.pi, n_edges))
+    r = 1.0 + 0.3 * np.sin(13 * theta) + rng.uniform(-0.05, 0.05, n_edges)
+    ring = np.column_stack([r * np.cos(theta), r * np.sin(theta)])
+    ring = np.vstack([ring, ring[:1]])  # close
+    pts = rng.uniform(-1.5, 1.5, size=(2000, 2))
+
+    tracemalloc.start()
+    chunked = sj.point_in_rings(pts[:, 0], pts[:, 1], (ring,), edge_chunk=4096)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 400 * 1024 * 1024, f"peak {peak/1e6:.0f} MB exceeds chunked bound"
+
+    # chunk-size invariance (misaligned prime chunk == default chunk)
+    odd = sj.point_in_rings(pts[:, 0], pts[:, 1], (ring,), edge_chunk=999)
+    np.testing.assert_array_equal(chunked, odd)
+
+    # dense parity on a subset small enough to materialize densely
+    sub = pts[:200]
+    dense = sj.point_in_rings(sub[:, 0], sub[:, 1], (ring,), edge_chunk=n_edges + 10)
+    np.testing.assert_array_equal(chunked[:200], dense)
+
+    # scalar ray-cast oracle spot-check
+    def scalar_pip(px, py):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if (y1 > py) != (y2 > py):
+                if px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                    inside = not inside
+        return inside
+
+    exp = np.array([scalar_pip(x, y) for x, y in pts[:50]])
+    np.testing.assert_array_equal(chunked[:50], exp)
+
+
 def test_pip_join_antimeridian(spark):
     """A polygon straddling +-180 matches points on BOTH sides, and the
     tile cover stays local to the two shells (not the globe-width box)."""
