@@ -97,48 +97,174 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
 
 def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
                          max_iter: int = 20, strict: bool = False,
-                         checkpoint_dir: str | None = None) -> DataFrame:
-    """Min-label propagation over an undirected edge list -> (node, component).
+                         checkpoint_dir: str | None = None,
+                         algorithm: str = "star") -> DataFrame:
+    """Undirected edge list -> (node, component), component = min node id.
 
-    Iterates until fixpoint (bounded by max_iter); each round is one
-    groupBy shuffle on the node id. Duplicate clusters are tiny and
-    shallow in practice, so convergence is fast; at web scale this is
-    the standard large-star/small-star shape.
+    ``algorithm``:
 
-    ``checkpoint_dir``: when set, each round's labels are written with a
+    * ``"star"`` (default) — alternating large-star / small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14). Each round contracts the graph toward per-component
+      stars centered on the min node; rounds needed are O(log n) in the
+      *component size*, independent of hop diameter — a 1000-hop chain
+      of pairwise near-dups (templated page series) converges in a
+      handful of rounds where label propagation needs 1000
+      (r2 verdict #4; property-tested on a length-1000 path graph).
+    * ``"label-prop"`` — min-label propagation, one groupBy shuffle per
+      round but O(component diameter) rounds. Fine when clusters are
+      known-shallow; kept for comparison and as the simpler plan.
+
+    Both produce the identical (node, component) mapping at fixpoint
+    (min id per component), so golden fixtures are algorithm-agnostic.
+
+    ``checkpoint_dir``: when set, each round's state is written with a
     *reliable* ``checkpoint()`` to that (HDFS/S3) directory, so executor
     loss mid-job resumes from the last round instead of recomputing the
     whole lineage; unset falls back to ``localCheckpoint`` (fine in
     local mode / tests, NOT fault-tolerant on a cluster — r1 verdict #3).
 
     Per round there is exactly one *compute* action (the eager
-    checkpoint materializes labels + change flags together); the
-    convergence probe then reads the already-checkpointed data.
+    checkpoint); the convergence probe then reads already-checkpointed
+    data.
 
-    Hitting ``max_iter`` without a fixpoint (a cluster whose hop-diameter
-    exceeds it) raises if ``strict`` else emits a loud warning — a
-    silently split cluster would leak near-duplicates downstream."""
+    Hitting ``max_iter`` without a fixpoint raises if ``strict`` else
+    emits a loud warning — a silently split cluster would leak
+    near-duplicates downstream."""
+    if algorithm not in ("star", "label-prop"):
+        raise ValueError(f"algorithm must be 'star' or 'label-prop', got {algorithm!r}")
     edges = edges.persist()  # re-read every iteration; never recompute upstream LSH
+    spark_ctx = edges.sparkSession.sparkContext
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         # unique per-run subdirectory: (a) later .checkpoint() calls in
         # the session don't silently land in this operator's directory
-        # (the original dir is restored below), (b) the caller can
-        # delete ONE subdir after consuming the result — per-round
-        # checkpoint files accumulate within a run (bounded by
-        # max_iter) because the returned labels still reference the
-        # final round's files.
+        # (the original dir — or unset state — is restored below),
+        # (b) the caller can delete ONE subdir after consuming the
+        # result — per-round checkpoint files accumulate within a run
+        # (bounded by max_iter) because the returned labels still
+        # reference the final round's files.
         import uuid
 
-        sc = edges.sparkSession.sparkContext
-        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_opt = spark_ctx._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
         run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
-        sc.setCheckpointDir(run_dir)
+        spark_ctx.setCheckpointDir(run_dir)
 
     def _checkpoint(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
+    try:
+        if algorithm == "star":
+            labels, converged = _cc_star(edges, id_a, id_b, max_iter, _checkpoint)
+        else:
+            labels, converged = _cc_label_prop(edges, id_a, id_b, max_iter, _checkpoint)
+    finally:
+        edges.unpersist()
+        if checkpoint_dir is not None:
+            # restore EXACTLY the prior state: Scala setCheckpointDir
+            # wraps its argument in Option(...), so null clears it —
+            # leaving the session pointed at the deletable cc-<uuid>
+            # subdir would corrupt later unrelated .checkpoint() calls.
+            spark_ctx._jsc.sc().setCheckpointDir(prev_ckpt_dir)
+    if not converged:
+        msg = (f"connected_components did not converge within max_iter={max_iter}; "
+               "components may be split — raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return labels
+
+
+def _cc_star(edges: DataFrame, id_a: str, id_b: str, max_iter: int,
+             _checkpoint) -> tuple[DataFrame, bool]:
+    """Alternating large-star/small-star rounds to a star-graph fixpoint.
+
+    large-star: every node u sends m = min(N(u) + {u}) to its LARGER
+    neighbors (edges (v, m) for v in N(u), v > u) — strictly-greater
+    emission keeps edges self-loop-free and monotone.
+    small-star: orient edges (u > v); u re-links its smaller neighbors
+    and itself to m = min(N(u) + {u}).
+    Fixpoint = disjoint stars centered on each component's min node
+    (proved in the paper); both operators preserve connectivity.
+
+    Convergence probe: the edge set is a deterministic function of the
+    round, so an (count, bit_xor(xxhash64(u, v))) checksum equality
+    between consecutive rounds detects the fixpoint in one cheap agg
+    over checkpointed data (bit_xor, not sum — ANSI overflow)."""
+    e = (
+        edges.selectExpr(f"{id_a} AS u", f"{id_b} AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # node universe from the ORIGINAL edges (self-loop-only nodes survive)
+    nodes = (
+        edges.selectExpr(f"{id_a} AS node")
+        .union(edges.selectExpr(f"{id_b} AS node"))
+        .distinct()
+        .persist()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        small_mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(small_mins, on="u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("v").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.x").alias("u"), F.col("p.y").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = _checkpoint(small)
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("x"),
+            ).first()
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    # fixpoint edges are (member, root) stars with root = min(component)
+    mapping = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    ).distinct()
+    labels = (
+        nodes.join(mapping, on="node", how="left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+    nodes.unpersist()
+    return labels, converged
+
+
+def _cc_label_prop(edges: DataFrame, id_a: str, id_b: str, max_iter: int,
+                   _checkpoint) -> tuple[DataFrame, bool]:
+    """Min-label propagation: one groupBy shuffle per round, O(diameter)
+    rounds. Per round one compute action (the eager checkpoint
+    materializes labels + change flags together); the convergence probe
+    reads the checkpointed data."""
     sym = edges.selectExpr(f"{id_a} AS node", f"{id_b} AS label").union(
         edges.selectExpr(f"{id_b} AS node", f"{id_a} AS label")
     )
@@ -157,8 +283,6 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
             .groupBy("node")
             .agg(F.least(F.min("label"), F.min("cand")).alias("label"))
         )
-        # one compute action: materialize labels WITH per-node change
-        # flags; the probe below scans checkpointed data only
         flagged = _checkpoint(
             new_labels.alias("n")
             .join(labels.withColumnRenamed("label", "_old"), on="node")
@@ -168,18 +292,7 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
         labels = flagged.drop("_ch")
         if not changed:
             break
-    edges.unpersist()
-    if checkpoint_dir is not None and prev_ckpt_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
-    if changed:
-        msg = (f"connected_components did not converge within max_iter={max_iter}; "
-               "components may be split — raise max_iter")
-        if strict:
-            raise RuntimeError(msg)
-        import warnings
-
-        warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels.withColumnRenamed("label", "component")
+    return labels.withColumnRenamed("label", "component"), not changed
 
 
 def minhash_lsh_dedup(

@@ -96,6 +96,32 @@ def test_connected_components(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_long_path_few_rounds(spark):
+    """r2 verdict #4: a length-1000 path (hop diameter 1000 — the
+    templated-page-series shape) must converge in O(log n) star rounds,
+    not O(diameter). strict=True turns slow convergence into a failure:
+    12 rounds is the pinned budget where label propagation needs ~1000."""
+    n = 1001
+    edges = spark.createDataFrame(pd.DataFrame({"a": range(n - 1), "b": range(1, n)}))
+    comp = dd.connected_components(edges, max_iter=12, strict=True).toPandas()
+    assert len(comp) == n
+    assert (comp["component"] == 0).all()
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Both algorithms are exact: identical (node, component) mapping on
+    a random multigraph with self-loops and isolated-ish nodes."""
+    rng = np.random.RandomState(5)
+    edges = spark.createDataFrame(pd.DataFrame({
+        "a": rng.randint(0, 200, 300), "b": rng.randint(0, 200, 300)
+    }))
+    star = (dd.connected_components(edges, algorithm="star")
+            .toPandas().sort_values("node").reset_index(drop=True))
+    lp = (dd.connected_components(edges, algorithm="label-prop", max_iter=60)
+          .toPandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(star, lp, check_dtype=False)
+
+
 def test_signatures_deterministic_across_runs(spark):
     docs = _docs(spark)
     udf = dd.make_minhash_udf(num_perm=32)

@@ -30,6 +30,7 @@ ALLOWED_ACTIONS = {
     ("operators/spatial_join.py", "shard_index_df"),     # same bounded manifest expansion (idx mapping)
     ("operators/similarity.py", "train_ivf_centroids"),  # bounded training sample collect
     ("operators/dedup.py", "minhash_lsh_dedup"),         # isEmpty() early-exit on persisted pairs
+    ("operators/dedup.py", "_cc_star"),                  # 1-row checksum agg over checkpointed edges (convergence probe)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components
