@@ -133,7 +133,13 @@ def stage_tiles(spark: SparkSession, out: str, min_zoom: int = 2, max_zoom: int 
     pois = spark.read.parquet(os.path.join(out, "pois_merged"))
     tiled = tl.per_tile_cap(tl.assign_tile_pyramid(pois, min_zoom, max_zoom), cap=cap)
     tiles = mvt.encode_tiles_mvt(tl.build_tiles(tiled))
-    tiles.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out, "tiles"))
+    # range-cluster on (z, x, y) before the z-partitioned write: each
+    # output file then holds a contiguous (x, y) run, so parquet
+    # min/max row-group stats make a single-tile point read a seek
+    # (directory pruning on z + stats pruning on x/y — the layout
+    # server.py's tiles_path mode serves from)
+    (tiles.repartitionByRange("z", "x", "y")
+     .write.mode("overwrite").partitionBy("z").parquet(os.path.join(out, "tiles")))
     stored = spark.read.parquet(os.path.join(out, "tiles"))
     n = stored.count()
     stats = mvt.write_pmtiles_streamed(

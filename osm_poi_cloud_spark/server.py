@@ -70,15 +70,28 @@ def _tile_bytes(tiles: DataFrame, z: int, x: int, y: int) -> bytes | None:
 
 
 def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0,
-                tiles: DataFrame | None = None) -> ThreadingHTTPServer:
+                tiles: DataFrame | None = None,
+                tiles_path: str | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
     ephemeral port (``server.server_address[1]`` has the real one).
-    ``tiles``: optional (z, x, y, mvt) table enabling ``/tiles/...``.
-    The DataFrame is persisted here so each request is a filter over
-    cached tiles, not a re-run of the tile-build plan; for production
-    point lookups, back it with a parquet table partitioned by z
-    (directory pruning + row-group stats make the filter a seek)."""
-    if tiles is not None:
+
+    ``/tiles/...`` backends (mutually exclusive):
+
+    * ``tiles_path`` — the production path (r2 verdict #7): a parquet
+      tile table partitioned by ``z`` (``app.stage_tiles`` output).
+      Each request plans a point read where the z predicate is a
+      *partition filter* (directory pruning — asserted by
+      test_server's plan-shape check) and x/y are pushed to parquet
+      row-group stats, tight because stage_tiles range-clusters on
+      (z, x, y). No job state is held between requests.
+    * ``tiles`` (DataFrame) — ad-hoc: persisted here so each request
+      filters cached tiles instead of re-running the tile-build plan.
+      Fine for notebooks/tests; prefer ``tiles_path`` in production."""
+    if tiles is not None and tiles_path is not None:
+        raise ValueError("pass tiles or tiles_path, not both")
+    if tiles_path is not None:
+        tiles = pois.sparkSession.read.parquet(tiles_path)
+    elif tiles is not None:
         tiles = tiles.persist()
 
     class Handler(BaseHTTPRequestHandler):
@@ -136,8 +149,7 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("poi-server")
     pois = spark.read.parquet(args.pois)
-    tiles = spark.read.parquet(args.tiles) if args.tiles else None
-    srv = make_server(pois, args.host, args.port, tiles=tiles)
+    srv = make_server(pois, args.host, args.port, tiles_path=args.tiles)
     print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
     srv.serve_forever()
 
