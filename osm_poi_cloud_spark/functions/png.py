@@ -93,8 +93,22 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, C) uint8. Verifies chunk CRCs."""
+#: decode ceiling: 64 MP * 4 channels = 256 MB of raster — far above any
+#: real crawl thumbnail, far below an executor OOM. decode_png targets
+#: untrusted crawl media, so attacker-declared IHDR dims must be capped
+#: BEFORE any allocation happens.
+MAX_PIXELS = 64_000_000
+
+
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. Verifies chunk CRCs.
+
+    Decompression-bomb hardened: IHDR dimensions are validated against
+    ``max_pixels`` right after parsing, and the IDAT stream is inflated
+    with a bounded ``decompressobj`` (``max_length = expected + 1``) so
+    a tiny crafted archive claiming huge dims or hiding an oversized
+    deflate stream fails in O(1) memory, before any gigabyte
+    allocation."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -119,6 +133,10 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported color type {color_type} (0, 2 or 6)")
             if interlace:
                 raise ValueError("interlaced PNG not supported")
+            if width == 0 or height == 0 or width * height > max_pixels:
+                raise ValueError(
+                    f"refusing {width}x{height} PNG (> {max_pixels} px cap — "
+                    "decompression-bomb guard for untrusted crawl media)")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -127,8 +145,14 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("missing IHDR")
     c = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     expected = height * (width * c + 1)
+    # bounded inflate: never materialize more than expected + 1 bytes,
+    # however large the hidden deflate stream actually is
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(bytes(idat), expected + 1)
+    if len(inflated) > expected:
+        raise ValueError(f"IDAT inflates past expected {expected} bytes (bomb guard)")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != expected:
         raise ValueError(f"IDAT size {len(raw)} != expected {expected}")
     return _unfilter(raw, height, width, c)

@@ -18,7 +18,19 @@ Robustness rules (a crawl archive always contains some garbage):
   rescans for the next ``\\r\\n\\r\\nWARC/`` boundary instead of locking
   onto a literal "WARC/" inside page text;
 * WARC/1.0 and /1.1 dates parse (with or without fractional seconds)
-  and are UTC-aware — ``Z`` means Zulu, not session timezone.
+  and are UTC-aware — ``Z`` means Zulu, not session timezone;
+* ``Transfer-Encoding: chunked`` HTTP payloads are de-chunked (real
+  Common Crawl segments contain them); a malformed chunk size falls
+  back to the raw body rather than raising;
+* ``revisit`` records (and every other non-``response`` type) are
+  skipped WITHOUT losing framing — their Content-Length is honored;
+* only payloads whose HTTP Content-Type matches ``content_types``
+  (default ``text/html``) and whose status is 2xx are yielded —
+  image/PDF/error responses are ubiquitous in real crawls and the
+  downstream extractor is frozen on strict-UTF-8 HTML;
+* bodies are re-encoded as clean UTF-8 (``errors="replace"``), so one
+  latin-1 page cannot kill the extraction UDF; valid-UTF-8 bodies
+  round-trip byte-identically.
 """
 
 from __future__ import annotations
@@ -118,10 +130,66 @@ class _Pushback:
             self._buf = chunk
 
 
-def iter_warc_records(raw_fp):
+def _parse_http(payload: bytes):
+    """Split an HTTP response payload into (status, headers, body).
+    Returns (None, {}, payload) when the payload is not an HTTP
+    response (e.g. a ``resource`` record's raw bytes)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, {}, payload
+    idx = payload.find(_CRLF2)
+    if idx < 0:
+        return None, {}, payload
+    head, body = payload[:idx], payload[idx + 4:]
+    lines = head.split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip().lower()] = \
+                v.decode("latin-1", "replace").strip()
+    return status, headers, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP body. A malformed chunk
+    size line falls back to the raw body (skip-grade robustness: junk
+    in one record must not raise)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return bytes(body)  # truncated framing: keep raw
+        token = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError:
+            return bytes(body)
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        out.extend(body[pos:pos + size])
+        pos += size + 2  # chunk payload + its trailing CRLF
+
+
+def iter_warc_records(raw_fp, content_types: tuple[str, ...] | None = ("text/html",),
+                      sanitize_utf8: bool = True):
     """Stream (url, ts_utc, html_body) response records from a WARC
     file object (plain or gzip — multi-member handled by GzipFile).
-    Malformed records are skipped; framing failures rescan forward."""
+    Malformed records are skipped; framing failures rescan forward.
+
+    ``content_types``: HTTP Content-Type prefixes to keep (the media
+    type is compared with parameters stripped); ``None`` keeps
+    everything. Non-2xx statuses are dropped whenever the payload has a
+    parseable HTTP status line. ``revisit`` / ``request`` / metadata
+    records are skipped with framing intact. ``sanitize_utf8``
+    re-encodes bodies via ``decode("utf-8", "replace")`` so the frozen
+    strict-UTF-8 extractor downstream can never throw; valid UTF-8 is
+    byte-identical after the round trip."""
     head2 = raw_fp.read(2)
     raw_fp.seek(0)
     fp = _Pushback(gzip.GzipFile(fileobj=raw_fp) if head2 == b"\x1f\x8b" else raw_fp)
@@ -165,24 +233,48 @@ def iter_warc_records(raw_fp):
             url = headers["warc-target-uri"]
         except (KeyError, ValueError):
             continue  # malformed record: skip, don't kill the archive
-        http_split = payload.find(_CRLF2)
-        body = payload[http_split + 4:] if http_split >= 0 else payload
+        status, http_headers, body = _parse_http(payload)
+        if status is not None and not (200 <= status < 300):
+            continue  # error/redirect page: not crawl content
+        if "chunked" in http_headers.get("transfer-encoding", "").lower():
+            body = _dechunk(body)
+        if content_types is not None:
+            media = http_headers.get("content-type", "").split(";")[0].strip().lower()
+            if not any(media.startswith(ct) for ct in content_types):
+                continue
+        if sanitize_utf8:
+            body = body.decode("utf-8", "replace").encode("utf-8")
         yield url, ts, body
 
 
-def parse_warc_bytes(data: bytes) -> list[tuple[str, dt.datetime, bytes]]:
-    """Convenience: parse in-memory WARC bytes (tests / small files)."""
-    return list(iter_warc_records(io.BytesIO(data)))
+def parse_warc_bytes(data: bytes, **kw) -> list[tuple[str, dt.datetime, bytes]]:
+    """Convenience: parse in-memory WARC bytes (tests / small files).
+    Keyword args pass through to ``iter_warc_records``."""
+    return list(iter_warc_records(io.BytesIO(data), **kw))
 
 
 def read_warc_pages(spark: SparkSession, path_glob: str,
-                    chunk_rows: int = 2000) -> DataFrame:
+                    chunk_rows: int = 2000,
+                    content_types: tuple[str, ...] | None = ("text/html",),
+                    sanitize_utf8: bool = True) -> DataFrame:
     """WARC archives -> (url, warc_ts, html) DataFrame. Spark lists the
     files; each task opens its archive locally and STREAMS records in
     ``chunk_rows`` batches (bounded memory even for 1 GB archives).
     Feed into ``plans.pipeline.build_pois(lang=None)`` — and repartition
     first (as ``app.read_pages`` does) so the parse stage and the
-    extraction UDF aren't a chained narrow Python pipeline."""
+    extraction UDF aren't a chained narrow Python pipeline.
+
+    LOCAL/SHARED FILESYSTEMS ONLY: tasks ``open()`` the archive path
+    directly (``file:`` URIs are unwrapped), which covers local disk and
+    any POSIX mount (NFS, fuse, EBS). Object-store schemes (``s3a://``,
+    ``hdfs://``) are rejected up front with a clear error instead of
+    failing inside a task — stage such archives onto a mount first (the
+    reference's download step does exactly this, download/Dockerfile).
+    ``content_types`` / ``sanitize_utf8`` as in ``iter_warc_records``."""
+    if "://" in path_glob and not path_glob.startswith("file://"):
+        raise ValueError(
+            f"read_warc_pages streams archives via local open(); got remote path "
+            f"{path_glob!r} — stage it to a local/POSIX mount first")
     files = spark.read.format("binaryFile").load(path_glob).select("path")
 
     def batches(it):
@@ -193,7 +285,8 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
                 local = unquote(urlparse(path).path) if path.startswith("file:") else path
                 with open(local, "rb") as f:
                     urls, tss, htmls = [], [], []
-                    for url, ts, body in iter_warc_records(f):
+                    for url, ts, body in iter_warc_records(
+                            f, content_types=content_types, sanitize_utf8=sanitize_utf8):
                         urls.append(url)
                         tss.append(ts)
                         htmls.append(body)

@@ -81,6 +81,47 @@ def test_crc_and_format_guards():
         P.decode_png(bytes(blob))
 
 
+def test_decompression_bomb_guards():
+    """Untrusted crawl media: attacker-declared dims and oversized
+    deflate streams must fail cheaply, before any huge allocation."""
+    import tracemalloc
+
+    # (a) tiny file declaring a 100k x 100k image -> rejected at IHDR
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    bomb_dims = (
+        b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        P.decode_png(bomb_dims)
+
+    # (b) dims under the cap but IDAT secretly inflating to ~256 MB ->
+    # bounded decompressobj stops at expected+1 bytes (tracemalloc-pinned)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb_stream = (
+        b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"\x00" * (256 * 1024 * 1024), 9))
+        + P._chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="bomb"):
+        P.decode_png(bomb_stream)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 32 * 1024 * 1024, f"bomb guard allocated {peak/1e6:.0f} MB"
+
+    # (c) zero-dimension guard
+    ihdr0 = struct.pack(">IIBBBBB", 0, 5, 8, 0, 0, 0, 0)
+    zero = b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr0) + P._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bomb"):
+        P.decode_png(zero)
+
+    # (d) a legitimate image still decodes under a tight custom cap
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (P.decode_png(P.encode_png(img), max_pixels=16) == img).all()
+
+
 def test_multimodal_pixels_and_features_real(spark):
     from osm_poi_cloud_spark.operators import multimodal as mm
 

@@ -52,6 +52,94 @@ def test_read_warc_pages_multifile(spark, tmp_path):
         assert bytes(by_url[u]) == h
 
 
+def _raw_record(warc_type, url, http_payload, extra_headers=""):
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        f"{extra_headers}"
+        f"Content-Length: {len(http_payload)}\r\n\r\n"
+    ).encode()
+    return head + http_payload + b"\r\n\r\n"
+
+
+def _http(body, ctype="text/html", status="200 OK", extra=""):
+    return (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n{extra}"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_warc_chunked_transfer_encoding():
+    """Real CC segments carry chunked HTTP payloads: the body must be
+    de-chunked; a plain record in the same archive stays byte-exact."""
+    plain = b"<html><body>plain page</body></html>"
+    parts = [b"<html><", b"body>chunked page</body></h", b"tml>"]
+    chunked_body = b"".join(
+        f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n" for p in parts
+    ) + b"0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked_body
+    )
+    data = (
+        _raw_record("response", "https://x.org/chunked", payload)
+        + _raw_record("response", "https://x.org/plain", _http(plain))
+    )
+    got = {u: h for u, _, h in W.parse_warc_bytes(data)}
+    assert got["https://x.org/chunked"] == b"<html><body>chunked page</body></html>"
+    assert got["https://x.org/plain"] == plain
+    # malformed chunk size -> raw body, never an exception
+    bad = _raw_record("response", "https://x.org/bad", (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nwhatever"))
+    (u, _, h), = W.parse_warc_bytes(bad)
+    assert h == b"ZZZ\r\nwhatever"
+
+
+def test_warc_revisit_and_junk_records_filtered():
+    """revisit / request records, image payloads, and 404s are skipped
+    WITHOUT losing framing; following records still parse byte-exact."""
+    keep = b"<html><body>keep me</body></html>"
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    data = (
+        _raw_record("revisit", "https://x.org/seen-before",
+                    _http(b"", ctype="message/http"),
+                    extra_headers="WARC-Refers-To: <urn:uuid:123>\r\n")
+        + _raw_record("request", "https://x.org/req",
+                      b"GET / HTTP/1.1\r\nHost: x.org\r\n\r\n")
+        + _raw_record("response", "https://x.org/logo.png", _http(png, ctype="image/png"))
+        + _raw_record("response", "https://x.org/missing",
+                      _http(b"<html>404</html>", status="404 Not Found"))
+        + _raw_record("response", "https://x.org/good", _http(keep))
+    )
+    got = W.parse_warc_bytes(data)
+    assert [(u, h) for u, _, h in got] == [("https://x.org/good", keep)]
+    # content_types=None + sanitize off keeps the binary payload too
+    got_all = W.parse_warc_bytes(data, content_types=None, sanitize_utf8=False)
+    assert ("https://x.org/logo.png", png) in [(u, h) for u, _, h in got_all]
+
+
+def test_warc_non_utf8_body_sanitized():
+    """A latin-1 page must not be able to kill the strict-UTF-8
+    extractor downstream: bytes are replace-decoded to clean UTF-8."""
+    latin = "<html><body>caf\xe9</body></html>".encode("latin-1")
+    data = _raw_record("response", "https://x.org/latin", _http(latin))
+    (u, _, h), = W.parse_warc_bytes(data)
+    h.decode("utf-8")  # strict decode succeeds now
+    assert "caf\ufffd" in h.decode("utf-8")
+    # valid UTF-8 round-trips byte-identically
+    utf8 = "<html><body>caf\u00e9 \u2615</body></html>".encode()
+    (u2, _, h2), = W.parse_warc_bytes(_raw_record("response", "https://x.org/u", _http(utf8)))
+    assert h2 == utf8
+
+
+def test_read_warc_pages_rejects_remote_paths(spark):
+    with pytest.raises(ValueError, match="local"):
+        W.read_warc_pages(spark, "s3a://bucket/segment/*.warc.gz")
+
+
 def test_warc_to_extraction_pipeline(spark, tmp_path):
     """Real-corpus shape: WARC of the synthetic crawl pages -> read ->
     extract entities; per-url text is byte-identical to direct pages."""
