@@ -2,13 +2,15 @@
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side contract (schemas, batch shapes, partitioning) is real
-and tested. Decoding is REAL for PNG: ``functions/png.py`` is a pure
-stdlib-zlib + numpy codec, so ``decode_image_pixels`` returns actual
-pixel buffers and ``extract_image_features`` computes genuine pixel
-statistics for PNG payloads. Formats whose decoders this sandbox
-lacks (JPEG, audio, video) route to a clearly-marked deterministic
-byte-derived fallback — that fallback is the remaining codec seam;
-swapping in a decoder changes one branch and no plan shape.
+and tested. Decoding is REAL for both raster formats that matter in a
+web crawl: ``functions/png.py`` (pure stdlib-zlib + numpy) and
+``functions/jpeg.py`` (from-spec baseline JFIF: Huffman + DCT +
+4:2:0/4:2:2/4:4:4), so ``decode_image_pixels`` returns actual pixel
+buffers and ``extract_image_features`` computes genuine pixel
+statistics for PNG and baseline-JPEG payloads. The remaining codec
+seam is progressive JPEG and audio/video — those route to a
+clearly-marked deterministic byte-derived fallback; swapping in a
+decoder changes one branch and no plan shape.
 """
 
 from __future__ import annotations
@@ -29,8 +31,10 @@ IMAGE_META_SCHEMA = "media_id string, mime string, width int, height int, ok boo
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:
-    """Parse image dimensions from headers (PNG/GIF supported; others ->
-    ok=false). Header parsing is pure byte math — no codec needed."""
+    """Parse image dimensions from headers (PNG/JPEG/GIF supported;
+    others -> ok=false). Header parsing is pure byte math — no codec
+    needed."""
+    from ..functions import jpeg as jpeg_codec
 
     def batches(it):
         for pdf in it:
@@ -41,6 +45,9 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
                 if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
                     w, h = struct.unpack(">II", b[16:24])
                     mime, ok = "image/png", True
+                elif b[:2] == b"\xff\xd8" and (dims := jpeg_codec.parse_jpeg_dims(b)):
+                    w, h = dims
+                    mime, ok = "image/jpeg", True
                 elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
                     w, h = struct.unpack("<HH", b[6:10])
                     mime, ok = "image/gif", True
@@ -57,24 +64,46 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
 PIXELS_SCHEMA = "media_id string, width int, height int, channels int, pixels binary, ok boolean"
 
 
-def decode_image_pixels(media: DataFrame) -> DataFrame:
-    """Full pixel decode for PNG payloads — REAL, via the pure
-    stdlib-zlib/numpy codec in ``functions/png.py`` (8-bit gray/RGB/
-    RGBA, all row filters). ``pixels`` is the raw H*W*C uint8 buffer;
-    non-PNG / unsupported payloads come back ok=false (the remaining
-    codec seam: JPEG/video need libraries this sandbox lacks)."""
+def _decode_raster(b: bytes):
+    """PNG or baseline-JPEG bytes -> (H, W, C) uint8, or None.
+    Dispatches on magic; gray JPEG is normalized to one channel."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from ..functions import jpeg as jpeg_codec
     from ..functions import png as png_codec
+
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_codec.decode_png(b)
+        if b[:2] == b"\xff\xd8":
+            arr = jpeg_codec.decode_jpeg(b)
+            return arr[:, :, None] if arr.ndim == 2 else arr
+    except (ValueError, _zlib.error, _struct.error, IndexError):
+        # narrow except: only decode failures route to the fallback —
+        # a post-decode numpy error should surface, not get shadowed
+        return None
+    return None
+
+
+def decode_image_pixels(media: DataFrame) -> DataFrame:
+    """Full pixel decode — REAL for PNG (``functions/png.py``: 8-bit
+    gray/RGB/RGBA, all row filters) and baseline JPEG
+    (``functions/jpeg.py``: Huffman + DCT, 4:2:0/4:2:2/4:4:4, restart
+    markers). ``pixels`` is the raw H*W*C uint8 buffer; unsupported
+    payloads come back ok=false (remaining codec seam: progressive
+    JPEG, audio, video)."""
 
     def batches(it):
         for pdf in it:
             rows = {k: [] for k in ("media_id", "width", "height", "channels", "pixels", "ok")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    arr = png_codec.decode_png(b)
+                arr = _decode_raster(b)
+                if arr is not None:
                     h, w, c = arr.shape
                     vals = (w, h, c, arr.tobytes(), True)
-                except Exception:
+                else:
                     vals = (0, 0, 0, b"", False)
                 rows["media_id"].append(mid)
                 for k, v in zip(("width", "height", "channels", "pixels", "ok"), vals):
@@ -88,25 +117,17 @@ FEATURE_SCHEMA = "media_id string, feature array<float>"
 
 
 def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
-    """Per-item feature vector: REAL pixel statistics for PNG payloads
-    (per-channel means/stds + a luminance histogram over actual decoded
-    pixels); non-PNG payloads take the deterministic byte-derived
-    fallback — that fallback is the remaining codec seam for formats
-    whose decoders this sandbox lacks."""
-    import zlib
-
-    from ..functions import png as png_codec
-
+    """Per-item feature vector: REAL pixel statistics for PNG and
+    baseline-JPEG payloads (per-channel means/stds + a luminance
+    histogram over actual decoded pixels); undecodable payloads take
+    the deterministic byte-derived fallback — the remaining codec seam
+    (progressive JPEG, audio, video)."""
     if dim < 16:
         raise ValueError(f"dim must be >= 16 (8 header stats + histogram), got {dim}")
 
     def _decode(b: bytes) -> np.ndarray:
-        try:
-            # narrow except: only decode failures route to the fallback —
-            # a post-decode numpy error should surface, not get shadowed
-            arr = png_codec.decode_png(b).astype(np.float32) / 255.0
-        except (ValueError, zlib.error, struct.error):
-            arr = None
+        raw = _decode_raster(b)
+        arr = raw.astype(np.float32) / 255.0 if raw is not None else None
         if arr is not None:
             h, w, c = arr.shape
             lum = arr.mean(axis=2).ravel()
@@ -147,8 +168,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture: REAL decodable PNGs (via the
-    stdlib codec), valid GIF headers, fake video/audio."""
+    """Deterministic media fixture: REAL decodable PNGs and baseline
+    JPEGs (via the stdlib codecs), valid GIF headers, fake video/audio."""
+    from ..functions import jpeg as jpeg_codec
     from ..functions import png as png_codec
 
     rows = []
@@ -162,6 +184,13 @@ def make_synthetic_media(spark, n: int = 64) -> DataFrame:
             arr = img if c == 1 else np.stack([(img + k * 31) % 256 for k in range(c)], axis=2).astype(np.uint8)
             payload = png_codec.encode_png(arr)
             rows.append((f"m{i}", kind, payload, "image/png", w, h, 0, 0))
+        elif kind == "image" and i % 8 == 1:
+            w, h = 18 + i % 9, 12 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            rgb = np.stack([((xx * 11 + k * 40 + i) % 256) for k in range(3)], axis=2).astype(np.uint8)
+            sub = ("4:4:4", "4:2:0")[i % 2]
+            payload = jpeg_codec.encode_jpeg(rgb, quality=90, subsampling=sub)
+            rows.append((f"m{i}", kind, payload, "image/jpeg", w, h, 0, 0))
         elif kind == "image":
             w, h = 20 + i % 11, 10 + i % 3
             payload = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 16

@@ -125,19 +125,30 @@ def test_decompression_bomb_guards():
 def test_multimodal_pixels_and_features_real(spark):
     from osm_poi_cloud_spark.operators import multimodal as mm
 
+    from osm_poi_cloud_spark.functions import jpeg as J
+
     media = mm.make_synthetic_media(spark, 32)
     pix = mm.decode_image_pixels(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
     png_ids = [i for i in src.index if src.loc[i, "mime"] == "image/png"]
+    jpeg_ids = [i for i in src.index if src.loc[i, "mime"] == "image/jpeg"]
     assert len(png_ids) == 8 and pix.loc[png_ids, "ok"].all()
+    assert len(jpeg_ids) == 4 and pix.loc[jpeg_ids, "ok"].all()
     for mid in png_ids:
         row = pix.loc[mid]
         arr = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(
             row["height"], row["width"], row["channels"])
         expect = P.decode_png(bytes(src.loc[mid, "payload"]))
         assert (arr == expect).all()
-    # non-PNG rows are marked not-ok, not crashed
-    assert not pix.loc[[i for i in src.index if i not in png_ids], "ok"].any()
+    for mid in jpeg_ids:  # real JPEG pixels, bit-equal to the codec
+        row = pix.loc[mid]
+        arr = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(
+            row["height"], row["width"], row["channels"])
+        expect = J.decode_jpeg(bytes(src.loc[mid, "payload"]))
+        assert (arr == expect).all()
+    # undecodable rows (GIF/video/audio) are marked not-ok, not crashed
+    decodable = set(png_ids) | set(jpeg_ids)
+    assert not pix.loc[[i for i in src.index if i not in decodable], "ok"].any()
 
     feats = mm.extract_image_features(media, dim=64).toPandas().set_index("media_id")
     f0 = np.array(feats.loc[png_ids[0], "feature"])
