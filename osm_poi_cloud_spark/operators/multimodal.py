@@ -154,6 +154,40 @@ def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id string, duration double, sample_rate int, "
+    "feature array<float>, ok boolean"
+)
+
+
+def extract_audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Per-clip audio features — REAL for RIFF/WAVE PCM payloads
+    (``functions/wav.py``: 8/16/24/32-bit integer PCM + float32,
+    extensible wrapper): duration, RMS, peak, zero-crossing rate,
+    spectral centroid and log-power band energies over actual decoded
+    samples. Compressed audio (MP3/AAC/...) comes back ok=false — the
+    remaining audio seam."""
+    from ..functions import wav as wav_codec
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "duration", "sample_rate", "feature", "ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = wav_codec.decode_wav(b)
+                    feat = wav_codec.audio_features(samples, rate, n_bands)
+                    vals = (len(samples) / rate, rate, feat.tolist(), True)
+                except (ValueError, struct.error):
+                    vals = (0.0, 0, [0.0] * (5 + n_bands), False)
+                rows["media_id"].append(mid)
+                for k, v in zip(("duration", "sample_rate", "feature", "ok"), vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plan for video rows: emits (media_id, frame_idx)
     rows natively from n_frames metadata; the per-frame pixel fetch is
@@ -168,10 +202,12 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture: REAL decodable PNGs and baseline
-    JPEGs (via the stdlib codecs), valid GIF headers, fake video/audio."""
+    """Deterministic media fixture: REAL decodable PNGs, baseline JPEGs
+    and PCM WAVs (via the stdlib codecs), valid GIF headers, fake
+    video/compressed-audio rows for the not-ok paths."""
     from ..functions import jpeg as jpeg_codec
     from ..functions import png as png_codec
+    from ..functions import wav as wav_codec
 
     rows = []
     for i in range(n):
@@ -197,6 +233,12 @@ def make_synthetic_media(spark, n: int = 64) -> DataFrame:
             rows.append((f"m{i}", kind, payload, "image/gif", w, h, 0, 0))
         elif kind == "video":
             rows.append((f"m{i}", kind, bytes([i % 251]) * 64, "video/fake", 0, 0, 30 + i, 0))
-        else:
+        elif i % 8 == 3:  # real PCM WAV (alternating bit depths)
+            t = np.arange(800 + 40 * (i % 5)) / 16000.0
+            tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            bits = (16, 8, 32, -32)[(i // 8) % 4]
+            payload = wav_codec.encode_wav(tone, sample_rate=16000, bits=bits)
+            rows.append((f"m{i}", kind, payload, "audio/wav", 0, 0, 0, 16000))
+        else:  # compressed-audio stand-in: the remaining seam, ok=false
             rows.append((f"m{i}", kind, bytes([i % 251]) * 48, "audio/fake", 0, 0, 0, 16000))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
