@@ -1,25 +1,31 @@
-"""Minimal real baseline-JPEG codec — pure stdlib + numpy, no image
-library.
+"""Minimal real JPEG codec (baseline + progressive) — pure stdlib +
+numpy, no image library.
 
 Closes the JPEG half of the multimodal codec seam the same way
 ``functions/png.py`` closed PNG: everything here is from the public
 spec (ITU-T T.81 / ISO 10918-1) — marker structure (B.2), baseline
-sequential DCT (A.3, F.1/F.2), byte stuffing (F.1.2.3), restart
-markers (E.2.4), the Annex K.1/K.2 quantization tables and K.3-K.6
-Huffman tables, and the JFIF YCbCr conversion (JFIF 1.02 spec).
+sequential DCT (A.3, F.1/F.2), progressive DCT (G.1/G.2: spectral
+selection, successive approximation, EOB runs), byte stuffing
+(F.1.2.3), restart markers (E.2.4), the Annex K.1/K.2 quantization
+tables and K.3-K.6 Huffman tables, and the JFIF YCbCr conversion
+(JFIF 1.02 spec).
 
 Scope (documented, checked, raising on anything else):
-* baseline sequential (SOF0), 8-bit samples, Huffman entropy coding
-* 1-component (grayscale) and 3-component (YCbCr) scans
+* baseline sequential (SOF0/1) AND progressive (SOF2) frames, 8-bit
+  samples, Huffman entropy coding, multi-scan with inter-scan
+  DHT/DRI, interleaved and non-interleaved scans
+* 1-component (grayscale) and 3-component (YCbCr) frames
 * sampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2, 4:2:0)
-* restart markers (DRI/RSTn) honored, DC predictors reset
-* progressive (SOF2), arithmetic coding, 12-bit, DNL: explicit errors
+* restart markers (DRI/RSTn) honored; DC predictors + EOB runs reset
+* arithmetic coding, 12-bit, hierarchical, lossless: explicit errors
 
-The encoder exists to make the decoder testable offline (the sandbox
+The encoders exist to make the decoder testable offline (the sandbox
 has no image libraries and no network): round-trip tests bound the
-reconstruction error by the quantization step, and the DCT/Huffman
-pieces are each cross-checked against independent from-the-formula
-recomputations in tests/test_jpeg.py.
+reconstruction error by the quantization step, the DCT/Huffman pieces
+are each cross-checked against independent from-the-formula
+recomputations, and — because both encoders quantize identically —
+progressive and baseline encodings of the same image must decode to
+bit-identical pixels (tests/test_jpeg.py).
 
 Like ``decode_png``, the decoder targets untrusted crawl media: frame
 dimensions are capped (``max_pixels``) before any allocation.
@@ -316,17 +322,14 @@ def _plane_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
-
-    ``subsampling``: "4:4:4", "4:2:2" or "4:2:0" (3-component only).
-    ``restart_interval``: MCUs per restart (0 = none) — emits DRI +
-    RSTn markers so the decoder's restart path is testable."""
+def _prepare_encode(arr: np.ndarray, quality: int, subsampling: str) -> dict:
+    """Shared encoder front half: color transform, subsampling, 8x8
+    forward DCT, quantization. Returns per-component quantized
+    coefficient grids in MCU traversal order."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
-        raise ValueError("encode_jpeg takes (H, W) gray or (H, W, 3) RGB")
+        raise ValueError("encoder takes (H, W) gray or (H, W, 3) RGB")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -351,7 +354,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
         samp = [(hmax, vmax), (1, 1), (1, 1)]
         qtab = [qluma, qchroma, qchroma]
 
-    # per-component quantized coefficient blocks, in MCU traversal order
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     comp_blocks = []
@@ -361,6 +363,53 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
         coeff = fdct_blocks(blocks)
         qz = np.round(coeff / q.reshape(8, 8)).astype(np.int64)
         comp_blocks.append((qz.reshape(bh, bw, 8, 8), fh, fv))
+    return {"gray": gray, "h": h, "w": w, "samp": samp, "mcux": mcux,
+            "mcuy": mcuy, "comp_blocks": comp_blocks, "qluma": qluma,
+            "qchroma": qchroma}
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _emit_frame_headers(prep: dict, sof_marker: int,
+                        restart_interval: int) -> bytearray:
+    """SOI + APP0 + DQT + SOFn + DHT (+DRI) shared by both encoders."""
+    gray, h, w, samp = prep["gray"], prep["h"], prep["w"], prep["samp"]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(prep["qluma"][ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(prep["qchroma"][ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        fh, fv = samp[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, bytes(sof))
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS), (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if gray and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+
+    ``subsampling``: "4:4:4", "4:2:2" or "4:2:0" (3-component only).
+    ``restart_interval``: MCUs per restart (0 = none) — emits DRI +
+    RSTn markers so the decoder's restart path is testable."""
+    prep = _prepare_encode(arr, quality, subsampling)
+    gray, h, w = prep["gray"], prep["h"], prep["w"]
+    samp, mcux, mcuy = prep["samp"], prep["mcux"], prep["mcuy"]
+    comp_blocks, qluma, qchroma = prep["comp_blocks"], prep["qluma"], prep["qchroma"]
 
     dc_codes = [build_huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
                 build_huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
@@ -368,7 +417,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
                 build_huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
 
     bw_ = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(comp_blocks)
     mcu_count = 0
     rst_idx = 0
     for my in range(mcuy):
@@ -377,7 +426,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
                 bw_.flush()
                 bw_.out.extend(bytes([0xFF, 0xD0 + rst_idx]))
                 rst_idx = (rst_idx + 1) % 8
-                pred = [0] * len(planes)
+                pred = [0] * len(comp_blocks)
             for ci, (qz, fh, fv) in enumerate(comp_blocks):
                 tsel = 0 if ci == 0 else 1
                 dct, act = dc_codes[tsel], ac_codes[tsel]
@@ -415,52 +464,449 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "4:4:4",
             mcu_count += 1
     bw_.flush()
 
-    # ---- assemble markers ----
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xDB, bytes([0]) + bytes(qluma[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qchroma[ZIGZAG].astype(np.uint8)))
+    out = _emit_frame_headers(prep, 0xC0, restart_interval)
     ncomp = 1 if gray else 3
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    for ci in range(ncomp):
-        fh, fv = samp[ci]
-        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-    for cls, tid, bits, vals in (
-        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS), (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ):
-        if gray and tid == 1:
-            continue
-        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         tsel = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (tsel << 4) | tsel])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
+    out += _seg(0xDA, bytes(sos))
     out += bw_.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:4:4",
+                            restart_interval: int = 0,
+                            spectral_split: int = 5) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> progressive (SOF2) JFIF.
+
+    Exists primarily so the progressive *decoder* path is testable
+    offline (the sandbox has no image library to produce SOF2 files):
+    because both encoders quantize identically, progressive and
+    baseline encodings of the same image MUST decode to bit-identical
+    pixels — the parity test in tests/test_jpeg.py.
+
+    Scan script (the common libjpeg-style shape):
+    1. DC first scan, interleaved, successive approximation Al=1
+    2. DC refinement, Ah=1 -> Al=0 (raw bits, no Huffman)
+    3. per component: AC first scans with spectral selection
+       (1..spectral_split, spectral_split+1..63) at Al=1
+    4. per component: AC refinement scans (same bands), Ah=1 -> Al=0
+
+    EOB runs are emitted per-block (EOB0); ``restart_interval`` (in
+    scan units: MCUs for DC scans, blocks for AC scans) exercises the
+    decoder's progressive restart handling."""
+    prep = _prepare_encode(arr, quality, subsampling)
+    gray = prep["gray"]
+    samp, mcux, mcuy = prep["samp"], prep["mcux"], prep["mcuy"]
+    comp_blocks = prep["comp_blocks"]
+    ncomp = 1 if gray else 3
+
+    dc_codes = [build_huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                build_huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_codes = [build_huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+                build_huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    # zigzag-ordered coefficient streams per component, MCU-grid layout
+    zz = [qz.reshape(qz.shape[0], qz.shape[1], 64)[..., ZIGZAG]
+          for qz, _fh, _fv in comp_blocks]
+
+    out = _emit_frame_headers(prep, 0xC2, restart_interval)
+
+    class _ScanWriter:
+        """Bit writer + per-scan restart emission."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.rst_idx = 0
+            self.unit = 0
+
+        def maybe_restart(self, reset_fn) -> None:
+            if restart_interval and self.unit and self.unit % restart_interval == 0:
+                self.bw.flush()
+                self.bw.out.extend(bytes([0xFF, 0xD0 + self.rst_idx]))
+                self.rst_idx = (self.rst_idx + 1) % 8
+                reset_fn()
+            self.unit += 1
+
+        def finish(self) -> bytes:
+            self.bw.flush()
+            return bytes(self.bw.out)
+
+    def sos_header(comps_sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytearray([len(comps_sel)])
+        for ci in comps_sel:
+            tsel = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tsel << 4) | tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(sos))
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    sw = _ScanWriter()
+    pred = [0] * ncomp
+
+    def _reset_pred():
+        pred[:] = [0] * ncomp
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            sw.maybe_restart(_reset_pred)
+            for ci in range(ncomp):
+                _, fh, fv = comp_blocks[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        dc = int(zz[ci][my * fv + by, mx * fh + bx, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _category(diff)
+                        code, ln = dc_codes[0 if ci == 0 else 1][t]
+                        sw.bw.write(code, ln)
+                        if t:
+                            sw.bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    out += sw.finish()
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 (raw bits) ----
+    sw = _ScanWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            sw.maybe_restart(lambda: None)
+            for ci in range(ncomp):
+                _, fh, fv = comp_blocks[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        sw.bw.write(int(zz[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    out += sw.finish()
+
+    def _trunc_shift(v: int, n: int) -> int:
+        """AC point transform: v / 2^n truncated toward zero (G.1.2.2)."""
+        return -((-v) >> n) if v < 0 else v >> n
+
+    def _real_grid(ci: int) -> tuple[int, int, int]:
+        _, fh, fv = comp_blocks[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        comp_w = -(-prep["w"] * fh // hmax)
+        comp_h = -(-prep["h"] * fv // vmax)
+        return -(-comp_h // 8), -(-comp_w // 8), mcux * fh
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        act = ac_codes[0 if ci == 0 else 1]
+        sw = _ScanWriter()
+        bh_real, bw_real, bw_pad = _real_grid(ci)
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                sw.maybe_restart(lambda: None)
+                band = [_trunc_shift(int(v), al) for v in zz[ci][by, bx, ss:se + 1]]
+                run = 0
+                emitted_any = False
+                last_nz = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last_nz = i
+                for i in range(last_nz + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        sw.bw.write(code, ln)
+                        run -= 16
+                    t = _category(v)
+                    code, ln = act[(run << 4) | t]
+                    sw.bw.write(code, ln)
+                    sw.bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                    emitted_any = True
+                if last_nz < len(band) - 1 or not emitted_any:
+                    code, ln = act[0x00]  # EOB0 (eobrun = 1)
+                    sw.bw.write(code, ln)
+        return sos_header([ci], ss, se, 0, al) + sw.finish()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        """Ah = al+1 -> Al = al refinement (G.1.2.3). The correction
+        bits must appear in EXACTLY the order the decoder consumes
+        them (it reads one bit at every nonzero-history coefficient it
+        passes while advancing over a symbol's zero-run), so this
+        encoder SIMULATES the decoder's advance per symbol and emits
+        each bit at the moment the decoder would read it — consistency
+        by construction."""
+        act = ac_codes[0 if ci == 0 else 1]
+        sw = _ScanWriter()
+        ah = al + 1
+        bh_real, bw_real, _ = _real_grid(ci)
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                sw.maybe_restart(lambda: None)
+                band = [int(v) for v in zz[ci][by, bx, ss:se + 1]]
+                hist = [_trunc_shift(v, ah) for v in band]
+                refine_bit = [(abs(v) >> al) & 1 for v in band]
+                new_pos = [i for i, v in enumerate(band)
+                           if hist[i] == 0 and _trunc_shift(v, al) != 0]
+                k = 0  # decoder's cursor into the band
+
+                def advance(consume_zeros: int) -> None:
+                    """Mirror the decoder: pass ``consume_zeros``
+                    zero-history slots, emitting a refinement bit at
+                    every nonzero-history slot passed; leave the cursor
+                    ON the (consume_zeros+1)th zero-history slot."""
+                    nonlocal k
+                    left = consume_zeros
+                    while k < len(band):
+                        if hist[k] != 0:
+                            sw.bw.write(refine_bit[k], 1)
+                        else:
+                            if left == 0:
+                                return
+                            left -= 1
+                        k += 1
+
+                for p in new_pos:
+                    # zero-history slots strictly before p from cursor
+                    r = sum(1 for i in range(k, p) if hist[i] == 0)
+                    while r > 15:
+                        code, ln = act[0xF0]
+                        sw.bw.write(code, ln)
+                        advance(15)  # 15 decrements ...
+                        k += 1       # ... plus the slot consumed by k++
+                        r -= 16
+                    code, ln = act[(r << 4) | 1]
+                    sw.bw.write(code, ln)
+                    sw.bw.write(1 if band[p] > 0 else 0, 1)
+                    advance(r)  # cursor lands on p (a zero-history slot)
+                    k += 1      # decoder writes newval at p, then k++
+                if k < len(band):
+                    code, ln = act[0x00]  # EOB0: decoder refines the rest
+                    sw.bw.write(code, ln)
+                    while k < len(band):
+                        if hist[k] != 0:
+                            sw.bw.write(refine_bit[k], 1)
+                        k += 1
+        return sos_header([ci], ss, se, ah, al) + sw.finish()
+
+    splits = [(1, spectral_split), (spectral_split + 1, 63)] if 1 <= spectral_split < 63 \
+        else [(1, 63)]
+    for ci in range(ncomp):
+        for ss, se in splits:
+            out += ac_first_scan(ci, ss, se, 1)
+    for ci in range(ncomp):
+        for ss, se in splits:
+            out += ac_refine_scan(ci, ss, se, 0)
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
-# decoder
+# decoder (multi-scan: baseline SOF0/1 and progressive SOF2)
 # ---------------------------------------------------------------------------
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past any non-marker/fill bytes to the next real marker
+    (B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes)."""
+    n = len(data)
+    while pos < n:
+        if data[pos] == 0xFF and pos + 1 < n and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return pos
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                 dc_tabs: dict, ac_tabs: dict, restart_interval: int,
+                 coeff: list[np.ndarray]) -> int:
+    """Decode one entropy-coded scan into the per-component coefficient
+    arrays (progressive scans accumulate; a baseline scan is the
+    degenerate single full-band scan). Returns the stream position
+    after the scan's entropy data.
+
+    Implements T.81 F.2 (sequential) and G.2 (progressive): spectral
+    selection (Ss..Se bands), successive approximation (Ah/Al point
+    transform, refinement bit planes), EOB runs, restart intervals."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = frame["hmax"], frame["vmax"], frame["mcux"], frame["mcuy"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    order = scan["order"]  # [(ci, td, ta)]
+    progressive = frame["progressive"]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+
+    def dc_first(ci: int, td: int, blk: np.ndarray) -> None:
+        t = reader.decode_symbol(dc_tabs[td])
+        diff = _extend(reader.receive(t), t) if t else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+
+    def dc_refine(blk: np.ndarray) -> None:
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+    def ac_first(ta: int, blk: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+                if r:
+                    eobrun += reader.receive(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _refine_nonzero(blk: np.ndarray, k: int) -> None:
+        """Append the next approximation bit to an already-nonzero
+        coefficient (G.1.2.3 correction bits)."""
+        if reader.read_bit() and not (blk[k] & (1 << al)):
+            blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+
+    def ac_refine(ta: int, blk: np.ndarray) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_tabs[ta])
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # rest of band handled by the EOB tail
+                    # r == 15: run of 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement scan with s > 1")
+                    newval = (1 << al) if reader.read_bit() else -(1 << al)
+                # advance past r zero-history positions, refining
+                # nonzero-history coefficients along the way (they do
+                # not count against the run)
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    def ac_baseline(ta: int, blk: np.ndarray) -> None:
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = _extend(reader.receive(s), s)
+            k += 1
+
+    def decode_block(ci: int, td: int, ta: int, bi: int) -> None:
+        blk = coeff[ci][bi]
+        if not progressive:
+            dc_first(ci, td, blk)
+            ac_baseline(ta, blk)
+        elif ss == 0:
+            if ah == 0:
+                dc_first(ci, td, blk)
+            else:
+                dc_refine(blk)
+        else:
+            if ah == 0:
+                ac_first(ta, blk)
+            else:
+                ac_refine(ta, blk)
+
+    def restart() -> None:
+        nonlocal eobrun
+        reader.align_and_take_rst()
+        pred[:] = [0] * len(comps)
+        eobrun = 0
+
+    if len(order) > 1:
+        # interleaved MCU traversal (multi-component scans; a
+        # single-component scan — baseline grayscale or progressive
+        # AC — takes the non-interleaved real-grid path below, which
+        # coincides with the MCU grid when sampling factors are 1)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                for ci, td, ta in order:
+                    c = comps[ci]
+                    bw = mcux * c["fh"]
+                    for by in range(c["fv"]):
+                        for bx in range(c["fh"]):
+                            bi = (my * c["fv"] + by) * bw + mx * c["fh"] + bx
+                            decode_block(ci, td, ta, bi)
+                unit += 1
+    else:
+        # non-interleaved: one component, REAL block grid raster order
+        # (A.2.2 — the grid of ceil(comp_dim / 8), NOT the padded
+        # interleaved grid; they differ when the image doesn't fill the
+        # last MCU column/row of a subsampled component)
+        ci, td, ta = order[0]
+        c = comps[ci]
+        bw_pad = mcux * c["fh"]
+        comp_w = -(-frame["w"] * c["fh"] // hmax)
+        comp_h = -(-frame["h"] * c["fv"] // vmax)
+        bw_real = -(-comp_w // 8)
+        bh_real = -(-comp_h // 8)
+        unit = 0
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                decode_block(ci, td, ta, by * bw_pad + bx)
+                unit += 1
+
+    return reader.pos
+
 
 def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W) uint8 gray or (H, W, 3) uint8 RGB.
+    """JFIF bytes -> (H, W) uint8 gray or (H, W, 3) uint8 RGB.
 
-    Raises ``ValueError`` on non-baseline frames (progressive SOF2,
-    arithmetic coding, 12-bit), structural corruption, or frames
-    declaring more than ``max_pixels`` pixels (same untrusted-media
-    bomb rationale as ``png.decode_png``)."""
+    Handles baseline sequential (SOF0/1) and progressive (SOF2) frames
+    — spectral selection, successive approximation, EOB runs, restart
+    markers. Raises ``ValueError`` on arithmetic coding, 12-bit,
+    hierarchical frames, structural corruption, or frames declaring
+    more than ``max_pixels`` pixels (same untrusted-media bomb
+    rationale as ``png.decode_png``)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -468,21 +914,29 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    coeff: list[np.ndarray] = []
     restart_interval = 0
+    saw_scan = False
 
     while True:
-        if pos + 4 > len(data):
+        pos = _next_marker(data, pos)
+        if pos + 2 > len(data):
+            if saw_scan:
+                break  # tolerate a missing EOI after complete scans
             raise ValueError("truncated JPEG (no SOS)")
-        if data[pos] != 0xFF:
-            raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS")
-        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        payload = data[pos + 4:pos + 2 + seglen]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # stray RST/TEM
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
         if len(payload) != seglen - 2:
             raise ValueError("truncated marker segment")
-        pos += 2 + seglen
+        pos += seglen
 
         if marker == 0xDB:  # DQT (may hold several tables)
             p = 0
@@ -502,7 +956,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = build_huffman_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec} (baseline = 8)")
@@ -518,78 +974,64 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 if fx not in (1, 2) or fy not in (1, 2):
                     raise ValueError(f"unsupported sampling factor {fx}x{fy}")
                 comps.append({"id": cid, "fh": fx, "fv": fy, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported (baseline only)")
+            hmax = max(c["fh"] for c in comps)
+            vmax = max(c["fv"] for c in comps)
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcux": -(-fw // (8 * hmax)), "mcuy": -(-fh // (8 * vmax)),
+                "progressive": marker == 0xC2,
+            }
+            coeff = [
+                np.zeros((frame["mcux"] * c["fh"] * frame["mcuy"] * c["fv"], 64),
+                         dtype=np.int64)
+                for c in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} (sequential/progressive "
+                "Huffman only — arithmetic/hierarchical/lossless out of scope)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan_sel = []
+            order = []
             for si in range(ns):
                 cs, tt = payload[1 + 2 * si], payload[2 + 2 * si]
-                scan_sel.append((cs, tt >> 4, tt & 0xF))
-            break
+                ci = next(i for i, c in enumerate(frame["comps"]) if c["id"] == cs)
+                order.append((ci, tt >> 4, tt & 0xF))
+            ss_, se_, a_ = payload[1 + 2 * ns:4 + 2 * ns]
+            scan = {"order": order, "ss": ss_, "se": se_, "ah": a_ >> 4, "al": a_ & 0xF}
+            if se_ > 63 or ss_ > se_:
+                raise ValueError(f"invalid spectral band {ss_}..{se_}")
+            if frame["progressive"]:
+                # G.1.1.1.1: DC and AC never share a progressive scan;
+                # AC scans are single-component
+                if ss_ == 0 and se_ != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss_ > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+            elif ss_ != 0 or se_ != 63 or scan["ah"] or scan["al"]:
+                raise ValueError("sequential scan must be the full 0..63 band")
+            for _, td, ta in order:
+                need_dc = scan["ss"] == 0 and scan["ah"] == 0
+                need_ac = scan["se"] > 0
+                if need_dc and td not in dc_tabs:
+                    raise ValueError("scan references missing DC Huffman table")
+                if need_ac and ta not in ac_tabs:
+                    raise ValueError("scan references missing AC Huffman table")
+            pos = _decode_scan(data, pos, frame, scan, dc_tabs, ac_tabs,
+                               restart_interval, coeff)
+            saw_scan = True
         # APPn/COM/others: skipped via the generic length field
 
+    if frame is None or not saw_scan:
+        raise ValueError("no frame/scan decoded")
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["fh"] for c in comps)
-    vmax = max(c["fv"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    order = []
-    for cs, td, ta in scan_sel:
-        ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
-        order.append((ci, td, ta))
-
-    nblocks = [mcux * c["fh"] * mcuy * c["fv"] for c in comps]
-    coeff = [np.zeros((nb, 64), dtype=np.int64) for nb in nblocks]
-
-    reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_and_take_rst()
-                pred = [0] * len(comps)
-            for ci, td, ta in order:
-                c = comps[ci]
-                dct = dc_tabs.get(td)
-                act = ac_tabs.get(ta)
-                if dct is None or act is None:
-                    raise ValueError("scan references missing Huffman table")
-                bw = mcux * c["fh"]
-                for by in range(c["fv"]):
-                    for bx in range(c["fh"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = reader.decode_symbol(dct)
-                        diff = _extend(reader.receive(t), t) if t else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        bi = (my * c["fv"] + by) * bw + mx * c["fh"] + bx
-                        coeff[ci][bi] = blk
-            mcu_count += 1
+    hmax, vmax, mcux, mcuy = frame["hmax"], frame["vmax"], frame["mcux"], frame["mcuy"]
 
     # dequantize + dezigzag + IDCT per component (vectorized)
     planes = []

@@ -4,11 +4,13 @@ columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side contract (schemas, batch shapes, partitioning) is real
 and tested. Decoding is REAL for both raster formats that matter in a
 web crawl: ``functions/png.py`` (pure stdlib-zlib + numpy) and
-``functions/jpeg.py`` (from-spec baseline JFIF: Huffman + DCT +
-4:2:0/4:2:2/4:4:4), so ``decode_image_pixels`` returns actual pixel
+``functions/jpeg.py`` (from-spec T.81, baseline AND progressive:
+Huffman + DCT + 4:2:0/4:2:2/4:4:4 + spectral-selection/successive-
+approximation scans), so ``decode_image_pixels`` returns actual pixel
 buffers and ``extract_image_features`` computes genuine pixel
-statistics for PNG and baseline-JPEG payloads. The remaining codec
-seam is progressive JPEG and audio/video — those route to a
+statistics for PNG and JPEG payloads; ``functions/wav.py`` does the
+same for PCM audio. The remaining codec seam is arithmetic-coded
+JPEG, compressed audio (MP3/AAC) and video — those route to a
 clearly-marked deterministic byte-derived fallback; swapping in a
 decoder changes one branch and no plan shape.
 """
@@ -90,9 +92,10 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
     """Full pixel decode — REAL for PNG (``functions/png.py``: 8-bit
     gray/RGB/RGBA, all row filters) and baseline JPEG
     (``functions/jpeg.py``: Huffman + DCT, 4:2:0/4:2:2/4:4:4, restart
-    markers). ``pixels`` is the raw H*W*C uint8 buffer; unsupported
-    payloads come back ok=false (remaining codec seam: progressive
-    JPEG, audio, video)."""
+    markers) including progressive SOF2 frames. ``pixels`` is the raw
+    H*W*C uint8 buffer; unsupported payloads come back ok=false
+    (remaining codec seam: arithmetic-coded JPEG, compressed audio,
+    video)."""
 
     def batches(it):
         for pdf in it:
@@ -121,7 +124,7 @@ def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
     baseline-JPEG payloads (per-channel means/stds + a luminance
     histogram over actual decoded pixels); undecodable payloads take
     the deterministic byte-derived fallback — the remaining codec seam
-    (progressive JPEG, audio, video)."""
+    (arithmetic-coded JPEG, compressed audio, video)."""
     if dim < 16:
         raise ValueError(f"dim must be >= 16 (8 header stats + histogram), got {dim}")
 
@@ -225,7 +228,9 @@ def make_synthetic_media(spark, n: int = 64) -> DataFrame:
             yy, xx = np.mgrid[0:h, 0:w]
             rgb = np.stack([((xx * 11 + k * 40 + i) % 256) for k in range(3)], axis=2).astype(np.uint8)
             sub = ("4:4:4", "4:2:0")[i % 2]
-            payload = jpeg_codec.encode_jpeg(rgb, quality=90, subsampling=sub)
+            enc = (jpeg_codec.encode_jpeg_progressive if i % 16 == 9
+                   else jpeg_codec.encode_jpeg)  # half the JPEGs are SOF2
+            payload = enc(rgb, quality=90, subsampling=sub)
             rows.append((f"m{i}", kind, payload, "image/jpeg", w, h, 0, 0))
         elif kind == "image":
             w, h = 20 + i % 11, 10 + i % 3

@@ -154,6 +154,54 @@ def test_flat_image_is_near_exact():
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_progressive_matches_baseline_bit_exact(subsampling):
+    """Both encoders quantize identically, so progressive scans
+    (spectral selection + successive approximation + EOB runs) must
+    reconstruct the EXACT same coefficients as the single baseline
+    scan — decoded pixels bit-identical."""
+    rng = np.random.RandomState(21)
+    img = np.clip(_gradient_rgb(41, 53).astype(int)
+                  + rng.randint(-25, 25, (41, 53, 3)), 0, 255).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=80, subsampling=subsampling))
+    prog_blob = J.encode_jpeg_progressive(img, quality=80, subsampling=subsampling)
+    assert b"\xff\xc2" in prog_blob  # really SOF2
+    assert prog_blob.count(b"\xff\xda") >= 6  # multi-scan
+    np.testing.assert_array_equal(J.decode_jpeg(prog_blob), base)
+
+
+def test_progressive_gray_and_spectral_splits():
+    rng = np.random.RandomState(9)
+    img = (rng.uniform(0, 255, (26, 34)) * 0.6 + 40).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=88))
+    for split in (1, 5, 20, 63):
+        prog = J.encode_jpeg_progressive(img, quality=88, spectral_split=split)
+        np.testing.assert_array_equal(J.decode_jpeg(prog), base)
+
+
+def test_progressive_restart_markers():
+    img = _gradient_rgb(40, 40)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling="4:2:0"))
+    prog = J.encode_jpeg_progressive(img, quality=85, subsampling="4:2:0",
+                                     restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + i]) in prog for i in range(8))
+    np.testing.assert_array_equal(J.decode_jpeg(prog), base)
+
+
+def test_progressive_low_quality_stress():
+    """Low quality -> dense zero runs, ZRL paths, long EOB tails."""
+    rng = np.random.RandomState(33)
+    img = np.clip(rng.uniform(0, 255, (24, 56, 3)), 0, 255).astype(np.uint8)
+    for q in (10, 35):
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+        prog = J.encode_jpeg_progressive(img, quality=q)
+        np.testing.assert_array_equal(J.decode_jpeg(prog), base)
+
+
+# ---------------------------------------------------------------------------
 # guards
 # ---------------------------------------------------------------------------
 
@@ -162,11 +210,16 @@ def test_decoder_guards():
     blob = bytearray(J.encode_jpeg(img))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"JUNK" + bytes(blob))
-    # progressive SOF2 -> explicit refusal, not garbage output
+    # flipping SOF0 -> SOF2 makes the full-band scan spec-invalid for a
+    # progressive frame: explicit refusal, not garbage output
     sof0 = bytes(blob).find(b"\xff\xc0")
     prog = bytes(blob[:sof0]) + b"\xff\xc2" + bytes(blob[sof0 + 2:])
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         J.decode_jpeg(prog)
+    # arithmetic-coded SOF9 stays an explicit refusal
+    arith = bytes(blob[:sof0]) + b"\xff\xc9" + bytes(blob[sof0 + 2:])
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        J.decode_jpeg(arith)
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jpeg(bytes(blob[:40]))
 
