@@ -6,13 +6,15 @@ sandbox has no PIL/opencv, but PNG is just zlib-deflated, per-row
 filtered raster data in CRC'd chunks (RFC 2083 / the W3C PNG spec).
 
 Scope (documented, checked, raising on anything else):
-* 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA)
+* color types 0 (gray), 2 (RGB), 6 (RGBA) at 8-bit depth, and 3
+  (palette, PLTE + optional tRNS alpha) at 1/2/4/8-bit depth —
+  sub-byte palette rows unpack MSB-first per spec 7.2
 * non-interlaced
 * decoder handles ALL five row filters (None/Sub/Up/Average/Paeth);
   the encoder emits filter 0 rows (simplicity over ratio)
 
-JPEG/video codecs remain out of scope — `operators/multimodal.py`
-routes non-PNG payloads to the deterministic fallback feature path.
+Companion codecs: `functions/jpeg.py` (baseline + progressive),
+`functions/gif.py` (LZW), `functions/wav.py` (PCM audio).
 """
 
 from __future__ import annotations
@@ -51,9 +53,11 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
-    """Undo per-row filtering. rows are (1 filter byte + w*c data)."""
-    stride = w * c
+def _unfilter_rows(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-row filtering over raw byte rows (1 filter byte +
+    ``stride`` data bytes each); ``bpp`` is the filter's left-neighbor
+    byte offset (channels for 8-bit images, 1 for packed palette
+    rows). Returns (h, stride) uint8."""
     out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, stride + 1)
     for y in range(h):
@@ -65,7 +69,9 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
         elif ft == 2:  # Up — fully vectorized
             line = (cur + prev) & 0xFF
         elif ft == 1:  # Sub — per-channel cumsum mod 256, vectorized
-            line = np.cumsum(cur.reshape(w, c), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+            pad = -stride % bpp
+            padded = np.concatenate([cur, np.zeros(pad, np.int32)]) if pad else cur
+            line = np.cumsum(padded.reshape(-1, bpp), axis=0, dtype=np.int64).reshape(-1)[:stride] & 0xFF
         elif ft in (3, 4):  # Average/Paeth — inherently sequential in x;
             # plain Python ints are ~50x numpy scalar indexing here
             cur_l = cur.tolist()
@@ -73,13 +79,13 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
             line_l = [0] * stride
             if ft == 3:
                 for x in range(stride):
-                    a = line_l[x - c] if x >= c else 0
+                    a = line_l[x - bpp] if x >= bpp else 0
                     line_l[x] = (cur_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
             else:
                 for x in range(stride):
-                    a = line_l[x - c] if x >= c else 0
+                    a = line_l[x - bpp] if x >= bpp else 0
                     b = prev_l[x]
-                    cc = prev_l[x - c] if x >= c else 0
+                    cc = prev_l[x - bpp] if x >= bpp else 0
                     p = a + b - cc
                     pa = p - a if p >= a else a - p
                     pb = p - b if p >= b else b - p
@@ -90,7 +96,24 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = line.astype(np.uint8)
-    return out.reshape(h, w, c)
+    return out
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Undo per-row filtering. rows are (1 filter byte + w*c data)."""
+    return _unfilter_rows(raw, h, w * c, c).reshape(h, w, c)
+
+
+def _unpack_palette_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed palette bytes -> (h, w) indices. Sub-byte
+    depths pack pixels MSB-first within each byte (PNG spec 7.2)."""
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)  # MSB-first — matches the spec
+    per = bits.shape[1] // depth
+    powers = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, :per * depth].reshape(rows.shape[0], per, depth) * powers).sum(axis=2)
+    return vals[:, :w].astype(np.uint8)
 
 
 #: decode ceiling: 64 MP * 4 channels = 256 MB of raster — far above any
@@ -112,7 +135,8 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
-    width = height = color_type = None
+    width = height = color_type = depth = None
+    plte = trns = None
     idat = bytearray()
     while pos < len(data):
         if pos + 12 > len(data):
@@ -127,16 +151,25 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8:
+            if color_type == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"unsupported palette bit depth {depth}")
+            elif depth != 8:
                 raise ValueError(f"unsupported bit depth {depth} (only 8)")
-            if color_type not in _CHANNELS:
-                raise ValueError(f"unsupported color type {color_type} (0, 2 or 6)")
+            if color_type != 3 and color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type} (0, 2, 3 or 6)")
             if interlace:
                 raise ValueError("interlaced PNG not supported")
             if width == 0 or height == 0 or width * height > max_pixels:
                 raise ValueError(
                     f"refusing {width}x{height} PNG (> {max_pixels} px cap — "
                     "decompression-bomb guard for untrusted crawl media)")
+        elif tag == b"PLTE":
+            if len(payload) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -144,8 +177,14 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("missing IHDR")
-    c = _CHANNELS[color_type]
-    expected = height * (width * c + 1)
+    if color_type == 3:
+        stride = (width * depth + 7) // 8
+        bpp = 1
+    else:
+        c = _CHANNELS[color_type]
+        stride = width * c
+        bpp = c
+    expected = height * (stride + 1)
     # bounded inflate: never materialize more than expected + 1 bytes,
     # however large the hidden deflate stream actually is
     dec = zlib.decompressobj()
@@ -155,4 +194,17 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != expected:
         raise ValueError(f"IDAT size {len(raw)} != expected {expected}")
-    return _unfilter(raw, height, width, c)
+    rows = _unfilter_rows(raw, height, stride, bpp)
+    if color_type != 3:
+        return rows.reshape(height, width, bpp)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    idx = _unpack_palette_bits(rows, width, depth)
+    if idx.max(initial=0) >= len(plte):
+        raise ValueError("palette index out of range")
+    rgb = plte[idx]
+    if trns is not None:
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[:len(trns)] = trns
+        return np.dstack([rgb, alpha[idx]])
+    return rgb

@@ -67,11 +67,13 @@ PIXELS_SCHEMA = "media_id string, width int, height int, channels int, pixels bi
 
 
 def _decode_raster(b: bytes):
-    """PNG or baseline-JPEG bytes -> (H, W, C) uint8, or None.
-    Dispatches on magic; gray JPEG is normalized to one channel."""
+    """PNG / JPEG (baseline + progressive) / GIF bytes -> (H, W, C)
+    uint8, or None. Dispatches on magic; gray JPEG is normalized to
+    one channel."""
     import struct as _struct
     import zlib as _zlib
 
+    from ..functions import gif as gif_codec
     from ..functions import jpeg as jpeg_codec
     from ..functions import png as png_codec
 
@@ -81,6 +83,8 @@ def _decode_raster(b: bytes):
         if b[:2] == b"\xff\xd8":
             arr = jpeg_codec.decode_jpeg(b)
             return arr[:, :, None] if arr.ndim == 2 else arr
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_codec.decode_gif(b)
     except (ValueError, _zlib.error, _struct.error, IndexError):
         # narrow except: only decode failures route to the fallback —
         # a post-decode numpy error should surface, not get shadowed
@@ -232,9 +236,15 @@ def make_synthetic_media(spark, n: int = 64) -> DataFrame:
                    else jpeg_codec.encode_jpeg)  # half the JPEGs are SOF2
             payload = enc(rgb, quality=90, subsampling=sub)
             rows.append((f"m{i}", kind, payload, "image/jpeg", w, h, 0, 0))
-        elif kind == "image":
+        elif kind == "image":  # real decodable GIF (interlace varies)
+            from ..functions import gif as gif_codec
+
             w, h = 20 + i % 11, 10 + i % 3
-            payload = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((xx + yy + i) % 5).astype(np.uint8)
+            pal = np.array([[(p * 53 + i) % 256, (p * 29) % 256, (p * 17) % 256]
+                            for p in range(5)], dtype=np.uint8)
+            payload = gif_codec.encode_gif(idx, pal, interlace=bool(i % 16 == 5))
             rows.append((f"m{i}", kind, payload, "image/gif", w, h, 0, 0))
         elif kind == "video":
             rows.append((f"m{i}", kind, bytes([i % 251]) * 64, "video/fake", 0, 0, 30 + i, 0))

@@ -81,6 +81,58 @@ def test_crc_and_format_guards():
         P.decode_png(bytes(blob))
 
 
+def test_palette_png_all_depths():
+    """Color type 3 at depths 1/2/4/8: hand-built PLTE images with the
+    pixel oracle being the palette lookup itself; tRNS adds alpha."""
+    rng = np.random.RandomState(13)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        w, h = 13, 7  # odd width: exercises partial final byte
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        # pack rows MSB-first at the given depth, filter 0
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            bits = np.unpackbits(idx[y][:, None], axis=1)[:, 8 - depth:]
+            packed = np.packbits(bits.ravel())
+            raw += packed.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        blob = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"PLTE", pal.tobytes())
+                + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + P._chunk(b"IEND", b""))
+        np.testing.assert_array_equal(P.decode_png(blob), pal[idx])
+        # with transparency on index 0
+        trns = bytes([0])
+        blob_t = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                  + P._chunk(b"PLTE", pal.tobytes())
+                  + P._chunk(b"tRNS", trns)
+                  + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                  + P._chunk(b"IEND", b""))
+        out = P.decode_png(blob_t)
+        assert out.shape == (h, w, 4)
+        np.testing.assert_array_equal(out[..., :3], pal[idx])
+        np.testing.assert_array_equal(out[..., 3] == 0, idx == 0)
+
+
+def test_real_world_palette_pngs():
+    """System files written by real encoders pin the sub-byte packing
+    and PLTE handling externally."""
+    import glob
+    import os
+
+    found = [f for f in ("/usr/share/gitweb/static/git-logo.png",
+                         "/usr/share/gitweb/static/git-favicon.png")
+             if os.path.exists(f)]
+    if not found:
+        pytest.skip("no system palette PNGs")
+    for f in found:
+        arr = P.decode_png(open(f, "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] in (3, 4)
+        assert arr.shape[0] > 0 and arr.shape[1] > 0
+
+
 def test_decompression_bomb_guards():
     """Untrusted crawl media: attacker-declared dims and oversized
     deflate streams must fail cheaply, before any huge allocation."""
@@ -125,34 +177,34 @@ def test_decompression_bomb_guards():
 def test_multimodal_pixels_and_features_real(spark):
     from osm_poi_cloud_spark.operators import multimodal as mm
 
+    from osm_poi_cloud_spark.functions import gif as G
     from osm_poi_cloud_spark.functions import jpeg as J
 
     media = mm.make_synthetic_media(spark, 32)
     pix = mm.decode_image_pixels(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
-    png_ids = [i for i in src.index if src.loc[i, "mime"] == "image/png"]
-    jpeg_ids = [i for i in src.index if src.loc[i, "mime"] == "image/jpeg"]
-    assert len(png_ids) == 8 and pix.loc[png_ids, "ok"].all()
-    assert len(jpeg_ids) == 4 and pix.loc[jpeg_ids, "ok"].all()
-    for mid in png_ids:
-        row = pix.loc[mid]
-        arr = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(
-            row["height"], row["width"], row["channels"])
-        expect = P.decode_png(bytes(src.loc[mid, "payload"]))
-        assert (arr == expect).all()
-    for mid in jpeg_ids:  # real JPEG pixels, bit-equal to the codec
-        row = pix.loc[mid]
-        arr = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(
-            row["height"], row["width"], row["channels"])
-        expect = J.decode_jpeg(bytes(src.loc[mid, "payload"]))
-        assert (arr == expect).all()
-    # undecodable rows (GIF/video/audio) are marked not-ok, not crashed
-    decodable = set(png_ids) | set(jpeg_ids)
+    by_mime = {m: [i for i in src.index if src.loc[i, "mime"] == f"image/{m}"]
+               for m in ("png", "jpeg", "gif")}
+    codec = {"png": P.decode_png, "jpeg": J.decode_jpeg, "gif": G.decode_gif}
+    assert (len(by_mime["png"]), len(by_mime["jpeg"]), len(by_mime["gif"])) == (8, 4, 4)
+    for m, ids in by_mime.items():
+        assert pix.loc[ids, "ok"].all(), m
+        for mid in ids:  # operator pixels bit-equal to the direct codec
+            row = pix.loc[mid]
+            arr = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(
+                row["height"], row["width"], row["channels"])
+            expect = codec[m](bytes(src.loc[mid, "payload"]))
+            if expect.ndim == 2:
+                expect = expect[:, :, None]
+            assert (arr == expect).all(), mid
+    # undecodable rows (video/compressed audio) are marked not-ok, not crashed
+    decodable = {i for ids in by_mime.values() for i in ids}
     assert not pix.loc[[i for i in src.index if i not in decodable], "ok"].any()
 
     feats = mm.extract_image_features(media, dim=64).toPandas().set_index("media_id")
-    f0 = np.array(feats.loc[png_ids[0], "feature"])
-    exp = P.decode_png(bytes(src.loc[png_ids[0], "payload"])).astype(np.float32) / 255.0
+    png0 = by_mime["png"][0]
+    f0 = np.array(feats.loc[png0, "feature"])
+    exp = P.decode_png(bytes(src.loc[png0, "payload"])).astype(np.float32) / 255.0
     lum = exp.mean(axis=2)
     assert f0[3] == pytest.approx(lum.mean(), abs=1e-6)  # real pixel stat
     assert len(f0) == 64
