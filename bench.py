@@ -176,6 +176,12 @@ def main() -> None:
     urls = docs.selectExpr("doc_id", f"{C._URL_CASE_SPARK} AS url", "text")
     timed("url_dedup", lambda: force(dedup_by_canonical_url(urls)))
 
+    from osm_poi_cloud_spark.operators import bloom as bl
+    n_docs = docs.count()  # untimed sizing probe
+    timed("bloom_filter", lambda: force(bl.bloom_filter_new_keys(
+        urls.select("doc_id", "url"), urls.filter(F.col("doc_id") % 2 == 0).select("url"),
+        "url", fpp=0.001, expected_keys=max(n_docs // 2, 1))))
+
     rings = pois.select(
         "poi_id",
         F.array(

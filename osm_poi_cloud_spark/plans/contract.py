@@ -788,6 +788,32 @@ def _q_jaccard_verify_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_url_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership (incremental-crawl URL dedup,
+    operators/bloom.py): filter built over even-doc_id URLs, every URL
+    probed. Bit-exact deterministic (seeded xxhash64 positions), golden
+    verified against an independent from-spec XXH64 + position-set
+    recompute in tools/make_goldens.py."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    M_BITS, K = 16384, 5
+    _register(spark, sf_dir, ["documents"])
+    keys = (
+        spark.table("documents").filter(F.col("doc_id") < 2000)
+        .select("doc_id",
+                F.concat(F.lit("https://corpus.example/doc/"),
+                         F.col("doc_id").cast("string")).alias("url"))
+    )
+    bloom = bloom_build(keys.filter(F.col("doc_id") % 2 == 0), "url", M_BITS, K)
+    probed = bloom_probe(keys, bloom, "url", M_BITS, K)
+    return (
+        keys.join(probed, on="url")
+        .select("doc_id", F.col("probably_seen").cast("int").alias("probably_seen"))
+        .orderBy("doc_id")
+    )
+
+
+
 def _q_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints (xxhash64 over case/whitespace-normalized
     text). Golden verified against a from-spec pure-Python XXH64 in
@@ -920,6 +946,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = _q_ann_ivf_spark
     q["dedup_components"] = _q_dedup_components_spark
     q["dedup_jaccard_verify"] = _q_jaccard_verify_spark
+    q["bloom_url_probe"] = _q_bloom_url_probe_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -952,6 +979,7 @@ _GOLDEN_SPECS = {
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "bloom_url_probe": ("doc_id, probably_seen", "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

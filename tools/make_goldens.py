@@ -235,6 +235,32 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h ^ (h >> 32)
 
 
+def expected_bloom_probe(doc_ids) -> pd.DataFrame:
+    """Independent Bloom membership: positions from the from-spec XXH64
+    above (chained like Spark's multi-arg xxhash64: the 4-byte-LE int
+    literal's hash seeds the key hash), membership via a plain Python
+    position SET — no word/bitmask packing, so it shares no code shape
+    with operators/bloom.py."""
+    m, k = 16384, 5
+
+    def positions(key: str) -> list[int]:
+        out = []
+        for i in range(k):
+            seed = xxh64(int(i).to_bytes(4, "little"), 42)
+            h = _signed(xxh64(key.encode(), seed))
+            out.append(((h % m) + m) % m)
+        return out
+
+    url = {int(d): f"https://corpus.example/doc/{int(d)}" for d in doc_ids}
+    seen_bits: set[int] = set()
+    for d, u in url.items():
+        if d % 2 == 0:
+            seen_bits.update(positions(u))
+    rows = [(d, int(all(p in seen_bits for p in positions(u))))
+            for d, u in sorted(url.items())]
+    return pd.DataFrame(rows, columns=["doc_id", "probably_seen"])
+
+
 def expected_fingerprints(docs_full: pd.DataFrame) -> pd.DataFrame:
     """Normalization restated from functions/text_analysis.fingerprint_col:
     trim spaces, lowercase, collapse Java-\\s runs ([ \\t\\n\\x0b\\f\\r])."""
@@ -438,7 +464,8 @@ def main() -> None:
                    for name in ("s2_cell_counts", "dedup_minhash_pairs",
                                 "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
                                 "mvt_tile_stats", "dedup_components",
-                                "dedup_jaccard_verify", "fingerprint_hashes")}
+                                "dedup_jaccard_verify", "fingerprint_hashes",
+                                "bloom_url_probe")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -463,6 +490,9 @@ def main() -> None:
             _norm_sorted(results["fingerprint_hashes"].astype("int64")),
             _norm_sorted(expected_fingerprints(docs_fp)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["bloom_url_probe"].astype("int64")),
+            _norm_sorted(expected_bloom_probe(docs["doc_id"].to_numpy())), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
 
@@ -475,7 +505,7 @@ def main() -> None:
                   "dedup_simhash_pairs": "documents", "ann_lsh_topk": "embeddings",
                   "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
-                  "fingerprint_hashes": "documents"}
+                  "fingerprint_hashes": "documents", "bloom_url_probe": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
