@@ -155,3 +155,51 @@ def fingerprint_col(text: Column) -> Column:
     (case/whitespace-insensitive) — the cheap exact-dup key."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.xxhash64(normalized)
+
+
+def term_explode(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, term) rows: lowercase alphabetic terms, one row per
+    occurrence. The ``[^a-z]+`` splitter stays in the Java∩RE2 subset
+    so the DuckDB oracle can tokenize identically."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by a TF-IDF-style score — the corpus
+    keyword-extraction pass of a training-data pipeline.
+
+    Distributed shape (the interesting part — corpus statistics feed a
+    per-row computation): one groupBy for per-doc term frequency, one
+    groupBy for corpus document frequency (<= |vocab| rows, broadcast
+    back), a broadcast join, then a per-doc window for top-k. At 100 TB
+    the vocabulary table is the only global state and it is millions of
+    rows, not billions — always broadcastable.
+
+    Score = tf * ((N + 1) / (df + 1)) — a rational IDF surrogate chosen
+    over ln() ON PURPOSE: IEEE division of exact integers is
+    bit-identical across engines (Java vs C libm ``log`` is not), so
+    the cross-engine oracle hash-matches without rounding games.
+    Deterministic tie-break: higher tf first, then term ascending."""
+    from pyspark.sql import Window
+
+    terms = term_explode(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = (
+        terms.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))).alias("score")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(docfreq), on="term")
+        .select(id_col, "term", "tf", "df", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

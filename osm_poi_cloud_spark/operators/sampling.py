@@ -1,0 +1,75 @@
+"""Deterministic sampling operators (training-data pipeline).
+
+Dataset curation needs samples that are (a) stratified — different
+keep rates per language/source/quality bucket, (b) REPRODUCIBLE — the
+same rows come back on any cluster, partitioning or rerun, and (c)
+cheap — no global shuffle for rate-based sampling. ``df.sample()``
+fails (b): its Bernoulli draw depends on partition layout.
+
+Both operators key the decision on ``xxhash64(seed, key)`` — a pure
+function of row CONTENT — so the sample is a deterministic subset of
+the data, stable across runs and resumable mid-pipeline. That also
+makes an exact cross-engine oracle possible (the golden fixture's
+independent from-spec XXH64 recompute).
+
+* ``stratified_sample`` — per-stratum keep RATES. Map-only (the rate
+  lookup is a literal map or a broadcast join): zero shuffles, scales
+  to any input size. Keep decision: ``pmod(hash, scale) < rate*scale``.
+* ``exact_count_per_stratum`` — exactly n rows per stratum, chosen as
+  the n smallest hashes (deterministic, uniform). One window shuffle
+  on the stratum key; skewed strata are bounded by the window's
+  partial top-k (rank <= n prunes early under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: rate resolution: 1e-6 (rates are quantized to integer thresholds so
+#: the keep predicate is exact integer math, never float comparison)
+SCALE = 1_000_000
+
+
+def _keep_hash(key_col: str, seed: int):
+    """Content hash in [0, SCALE): pmod(xxhash64(seed, key), SCALE).
+    The 4-byte literal seed chains into the key hash (Spark multi-arg
+    xxhash64 semantics — same convention as operators/bloom.py)."""
+    return F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(SCALE))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      key_col: str, default_rate: float = 0.0,
+                      seed: int = 0) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically.
+
+    ``rates`` maps stratum value -> keep rate in [0, 1]; strata absent
+    from the map use ``default_rate``. The plan is map-only: a literal
+    threshold lookup + one hash comparison per row, no shuffle, no
+    driver state — identical output on 1 or 10,000 executors."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = F.lit(int(round(default_rate * SCALE)))
+    for k, v in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == k, int(round(v * SCALE))).otherwise(thresh)
+    return df.filter(_keep_hash(key_col, seed) < thresh)
+
+
+def exact_count_per_stratum(df: DataFrame, strata_col: str, n: int,
+                            key_col: str, seed: int = 0) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum: the n smallest
+    content hashes (a deterministic uniform draw — hashes are i.i.d.
+    uniform over keys). Tie-break on the key itself so the result is a
+    total function of the data."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _keep_hash(key_col, seed).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

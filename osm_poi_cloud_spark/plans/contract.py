@@ -813,6 +813,60 @@ def _q_bloom_url_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (corpus keyword extraction):
+    dialect-split oracle — the DuckDB side re-derives tf/df/score with
+    string_split_regex + windows. The score is a RATIONAL IDF surrogate
+    (tf * (N+1)/(df+1)) so cross-engine doubles are bit-identical (IEEE
+    division; no ln())."""
+    from ..functions.text_analysis import tfidf_top_terms
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rn")
+
+
+def _q_stratified_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py):
+    per-language keep rates keyed on content hash — reproducible on any
+    partitioning. Golden verified against an independent from-spec
+    XXH64 keep-decision recompute in tools/make_goldens.py."""
+    from ..operators.sampling import stratified_sample
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.1, "zh": 0.05}
+    return (
+        stratified_sample(docs, "lang", rates, "doc_id", default_rate=0.0)
+        .select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
+_Q_TFIDF_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+    FROM base
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM base),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rn FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, tf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+
 
 def _q_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints (xxhash64 over case/whitespace-normalized
@@ -947,6 +1001,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = _q_dedup_components_spark
     q["dedup_jaccard_verify"] = _q_jaccard_verify_spark
     q["bloom_url_probe"] = _q_bloom_url_probe_spark
+    q["tfidf_top_terms"] = _q_tfidf_spark
+    q["stratified_sample"] = _q_stratified_sample_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -980,6 +1036,7 @@ _GOLDEN_SPECS = {
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "bloom_url_probe": ("doc_id, probably_seen", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "stratified_sample": ("doc_id, lang", "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 
@@ -1009,5 +1066,6 @@ def build_oracles() -> dict[str, str]:
     o["repetition_scores"] = _Q_REPETITION_ORACLE
     o["pii_scrub"] = _pii_scrub_oracle()
     o["lang_id_counts"] = _lang_id_oracle()
+    o["tfidf_top_terms"] = _Q_TFIDF_ORACLE
     o.update(_golden_oracles())
     return o

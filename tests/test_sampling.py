@@ -1,0 +1,85 @@
+"""Deterministic sampling: partitioning independence, rate accuracy,
+exact-count guarantee, and an independent from-spec XXH64 recompute of
+the keep decision (same chain convention test_bloom pins)."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.operators import sampling as S
+
+sys.path.insert(0, "tools")
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stratified_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "zh": 0.0}
+    out = S.stratified_sample(docs, "lang", rates, "doc_id", default_rate=0.1)
+    got = out.toPandas()
+    by_lang = got.groupby("lang").size()
+    totals = docs.toPandas().groupby("lang").size()
+    assert by_lang.get("fr", 0) == totals["fr"]       # rate 1.0: all rows
+    assert "zh" not in by_lang.index                  # rate 0.0: none
+    frac_en = by_lang.get("en", 0) / totals["en"]
+    assert 0.3 < frac_en < 0.7                        # ~0.5 on 218 rows
+    frac_es = by_lang.get("es", 0) / totals["es"]     # default 0.1
+    assert frac_es < 0.3
+
+    # identical rows regardless of partitioning (content-keyed hash)
+    a = (S.stratified_sample(docs.repartition(13), "lang", rates, "doc_id", 0.1)
+         .select("doc_id").toPandas()["doc_id"].sort_values().tolist())
+    assert a == sorted(got["doc_id"])
+    # and a different seed gives a different (but still valid) subset
+    b = S.stratified_sample(docs, "lang", rates, "doc_id", 0.1, seed=7) \
+        .select("doc_id").toPandas()["doc_id"].sort_values().tolist()
+    assert b != a
+
+
+def test_keep_decision_matches_independent_xxh64(spark):
+    """pmod(xxhash64(lit(seed) int, doc_id long), SCALE) recomputed
+    with the from-spec XXH64: ints hash as 4-byte LE, longs as 8-byte
+    LE, each chaining the previous hash as seed."""
+    from make_goldens import xxh64
+
+    docs = _docs(spark).limit(100)
+    got = docs.select("doc_id", S._keep_hash("doc_id", 3).alias("h")).toPandas()
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for _, r in got.iterrows():
+        seed = xxh64(int(3).to_bytes(4, "little"), 42)
+        h = signed(xxh64(int(r["doc_id"]).to_bytes(8, "little", signed=True), seed))
+        assert ((h % S.SCALE) + S.SCALE) % S.SCALE == r["h"], r["doc_id"]
+
+
+def test_exact_count_per_stratum(spark):
+    docs = _docs(spark)
+    out = S.exact_count_per_stratum(docs, "lang", 20, "doc_id").toPandas()
+    sizes = out.groupby("lang").size()
+    totals = docs.toPandas().groupby("lang").size()
+    for lang, total in totals.items():
+        assert sizes[lang] == min(20, total), lang
+    # schema untouched (helper column dropped)
+    assert "_rk" not in out.columns
+    # partitioning independence
+    again = (S.exact_count_per_stratum(docs.repartition(9), "lang", 20, "doc_id")
+             .toPandas())
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        S.stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+    with pytest.raises(ValueError):
+        S.exact_count_per_stratum(docs, "lang", 0, "doc_id")

@@ -218,3 +218,30 @@ def test_multimodal_plumbing(spark):
     # non-PNG payloads report ok=false instead of crashing
     pix = mm.decode_image_pixels(media).toPandas()
     assert pix["ok"].any() and not pix["ok"].all()
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc corpus with known tf/df: scores and ranks verified by
+    hand. 'rare' appears only in doc 0 (df=1), 'shared' in all three
+    (df=3): tf * (N+1)/(df+1) must rank rare above shared at equal tf."""
+    from osm_poi_cloud_spark.functions.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "rare shared shared",      # tf(rare)=1 df=1; tf(shared)=2 df=3
+            "shared common common",    # common df=2
+            "shared common zzz",
+        ],
+    }))
+    out = tfidf_top_terms(docs, k=3).toPandas().sort_values(["doc_id", "rn"])
+    d0 = out[out["doc_id"] == 0].set_index("term")
+    # N=3: score(rare) = 1 * 4/2 = 2.0 ; score(shared) = 2 * 4/4 = 2.0
+    # tie on score -> higher tf wins -> shared is rn 1
+    assert d0.loc["rare", "score"] == 2.0 and d0.loc["rare", "df"] == 1
+    assert d0.loc["shared", "score"] == 2.0 and d0.loc["shared", "tf"] == 2
+    assert d0.loc["shared", "rn"] == 1 and d0.loc["rare", "rn"] == 2
+    # doc 2: zzz df=1 -> 1*4/2=2.0 ; common df=2 -> 1*4/3 ; shared 1*4/4
+    d2 = out[out["doc_id"] == 2].set_index("term")
+    assert list(d2.sort_values("rn").index) == ["zzz", "common", "shared"]
+    assert d2.loc["common", "score"] == 4.0 / 3.0  # exact IEEE division

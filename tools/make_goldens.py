@@ -235,6 +235,23 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h ^ (h >> 32)
 
 
+def expected_stratified_sample(docs_lang: pd.DataFrame) -> pd.DataFrame:
+    """Independent keep decision: from-spec XXH64 of the 8-byte-LE
+    doc_id seeded by the hash of the 4-byte-LE literal 0, pmod 1e6,
+    compared to the per-language integer thresholds."""
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.1, "zh": 0.05}
+    scale = 1_000_000
+    seed0 = xxh64(int(0).to_bytes(4, "little"), 42)
+    rows = []
+    for _, r in docs_lang.iterrows():
+        d = int(r["doc_id"])
+        h = _signed(xxh64(d.to_bytes(8, "little", signed=True), seed0))
+        keep = ((h % scale) + scale) % scale < int(round(rates.get(r["lang"], 0.0) * scale))
+        if keep:
+            rows.append((d, r["lang"]))
+    return pd.DataFrame(rows, columns=["doc_id", "lang"])
+
+
 def expected_bloom_probe(doc_ids) -> pd.DataFrame:
     """Independent Bloom membership: positions from the from-spec XXH64
     above (chained like Spark's multi-arg xxhash64: the 4-byte-LE int
@@ -465,7 +482,7 @@ def main() -> None:
                                 "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
                                 "mvt_tile_stats", "dedup_components",
                                 "dedup_jaccard_verify", "fingerprint_hashes",
-                                "bloom_url_probe")}
+                                "bloom_url_probe", "stratified_sample")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -492,6 +509,11 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["bloom_url_probe"].astype("int64")),
             _norm_sorted(expected_bloom_probe(docs["doc_id"].to_numpy())), check_dtype=False)
+        docs_lang = con.execute(
+            "SELECT doc_id, lang FROM documents WHERE doc_id < 2000 ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["stratified_sample"]),
+            _norm_sorted(expected_stratified_sample(docs_lang)), check_dtype=False)
         pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
@@ -505,7 +527,8 @@ def main() -> None:
                   "dedup_simhash_pairs": "documents", "ann_lsh_topk": "embeddings",
                   "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
-                  "fingerprint_hashes": "documents", "bloom_url_probe": "documents"}
+                  "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
+                  "stratified_sample": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
