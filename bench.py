@@ -176,6 +176,9 @@ def main() -> None:
     urls = docs.selectExpr("doc_id", f"{C._URL_CASE_SPARK} AS url", "text")
     timed("url_dedup", lambda: force(dedup_by_canonical_url(urls)))
 
+    from osm_poi_cloud_spark.plans.curation import curate_documents
+    timed("corpus_curation", lambda: force(curate_documents(docs.select("doc_id", "text"))))
+
     from osm_poi_cloud_spark.operators import bloom as bl
     n_docs = docs.count()  # untimed sizing probe
     timed("bloom_filter", lambda: force(bl.bloom_filter_new_keys(

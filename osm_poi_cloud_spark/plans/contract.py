@@ -842,6 +842,93 @@ def _q_stratified_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (plans/curation.py): lang ID +
+    quality/repetition thresholds + PII scrub + exact dedup in one
+    call. The oracle recomputes the IDENTICAL IEEE expression chain in
+    DuckDB, so threshold decisions match bit-for-bit at the boundary."""
+    from .curation import curate_documents
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id", "text")
+    out = curate_documents(docs)
+    return (
+        out.select(
+            "doc_id", "lang_detected",
+            F.round("quality_score", 6).alias("quality6"),
+            F.md5("text_clean").alias("clean_md5"),
+        ).orderBy("doc_id")
+    )
+
+
+def _corpus_curation_oracle() -> str:
+    from ..functions.text_analysis import PII_PATTERNS, STOPWORDS
+
+    ratios = []
+    for lang, words in STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS DOUBLE) "
+            f"/ greatest(len(toks), 1) AS s_{lang}"
+        )
+    lang_case = (
+        "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= 0.02 THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= 0.02 THEN 'en' "
+        "WHEN s_es >= s_fr AND s_es >= 0.02 THEN 'es' "
+        "WHEN s_fr >= 0.02 THEN 'fr' ELSE 'und' END"
+    )
+    scrub = "text"
+    for token, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    quality = (
+        "least(alpha_ratio / 0.7, 1.0) * 0.4 "
+        "+ least(s_en / 0.3, 1.0) * 0.3 "
+        "+ CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE 0.0 END "
+        "+ CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+tok AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM base
+),
+feat AS (
+  SELECT doc_id, text, toks, n_chars, len(toks) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         n_chars / greatest(len(toks), 1) AS mean_word_len,
+         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+           / greatest(len(toks), 1) AS dup_word_frac,
+         CAST(len(regexp_split_to_array(text, '\\n'))
+              - len(list_distinct(regexp_split_to_array(text, '\\n'))) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(text, '\\n')), 1) AS dup_line_frac,
+         {", ".join(ratios)}
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, text, n_tokens, dup_word_frac, dup_line_frac,
+         {lang_case} AS lang_detected,
+         {quality} AS quality_score
+  FROM feat
+),
+kept AS (
+  SELECT doc_id, lang_detected, quality_score, {scrub} AS text_clean
+  FROM scored
+  WHERE lang_detected = 'en' AND n_tokens >= 5 AND quality_score >= 0.4
+    AND dup_word_frac <= 0.4 AND dup_line_frac <= 0.5
+)
+SELECT doc_id, lang_detected, ROUND(quality_score, 6) AS quality6,
+       md5(text_clean) AS clean_md5
+FROM kept
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text_clean))
+ORDER BY doc_id
+"""
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1003,6 +1090,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bloom_url_probe"] = _q_bloom_url_probe_spark
     q["tfidf_top_terms"] = _q_tfidf_spark
     q["stratified_sample"] = _q_stratified_sample_spark
+    q["corpus_curation"] = _q_corpus_curation_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1067,5 +1155,6 @@ def build_oracles() -> dict[str, str]:
     o["pii_scrub"] = _pii_scrub_oracle()
     o["lang_id_counts"] = _lang_id_oracle()
     o["tfidf_top_terms"] = _Q_TFIDF_ORACLE
+    o["corpus_curation"] = _corpus_curation_oracle()
     o.update(_golden_oracles())
     return o

@@ -1,0 +1,80 @@
+"""End-to-end pretraining-corpus curation: raw documents in, clean
+deduplicated corpus out — ONE call composing the pipeline every
+training-data stack runs before tokenization:
+
+    language ID -> quality thresholds -> repetition (Gopher) filters
+    -> PII scrub -> exact dedup
+
+Everything upstream of the final dedup is native Column expressions
+(codegen'd, map-only — no shuffle, no Python): at 100 TB the whole
+filter cascade streams through the scan, and the single shuffle is the
+dedup groupBy on the content hash. Filters are ordered cheapest-first
+so Catalyst can collapse them into one WholeStageCodegen pass over
+each batch.
+
+The composite is fully cross-engine-oracled (contract query
+``corpus_curation``): every arithmetic step is the same IEEE
+expression DuckDB evaluates, so scores — and therefore threshold
+decisions at the boundary — are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import (
+    lang_id_col,
+    quality_features,
+    repetition_features,
+    scrub_pii_col,
+)
+from ..operators.dedup import exact_dedup
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.4,
+    max_dup_word_frac: float = 0.4,
+    max_dup_line_frac: float = 0.5,
+    min_tokens: int = 5,
+    scrub: bool = True,
+) -> DataFrame:
+    """Curate a raw document table for pretraining.
+
+    Returns the surviving rows with the audit columns the pipeline
+    computed (``lang_detected``, ``quality_score``, ``dup_*_frac``,
+    ``n_tokens``) plus ``text_clean`` (PII-scrubbed when ``scrub``).
+    Exact dedup keeps the min-``id_col`` representative per identical
+    CLEAN text, so two pages differing only in scrubbed emails
+    deduplicate together — the order (scrub THEN dedup) is load-bearing.
+    """
+    out = df.filter(F.length(text_col) > 0)
+    out = quality_features(out, text_col)
+    out = repetition_features(out, text_col)
+    out = out.withColumn("lang_detected", lang_id_col(F.col(text_col)))
+    out = out.filter(
+        F.col("lang_detected").isin(*keep_langs)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+    )
+    clean = scrub_pii_col(F.col(text_col)) if scrub else F.col(text_col)
+    out = out.withColumn("text_clean", clean)
+    return exact_dedup(out, "text_clean", id_col)
+
+
+def curation_report(raw: DataFrame, curated: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-row funnel summary (rows in, rows out, survival rate) — the
+    audit number a curation run logs."""
+    n_in = raw.select(F.count(F.lit(1)).alias("rows_in"))
+    n_out = curated.select(F.count(F.lit(1)).alias("rows_out"))
+    return n_in.crossJoin(n_out).select(
+        "rows_in", "rows_out",
+        (F.col("rows_out") / F.greatest(F.col("rows_in"), F.lit(1))).alias("survival_rate"),
+    )

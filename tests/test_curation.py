@@ -1,0 +1,54 @@
+"""Curation pipeline: funnel semantics, the scrub-then-dedup ordering
+guarantee, audit columns, and the survival report."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.plans.curation import curate_documents, curation_report
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs into the field "
+    "with a friendly pack of hounds that are happy to see the morning sun"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, GOOD),                                  # keeps
+        (1, GOOD),                                  # exact dup of 0 -> dropped
+        (2, GOOD + " contact me at bob@x.org ok"),  # keeps, scrubbed
+        (3, GOOD + " contact me at eve@y.net ok"),  # same after scrub -> dedup with 2
+        (4, "der hund und die katze sind nicht in der stadt und das ist gut für die ruhe"),  # German
+        (5, "zzz " * 40),                           # repetition bomb
+        (6, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),  # punct garbage
+        (7, "short text"),                          # < min_tokens
+        (8, ""),                                    # empty
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_curation_funnel(spark):
+    docs = _corpus(spark)
+    out = curate_documents(docs).toPandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 2]
+    assert (out["lang_detected"] == "en").all()
+    # doc 2 kept but its email scrubbed; doc 3 deduped AGAINST it because
+    # their texts are identical post-scrub (scrub-then-dedup order)
+    t2 = out.set_index("doc_id").loc[2, "text_clean"]
+    assert "<EMAIL>" in t2 and "bob@" not in t2
+    # audit columns present
+    assert {"quality_score", "dup_word_frac", "dup_line_frac", "n_tokens"} <= set(out.columns)
+
+    rep = curation_report(docs, curate_documents(docs)).toPandas()
+    assert rep.loc[0, "rows_in"] == 9 and rep.loc[0, "rows_out"] == 2
+    assert abs(rep.loc[0, "survival_rate"] - 2 / 9) < 1e-12
+
+
+def test_curation_keep_langs_and_thresholds(spark):
+    docs = _corpus(spark)
+    # German admitted when requested
+    out = curate_documents(docs, keep_langs=("en", "de")).toPandas()
+    assert 4 in set(out["doc_id"])
+    # no scrub: docs 2 and 3 differ again, both survive
+    out2 = curate_documents(docs, scrub=False).toPandas()
+    assert {2, 3} <= set(out2["doc_id"])
