@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Managed-table warehouse (bucketed tables): keep it out of the
+        # repo working dir; real clusters override with their metastore.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/osm_poi_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

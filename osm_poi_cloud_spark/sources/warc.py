@@ -177,7 +177,8 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def iter_warc_records(raw_fp, content_types: tuple[str, ...] | None = ("text/html",),
-                      sanitize_utf8: bool = True):
+                      sanitize_utf8: bool = True,
+                      record_types: tuple[str, ...] = ("response",)):
     """Stream (url, ts_utc, html_body) response records from a WARC
     file object (plain or gzip — multi-member handled by GzipFile).
     Malformed records are skipped; framing failures rescan forward.
@@ -189,7 +190,13 @@ def iter_warc_records(raw_fp, content_types: tuple[str, ...] | None = ("text/htm
     records are skipped with framing intact. ``sanitize_utf8``
     re-encodes bodies via ``decode("utf-8", "replace")`` so the frozen
     strict-UTF-8 extractor downstream can never throw; valid UTF-8 is
-    byte-identical after the round trip."""
+    byte-identical after the round trip.
+
+    ``record_types``: WARC record types to yield. ``("response",)``
+    (default) reads crawl WARCs; ``("conversion",)`` reads Common
+    Crawl's WET extracted-text files, whose payloads have NO HTTP
+    envelope — the WARC-level ``Content-Type`` header (text/plain for
+    WET) is matched instead, and the raw payload is the body."""
     head2 = raw_fp.read(2)
     raw_fp.seek(0)
     fp = _Pushback(gzip.GzipFile(fileobj=raw_fp) if head2 == b"\x1f\x8b" else raw_fp)
@@ -226,7 +233,7 @@ def iter_warc_records(raw_fp, content_types: tuple[str, ...] | None = ("text/htm
             continue
         payload = fp.read(length)
         fp.read(4)  # trailing CRLFCRLF
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") not in record_types:
             continue
         try:
             ts = _parse_date(headers["warc-date"])
@@ -239,7 +246,10 @@ def iter_warc_records(raw_fp, content_types: tuple[str, ...] | None = ("text/htm
         if "chunked" in http_headers.get("transfer-encoding", "").lower():
             body = _dechunk(body)
         if content_types is not None:
-            media = http_headers.get("content-type", "").split(";")[0].strip().lower()
+            # HTTP envelope wins; envelope-less records (WET conversion)
+            # are typed by the WARC-level Content-Type header
+            media = (http_headers.get("content-type") or headers.get("content-type", ""))
+            media = media.split(";")[0].strip().lower()
             if not any(media.startswith(ct) for ct in content_types):
                 continue
         if sanitize_utf8:
@@ -253,10 +263,23 @@ def parse_warc_bytes(data: bytes, **kw) -> list[tuple[str, dt.datetime, bytes]]:
     return list(iter_warc_records(io.BytesIO(data), **kw))
 
 
+def read_wet_pages(spark: SparkSession, path_glob: str,
+                   chunk_rows: int = 2000) -> DataFrame:
+    """Common Crawl WET archives (pre-extracted plain text) ->
+    (url, warc_ts, html) DataFrame — ``html`` holds the UTF-8 text
+    bytes. WET is the input most text-pipeline users actually consume;
+    it is the same container with ``conversion`` records and
+    ``Content-Type: text/plain`` at the WARC header level."""
+    return read_warc_pages(spark, path_glob, chunk_rows,
+                           content_types=("text/plain",),
+                           record_types=("conversion",))
+
+
 def read_warc_pages(spark: SparkSession, path_glob: str,
                     chunk_rows: int = 2000,
                     content_types: tuple[str, ...] | None = ("text/html",),
-                    sanitize_utf8: bool = True) -> DataFrame:
+                    sanitize_utf8: bool = True,
+                    record_types: tuple[str, ...] = ("response",)) -> DataFrame:
     """WARC archives -> (url, warc_ts, html) DataFrame. Spark lists the
     files; each task opens its archive locally and STREAMS records in
     ``chunk_rows`` batches (bounded memory even for 1 GB archives).
@@ -286,7 +309,8 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
                 with open(local, "rb") as f:
                     urls, tss, htmls = [], [], []
                     for url, ts, body in iter_warc_records(
-                            f, content_types=content_types, sanitize_utf8=sanitize_utf8):
+                            f, content_types=content_types,
+                            sanitize_utf8=sanitize_utf8, record_types=record_types):
                         urls.append(url)
                         tss.append(ts)
                         htmls.append(body)

@@ -163,3 +163,37 @@ def test_warc_to_extraction_pipeline(spark, tmp_path):
     assert len(got) == len(exp) > 0
     for col in ("url", "name", "lat", "lon", "class"):
         assert (got[col].fillna("?") == exp[col].fillna("?")).all(), col
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """Common Crawl WET files: conversion records, text/plain at the
+    WARC header level, NO HTTP envelope — read via read_wet_pages while
+    plain-WARC reads keep ignoring them."""
+    text = "Extracted page text.\nSecond line of content."
+    wet_rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://x.org/page\r\n"
+        "WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text.encode())}\r\n\r\n"
+    ).encode() + text.encode() + b"\r\n\r\n"
+    warcinfo = _raw_record("warcinfo", "https://x.org/", b"software: test")
+    path = tmp_path / "seg.warc.wet"
+    path.write_bytes(warcinfo + wet_rec)
+
+    got = W.parse_warc_bytes(path.read_bytes(), record_types=("conversion",),
+                             content_types=("text/plain",))
+    assert [(u, h.decode()) for u, _, h in got] == [("https://x.org/page", text)]
+    # default (response) parsing ignores conversion records entirely
+    assert W.parse_warc_bytes(path.read_bytes()) == []
+
+    df = W.read_wet_pages(spark, str(path)).toPandas()
+    assert len(df) == 1 and bytes(df.loc[0, "html"]).decode() == text
+
+    # gzip-member WET round-trips too
+    import gzip as gz
+    gz_path = tmp_path / "seg.warc.wet.gz"
+    gz_path.write_bytes(gz.compress(warcinfo) + gz.compress(wet_rec))
+    df2 = W.read_wet_pages(spark, str(gz_path)).toPandas()
+    assert len(df2) == 1 and bytes(df2.loc[0, "html"]).decode() == text
