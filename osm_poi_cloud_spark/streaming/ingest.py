@@ -130,3 +130,57 @@ def run_available_now(spark: SparkSession, pages_dir: str, out_dir: str,
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+DOCS_STRUCT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str,
+                          max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a growing documents directory."""
+    return (
+        spark.readStream.schema(DOCS_STRUCT)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def curated_documents_stream(docs_stream: DataFrame,
+                             keep_langs: tuple[str, ...] = ("en",),
+                             min_quality: float = 0.4,
+                             max_dup_word_frac: float = 0.4,
+                             max_dup_line_frac: float = 0.5,
+                             min_tokens: int = 5) -> DataFrame:
+    """The curation cascade (plans/curation.py) on a stream: every
+    filter is a stateless native expression, so the batch plan IS the
+    streaming plan. Exact dedup becomes stateful
+    ``dropDuplicates(clean_fp)`` — which keeps the FIRST-seen member of
+    each duplicate set (arrival order) where the batch pipeline keeps
+    min doc_id; the surviving clean-text SET is identical (tested).
+    State note: the fingerprint store grows with distinct texts — at a
+    continuous 100 TB ingest, bound it with a watermark on an event
+    time (as ``deduped_pages_stream`` does) or run availableNow
+    backfills between batch compactions."""
+    from ..functions.text_analysis import (
+        lang_id_col, quality_features, repetition_features, scrub_pii_col)
+
+    out = docs_stream.filter(F.length("text") > 0)
+    out = quality_features(out)
+    out = repetition_features(out)
+    out = out.withColumn("lang_detected", lang_id_col(F.col("text")))
+    out = out.filter(
+        F.col("lang_detected").isin(*keep_langs)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+    )
+    out = out.withColumn("text_clean", scrub_pii_col(F.col("text")))
+    out = out.withColumn("clean_fp", F.md5("text_clean"))
+    return out.dropDuplicates(["clean_fp"])
+

@@ -174,3 +174,31 @@ def test_windowed_class_stats_stream(spark, tmp_path):
     assert len(out) > 0
     assert (out["n"] > 0).all()
     assert out["window_start"].notna().all()
+
+
+def test_curation_stream_matches_batch(spark, tmp_path):
+    """Streaming curation cascade == batch curation on the same input:
+    identical surviving clean-text set (stream dedup keeps first-seen,
+    batch keeps min-id — same duplicate classes either way)."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_cloud_spark.plans.curation import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_in")
+    docs.repartition(4).write.parquet(src)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = ing.curated_documents_stream(ing.read_documents_stream(spark, src, 1))
+    q = (stream.select("doc_id", "lang_detected", "clean_fp")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    exp = (curate_documents(docs.select("doc_id", "text"))
+           .select("doc_id", F.md5("text_clean").alias("clean_fp")).toPandas())
+    assert len(got) == len(exp) > 0
+    assert sorted(got["clean_fp"]) == sorted(exp["clean_fp"])
+    assert (got["lang_detected"] == "en").all()
