@@ -740,6 +740,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
 
     def dc_first(ci: int, td: int, blk: np.ndarray) -> None:
         t = reader.decode_symbol(dc_tabs[td])
+        if t > 16:  # corrupt DHT: magnitude category beyond any precision
+            raise ValueError(f"invalid DC magnitude category {t}")
         diff = _extend(reader.receive(t), t) if t else 0
         pred[ci] += diff
         blk[0] = pred[ci] << al
@@ -1000,7 +1002,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             order = []
             for si in range(ns):
                 cs, tt = payload[1 + 2 * si], payload[2 + 2 * si]
-                ci = next(i for i, c in enumerate(frame["comps"]) if c["id"] == cs)
+                ci = next((i for i, c in enumerate(frame["comps"]) if c["id"] == cs), None)
+                if ci is None:
+                    raise ValueError(f"scan selects unknown component id {cs}")
                 order.append((ci, tt >> 4, tt & 0xF))
             ss_, se_, a_ = payload[1 + 2 * ns:4 + 2 * ns]
             scan = {"order": order, "ss": ss_, "se": se_, "ah": a_ >> 4, "al": a_ & 0xF}

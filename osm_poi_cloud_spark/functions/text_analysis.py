@@ -189,7 +189,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
 
     terms = term_explode(df, text_col, id_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # metadata-cheap count: ids are unique by contract (doc tables), so
+    # no distinct shuffle — at 100 TB a full-table distinct just to
+    # size N would dominate the whole job
+    n_docs = df.count()
     docfreq = (
         terms.select(id_col, "term").distinct()
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
