@@ -136,3 +136,27 @@ def test_merge_stats_and_compact(spark, pois_path, tmp_path):
     mg.compact(spark, pois_path, out, target_file_mb=1)
     c = spark.read.parquet(out)
     assert c.count() == stored.count()
+
+
+def test_curation_plan_no_python_one_shuffle(spark, sf_dir):
+    """The curation cascade is pure codegen (zero Python stages) and
+    pays exactly ONE exchange — the dedup groupBy. A second Python
+    stage or extra shuffle here would anti-scale the whole pipeline."""
+    from osm_poi_cloud_spark.plans.curation import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("EvalPython") == 0
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_stratified_sample_plan_is_map_only(spark, sf_dir):
+    """Rate-based sampling must be a pure map: no exchange, no Python —
+    the property that lets it run inline inside any scan."""
+    from osm_poi_cloud_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan[:1500]
+    assert plan.count("EvalPython") == 0
