@@ -89,3 +89,28 @@ def test_truncations_never_crash():
                 dec(blob[:cut])
             except ALLOWED:
                 pass
+
+
+def test_edge_dimension_sweep():
+    """Classic decoder killers: 1x1, single-row/column, exact-MCU and
+    off-by-one dims — every codec must round-trip all of them (and
+    progressive JPEG must stay bit-equal to baseline at each)."""
+    rng = np.random.RandomState(1)
+    for h, w in [(1, 1), (1, 17), (17, 1), (7, 9), (8, 8), (16, 16),
+                 (8, 1), (1, 8), (9, 8), (3, 3)]:
+        img3 = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        img1 = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (P.decode_png(P.encode_png(img3)) == img3).all(), (h, w)
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            assert J.decode_jpeg(J.encode_jpeg(img3, quality=90, subsampling=sub)).shape == img3.shape
+        base = J.decode_jpeg(J.encode_jpeg(img3, quality=90, subsampling="4:2:0"))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img3, quality=90, subsampling="4:2:0"))
+        np.testing.assert_array_equal(prog, base)
+        assert J.decode_jpeg(J.encode_jpeg(img1, quality=90)).shape == img1.shape
+        pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+        idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+        np.testing.assert_array_equal(G.decode_gif(G.encode_gif(idx, pal, interlace=True)), pal[idx])
+    for frames, ch in [(1, 1), (1, 2), (3, 5), (2, 1)]:
+        x = rng.uniform(-1, 1, (frames, ch))
+        out, _ = W.decode_wav(W.encode_wav(x, bits=16))
+        assert out.shape == (frames, ch)
