@@ -78,3 +78,51 @@ def curation_report(raw: DataFrame, curated: DataFrame,
         "rows_in", "rows_out",
         (F.col("rows_out") / F.greatest(F.col("rows_in"), F.lit(1))).alias("survival_rate"),
     )
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry: raw documents parquet in, curated corpus +
+    funnel report out.
+
+        python -m osm_poi_cloud_spark.plans.curation \\
+            --input /data/documents --output /data/clean \\
+            --langs en,de --min-quality 0.4
+    """
+    import argparse
+
+    from ..config import get_spark
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated corpus output path")
+    ap.add_argument("--langs", default="en", help="comma-separated languages to keep")
+    ap.add_argument("--min-quality", type=float, default=0.4)
+    ap.add_argument("--max-dup-word-frac", type=float, default=0.4)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--no-scrub", action="store_true", help="skip PII scrubbing")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("corpus-curation")
+    raw = spark.read.parquet(args.input)
+    curated = curate_documents(
+        raw,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        keep_langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_dup_line_frac=args.max_dup_line_frac,
+        min_tokens=args.min_tokens,
+        scrub=not args.no_scrub,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    rep = curation_report(raw, spark.read.parquet(args.output), args.id_col).first()
+    print(f"curation: {rep['rows_in']:,} in -> {rep['rows_out']:,} out "
+          f"({rep['survival_rate']:.1%} survive)")
+
+
+if __name__ == "__main__":
+    main()

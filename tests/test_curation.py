@@ -52,3 +52,23 @@ def test_curation_keep_langs_and_thresholds(spark):
     # no scrub: docs 2 and 3 differ again, both survive
     out2 = curate_documents(docs, scrub=False).toPandas()
     assert {2, 3} <= set(out2["doc_id"])
+
+
+def test_curation_cli(tmp_path):
+    """The spark-submit CLI end-to-end on real testdata files."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "clean")
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_poi_cloud_spark.plans.curation",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--langs", "en,de"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "survive" in r.stdout
+    import pandas as pd_  # noqa
+    got = pd.read_parquet(out)
+    assert len(got) > 0 and set(got["lang_detected"]) <= {"en", "de"}
