@@ -1,0 +1,181 @@
+"""Byte-pair-encoding tokenizer: distributed training statistics, an
+in-memory merge learner, and Arrow-batched distributed encoding.
+
+Token COUNTS drive every pretraining decision (mixture weights, budget
+accounting, length filtering), so a real learned-merges tokenizer
+beats the regex surrogate in ``text_analysis.bpe_ish_token_count_col``.
+The classic BPE pipeline (Sennrich et al. 2016; the GPT-2/HF trainer
+shape) maps cleanly onto Spark:
+
+1. ``word_counts`` — ONE distributed groupBy producing the corpus
+   word-frequency table. Its size is the corpus VOCABULARY (millions of
+   rows at web scale, not billions) — small enough to collect, which is
+   why every practical BPE trainer runs its merge loop in memory over
+   word frequencies rather than streaming the corpus per merge.
+2. ``train_bpe`` — the standard greedy loop over that table: count
+   symbol pairs weighted by word frequency, merge the most frequent
+   pair (deterministic tie-break), repeat. Pure Python on the driver;
+   a bounded *training* pass like IVF's sample k-means.
+3. ``encode_*`` — distributed again: an Arrow-batched UDF applies the
+   ranked merges per word, memoizing per distinct word within a batch
+   (Zipf makes the hit rate high).
+
+Determinism end to end: ties in pair frequency break on the pair's
+lexicographic order, so the merge list — and therefore every token
+count — is a pure function of the corpus content.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: end-of-word marker (GPT-2 uses a leading space convention; the
+#: classic Sennrich formulation uses a terminal marker — simpler to
+#: reason about and to recompute independently)
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table (lowercased whitespace words): the
+    single shuffle of BPE training. Output is vocabulary-sized."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(wc: pd.DataFrame, num_merges: int) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges from a (word, n) frequency table.
+
+    Deterministic: the most frequent symbol pair wins each round, ties
+    broken by lexicographic pair order. Incremental pair-count updates
+    (only words containing the merged pair are touched) keep training
+    O(total updates), not O(vocab x merges)."""
+    # word -> (symbol tuple, count)
+    words: dict[int, tuple[tuple[str, ...], int]] = {}
+    for i, (w, n) in enumerate(zip(wc["word"], wc["n"])):
+        words[i] = (tuple(w) + (EOW,), int(n))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word_pairs(wid: int, sign: int) -> None:
+        syms, n = words[wid]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + sign * n
+            if sign > 0:
+                pair_words.setdefault((a, b), set()).add(wid)
+
+    for wid in words:
+        add_word_pairs(wid, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        for pair, cnt in pair_counts.items():
+            if cnt <= 0:
+                continue
+            key = (-cnt, pair)
+            if best is None or key < best[0]:
+                best = (key, pair)
+        if best is None:
+            break
+        pair = best[1]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for wid in list(pair_words.get(pair, ())):
+            syms, n = words[wid]
+            if pair not in zip(syms, syms[1:]):
+                continue
+            add_word_pairs(wid, -1)
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wid] = (tuple(out), n)
+            add_word_pairs(wid, +1)
+        pair_counts.pop(pair, None)
+        pair_words.pop(pair, None)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to one word (greedy lowest-rank-first — the
+    standard BPE inference loop)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def train_bpe_from_corpus(df: DataFrame, num_merges: int,
+                          text_col: str = "text") -> list[tuple[str, str]]:
+    """End-to-end: distributed word counts -> in-memory merge loop.
+    The collect is vocabulary-bounded (documented training pass)."""
+    wc = word_counts(df, text_col).toPandas().sort_values("word").reset_index(drop=True)
+    return train_bpe(wc, num_merges)
+
+
+def make_bpe_udfs(merges: list[tuple[str, str]]):
+    """(token_count_udf, tokens_udf) applying the learned merges —
+    Arrow-batched, with a per-batch memo over distinct words."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _count_series(text: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in text:
+            total = 0
+            for w in (t or "").lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(encode_word(w, ranks))
+                    memo[w] = c
+                total += c
+            out.append(total)
+        return pd.Series(out)
+
+    count_udf = F.pandas_udf(_count_series, T.LongType())
+
+    def _tokens_series(text: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in text:
+            toks: list[str] = []
+            for w in (t or "").lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = encode_word(w, ranks)
+                    memo[w] = c
+                toks.extend(c)
+            out.append(toks)
+        return pd.Series(out)
+
+    tokens_udf = F.pandas_udf(_tokens_series, T.ArrayType(T.StringType()))
+    return count_udf, tokens_udf
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, bpe_tokens) — honest per-document token counts under the
+    learned vocabulary."""
+    count_udf, _ = make_bpe_udfs(merges)
+    return df.select(F.col(id_col), count_udf(F.col(text_col)).alias("bpe_tokens"))

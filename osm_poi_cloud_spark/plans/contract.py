@@ -929,6 +929,20 @@ ORDER BY doc_id
 """
 
 
+def _q_bpe_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counts (functions/bpe.py): 150 merges trained on
+    the corpus itself (deterministic lexicographic tie-break), then
+    distributed encode. Golden verified against an independent naive
+    trainer (full pair recount per round, sequential merge-apply
+    encoder) in tools/make_goldens.py."""
+    from ..functions.bpe import bpe_token_counts, train_bpe_from_corpus
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000).select("doc_id", "text")
+    merges = train_bpe_from_corpus(docs, 150)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1091,6 +1105,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = _q_tfidf_spark
     q["stratified_sample"] = _q_stratified_sample_spark
     q["corpus_curation"] = _q_corpus_curation_spark
+    q["bpe_token_count"] = _q_bpe_token_count_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1125,6 +1140,7 @@ _GOLDEN_SPECS = {
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "bloom_url_probe": ("doc_id, probably_seen", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "stratified_sample": ("doc_id, lang", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "bpe_token_count": ("doc_id, bpe_tokens", "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

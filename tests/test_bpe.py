@@ -1,0 +1,86 @@
+"""BPE tokenizer: the classic hand-derivable merge sequence, encode
+inference, distributed==local equivalence, determinism across
+partitionings, and the memoized UDF path."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.functions import bpe as B
+
+
+def _classic_wc():
+    # Sennrich et al.'s canonical example corpus (word frequencies)
+    return pd.DataFrame({
+        "word": ["low", "lower", "newest", "widest"],
+        "n": [5, 2, 6, 3],
+    })
+
+
+def test_classic_merge_sequence():
+    """Hand-derived: es(9) -> est(9) -> est</w>(9) -> lo(7) -> low(7),
+    ties broken lexicographically."""
+    merges = B.train_bpe(_classic_wc(), 5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", B.EOW),
+                      ("l", "o"), ("lo", "w")]
+
+
+def test_encode_inference():
+    merges = B.train_bpe(_classic_wc(), 10)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # the canonical result: unseen word "lowest" -> low + est</w>
+    assert B.encode_word("lowest", ranks) == ["low", "est" + B.EOW]
+    # seen words collapse further
+    assert B.encode_word("newest", ranks)[-1].endswith(B.EOW)
+    # no merges at all: pure characters + EOW
+    assert B.encode_word("ab", {}) == ["a", "b", B.EOW]
+
+
+def test_merge_budget_exhaustion():
+    """Asking for more merges than exist terminates cleanly."""
+    merges = B.train_bpe(pd.DataFrame({"word": ["aa"], "n": [3]}), 50)
+    # 'aa</w>' fully collapses in <= 2 merges
+    assert len(merges) <= 2
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    assert len(B.encode_word("aa", ranks)) == 1
+
+
+def test_overlapping_pair_merge():
+    """'aaa' stress: merging (a,a) must not corrupt counts for the
+    overlap (greedy left-to-right resegmentation)."""
+    merges = B.train_bpe(pd.DataFrame({"word": ["aaa"], "n": [4]}), 3)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    toks = B.encode_word("aaa", ranks)
+    assert "".join(toks) == "aaa" + B.EOW  # lossless
+
+
+def test_distributed_counts_match_local(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = B.word_counts(docs).toPandas().sort_values("word").reset_index(drop=True)
+    local = (docs.toPandas()["text"].fillna("").str.lower().str.split()
+             .explode().dropna())
+    local = local[local != ""].value_counts()
+    assert len(wc) == len(local)
+    for w, n in zip(wc["word"], wc["n"]):
+        assert local[w] == n, w
+
+
+def test_token_counts_deterministic_and_match_pure(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = B.train_bpe_from_corpus(docs, 100)
+    # identical merges regardless of partitioning
+    merges2 = B.train_bpe_from_corpus(docs.repartition(7), 100)
+    assert merges == merges2
+
+    got = (B.bpe_token_counts(docs, merges).toPandas()
+           .set_index("doc_id")["bpe_tokens"])
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pdf = docs.select("doc_id", "text").toPandas()
+    for _, r in pdf.head(50).iterrows():
+        expect = sum(len(B.encode_word(w, ranks))
+                     for w in (r["text"] or "").lower().split())
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+    # a real vocabulary compresses: fewer BPE tokens than characters,
+    # more than whitespace words
+    n_words = pdf["text"].str.lower().str.split().str.len()
+    assert (got.loc[pdf["doc_id"]].to_numpy() >= n_words.to_numpy()).all()

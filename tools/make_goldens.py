@@ -235,6 +235,72 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h ^ (h >> 32)
 
 
+def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFrame:
+    """Independent naive BPE: full pair recount every round (the
+    Sennrich reference shape, no incremental bookkeeping) + sequential
+    merge-apply encoding — deliberately a different algorithm from the
+    engine's incremental trainer / rank-greedy encoder."""
+    from collections import Counter
+
+    EOW = "</w>"
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        for w in str(t if t is not None else "").lower().split():
+            if w:
+                wc[w] += 1
+    segs = {w: tuple(w) + (EOW,) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            n = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = tuple(out)
+
+    def encode(word: str) -> int:
+        syms = list(word) + [EOW]
+        for m in merges:  # sequential apply, training order
+            joined = m[0] + m[1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == m:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    enc_cache: dict[str, int] = {}
+    rows = []
+    for _, r in docs.iterrows():
+        total = 0
+        for w in str(r["text"] if r["text"] is not None else "").lower().split():
+            if not w:
+                continue
+            if w not in enc_cache:
+                enc_cache[w] = encode(w)
+            total += enc_cache[w]
+        rows.append((int(r["doc_id"]), total))
+    return pd.DataFrame(rows, columns=["doc_id", "bpe_tokens"])
+
+
 def expected_stratified_sample(docs_lang: pd.DataFrame) -> pd.DataFrame:
     """Independent keep decision: from-spec XXH64 of the 8-byte-LE
     doc_id seeded by the hash of the 4-byte-LE literal 0, pmod 1e6,
@@ -482,7 +548,8 @@ def main() -> None:
                                 "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
                                 "mvt_tile_stats", "dedup_components",
                                 "dedup_jaccard_verify", "fingerprint_hashes",
-                                "bloom_url_probe", "stratified_sample")}
+                                "bloom_url_probe", "stratified_sample",
+                                "bpe_token_count")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -515,6 +582,9 @@ def main() -> None:
             _norm_sorted(results["stratified_sample"]),
             _norm_sorted(expected_stratified_sample(docs_lang)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["bpe_token_count"].astype("int64")),
+            _norm_sorted(expected_bpe_counts(docs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
 
@@ -528,7 +598,7 @@ def main() -> None:
                   "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
-                  "stratified_sample": "documents"}
+                  "stratified_sample": "documents", "bpe_token_count": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
