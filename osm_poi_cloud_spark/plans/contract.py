@@ -943,6 +943,24 @@ def _q_bpe_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges).orderBy("doc_id")
 
 
+def _q_pq_adc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    codebooks from a deterministic sample, one-byte-per-subspace codes,
+    native ADC scoring. Golden verified against an independent
+    from-scratch PQ recompute (per-slice Lloyd + numpy ADC) in
+    tools/make_goldens.py; nprobe=all IVF-PQ == this brute ADC is
+    pinned in tests/test_pq.py."""
+    from ..operators.pq import pq_ann, pq_encode, train_pq_codebooks
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    books = train_pq_codebooks(emb, m=16, k=32, max_sample=400)
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return pq_ann(enc, books, queries, topk=10).orderBy("query_id", "rn")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1106,6 +1124,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = _q_stratified_sample_spark
     q["corpus_curation"] = _q_corpus_curation_spark
     q["bpe_token_count"] = _q_bpe_token_count_spark
+    q["pq_adc_topk"] = _q_pq_adc_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1134,6 +1153,7 @@ _GOLDEN_SPECS = {
     "dedup_simhash_pairs": ("a, b, hamming", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
+    "pq_adc_topk": ("query_id, vec_id, adc_dist, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -56,7 +56,7 @@ MIN_ROWS = {
     "dedup_components": 30, "dedup_jaccard_verify": 10, "bloom_url_probe": 40, "tfidf_top_terms": 90, "stratified_sample": 10, "corpus_curation": 30, "bpe_token_count": 40,
     "classify_histogram": 15, "bbox_filter": 20, "knn_per_cell": 25,
     "window_rank_lag": 30, "ann_lsh_topk": 50, "ann_ivf_topk": 50,
-    "cosine_topk": 50,
+    "cosine_topk": 50, "pq_adc_topk": 50,
 }
 DEFAULT_MIN_ROWS = 90  # full-table / tile queries at sf0.001
 

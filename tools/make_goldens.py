@@ -487,6 +487,54 @@ def check_ann_ivf(emb: pd.DataFrame, got: pd.DataFrame, n_centroids=8, seed=19,
                                    rtol=1e-6, atol=1e-6)
 
 
+def check_pq_adc(emb: pd.DataFrame, got: pd.DataFrame, m=16, k=32,
+                 seed=29, max_sample=400, iters=10, topk=10) -> None:
+    """Independent PQ: per-subspace Lloyd (same seeded spec, written
+    here), numpy encode + ADC, exact rank comparison."""
+    x_all = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    xs_sample = x_all[np.argsort(ids, kind="stable")][:max_sample]
+    dim = x_all.shape[1]
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for s_ in range(m):
+        xs = xs_sample[:, s_ * sub:(s_ + 1) * sub]
+        rng = np.random.RandomState(seed + s_)
+        kk = min(k, len(xs))
+        cent = xs[np.sort(rng.choice(len(xs), size=kk, replace=False))].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = a == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[s_, :kk] = cent
+        if kk < k:
+            books[s_, kk:] = cent[-1]
+    codes = np.empty((len(x_all), m), dtype=np.int64)
+    for s_ in range(m):
+        xs = x_all[:, s_ * sub:(s_ + 1) * sub]
+        codes[:, s_] = ((xs[:, None, :] - books[s_][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    for qpos in np.flatnonzero(ids < 8):
+        qid = ids[qpos]
+        q = x_all[qpos]
+        lut = np.empty((m, k))
+        for s_ in range(m):
+            lut[s_] = ((books[s_] - q[None, s_ * sub:(s_ + 1) * sub]) ** 2).sum(axis=1)
+        dists = []
+        for vpos in range(len(x_all)):
+            d = 0.0
+            for s_ in range(m):
+                d = d + lut[s_, codes[vpos, s_]]  # left-to-right like SQL
+            dists.append((d, int(ids[vpos])))
+        order = sorted(dists, key=lambda t: (t[0], t[1]))[:topk]
+        g = got[got["query_id"] == qid].sort_values("rn")
+        assert list(g["vec_id"]) == [v for _, v in order], f"pq rank mismatch q={qid}"
+        np.testing.assert_allclose(g["adc_dist"].to_numpy(), [d for d, _ in order],
+                                   rtol=0, atol=0)  # bit-exact: same fold order
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -549,7 +597,7 @@ def main() -> None:
                                 "mvt_tile_stats", "dedup_components",
                                 "dedup_jaccard_verify", "fingerprint_hashes",
                                 "bloom_url_probe", "stratified_sample",
-                                "bpe_token_count")}
+                                "bpe_token_count", "pq_adc_topk")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -563,6 +611,7 @@ def main() -> None:
             _norm_sorted(expected_simhash_pairs(docs)), check_dtype=False)
         check_ann_lsh(emb, results["ann_lsh_topk"])
         check_ann_ivf(emb, results["ann_ivf_topk"])
+        check_pq_adc(emb, results["pq_adc_topk"])
         exp_pairs = expected_minhash_pairs(docs)
         pd.testing.assert_frame_equal(
             _norm_sorted(results["dedup_components"].astype("int64")),
@@ -598,7 +647,8 @@ def main() -> None:
                   "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
-                  "stratified_sample": "documents", "bpe_token_count": "documents"}
+                  "stratified_sample": "documents", "bpe_token_count": "documents",
+                  "pq_adc_topk": "embeddings"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
