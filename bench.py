@@ -169,6 +169,12 @@ def main() -> None:
         force(sim.ivf_ann(indexed, centroids, ann_q, k=10, nprobe=4))
     timed("ann_ivf", run_ivf)
 
+    from osm_poi_cloud_spark.operators import pq as pq_op
+    def run_pq():
+        books = pq_op.train_pq_codebooks(emb, m=16, k=32, max_sample=400)
+        force(pq_op.pq_ann(pq_op.pq_encode(emb, books), books, ann_q, topk=10))
+    timed("ann_pq", run_pq)
+
     # ---- 7b. text/URL/geometry ops over the testdata tables ----
     from osm_poi_cloud_spark.functions.url import dedup_by_canonical_url
     from osm_poi_cloud_spark.functions import geometry as geo
