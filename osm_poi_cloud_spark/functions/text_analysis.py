@@ -157,6 +157,49 @@ def fingerprint_col(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+#: Unicode script ranges (explicit codepoint classes — identical
+#: semantics in Java regex and RE2, unlike the \p{Script} names which
+#: the two engines spell differently). Coarse but curation-grade.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_fractions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-script character fractions + dominant script — the signal a
+    multilingual curation pass routes on (wrong-script spam, mixed-
+    script spoofing). Pure native regexp/length arithmetic: fractions
+    are exact integer ratios, so the cross-engine oracle hash-matches
+    without rounding. Dominant script = argmax fraction over at least
+    5% of characters, ties broken alphabetically; 'other' below that."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    out = df
+    for name, rng in SCRIPT_RANGES.items():
+        frac = (F.length(F.regexp_replace(t, f"[^{rng}]", "")) / n).cast("double")
+        out = out.withColumn(f"{name}_frac", frac)
+    names = sorted(SCRIPT_RANGES)
+    # argmax CASE chain (earlier-alphabetical wins ties): name wins if
+    # >= every LATER name — if it fails, something later beat it
+    argmax = None
+    for i, name in enumerate(names[:-1]):
+        cond = None
+        for other in names[i + 1:]:
+            c = F.col(f"{name}_frac") >= F.col(f"{other}_frac")
+            cond = c if cond is None else (cond & c)
+        argmax = F.when(cond, name) if argmax is None else argmax.when(cond, name)
+    argmax = argmax.otherwise(names[-1])
+    best = F.greatest(*[F.col(f"{n}_frac") for n in names])
+    return out.withColumn(
+        "dominant_script", F.when(best >= 0.05, argmax).otherwise(F.lit("other")))
+
+
 def term_explode(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, term) rows: lowercase alphabetic terms, one row per

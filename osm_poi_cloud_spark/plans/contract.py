@@ -961,6 +961,42 @@ def _q_pq_adc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(enc, books, queries, topk=10).orderBy("query_id", "rn")
 
 
+def _q_script_fractions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script fractions + dominant script (multilingual
+    curation routing). Exact integer ratios — the DuckDB oracle
+    replays the same codepoint-class regexes, so doubles hash-match."""
+    from ..functions.text_analysis import SCRIPT_RANGES, script_fractions
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000).select("doc_id", "text")
+    cols = ["doc_id"] + [f"{n}_frac" for n in sorted(SCRIPT_RANGES)] + ["dominant_script"]
+    return script_fractions(docs).select(*cols).orderBy("doc_id")
+
+
+def _script_fractions_oracle() -> str:
+    from ..functions.text_analysis import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    fracs = ", ".join(
+        f"CAST(length(regexp_replace(text, '[^{SCRIPT_RANGES[n]}]', '', 'g')) AS DOUBLE)"
+        f" / greatest(length(text), 1) AS {n}_frac"
+        for n in names
+    )
+    whens = []
+    for i, n in enumerate(names[:-1]):
+        cond = " AND ".join(f"{n}_frac >= {o}_frac" for o in names[i + 1:])
+        whens.append(f"WHEN {cond} THEN '{n}'")
+    argmax = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    best = "greatest(" + ", ".join(f"{n}_frac" for n in names) + ")"
+    sel = ", ".join(f"{n}_frac" for n in names)
+    return (
+        f"WITH fr AS (SELECT doc_id, {fracs} FROM documents WHERE doc_id < 2000) "
+        f"SELECT doc_id, {sel}, "
+        f"CASE WHEN {best} >= 0.05 THEN {argmax} ELSE 'other' END AS dominant_script "
+        "FROM fr ORDER BY doc_id"
+    )
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1125,6 +1161,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_curation"] = _q_corpus_curation_spark
     q["bpe_token_count"] = _q_bpe_token_count_spark
     q["pq_adc_topk"] = _q_pq_adc_spark
+    q["script_fractions"] = _q_script_fractions_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1192,5 +1229,6 @@ def build_oracles() -> dict[str, str]:
     o["lang_id_counts"] = _lang_id_oracle()
     o["tfidf_top_terms"] = _Q_TFIDF_ORACLE
     o["corpus_curation"] = _corpus_curation_oracle()
+    o["script_fractions"] = _script_fractions_oracle()
     o.update(_golden_oracles())
     return o

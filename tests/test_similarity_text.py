@@ -245,3 +245,32 @@ def test_tfidf_top_terms_hand_computed(spark):
     d2 = out[out["doc_id"] == 2].set_index("term")
     assert list(d2.sort_values("rn").index) == ["zzz", "common", "shared"]
     assert d2.loc["common", "score"] == 4.0 / 3.0  # exact IEEE division
+
+
+def test_script_fractions_hand_cases(spark):
+    """Hand-built per-script strings: each must classify to its script;
+    ASCII digits/punctuation-only -> 'other'; a mixed string routes to
+    the majority script."""
+    from osm_poi_cloud_spark.functions.text_analysis import script_fractions
+
+    rows = [
+        (0, "hello latin text"),
+        (1, "привет русский текст"),
+        (2, "γειά σου ελληνικά"),
+        (3, "مرحبا بالعالم"),
+        (4, "שלום עולם"),
+        (5, "नमस्ते दुनिया"),
+        (6, "你好世界 こんにちは 안녕하세요"),
+        (7, "1234 !!! ??? 000"),
+        (8, "mostly latin но чуть-чуть кириллицы here and more latin"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = script_fractions(df).toPandas().set_index("doc_id")
+    expect = {0: "latin", 1: "cyrillic", 2: "greek", 3: "arabic",
+              4: "hebrew", 5: "devanagari", 6: "cjk", 7: "other", 8: "latin"}
+    for did, script in expect.items():
+        assert out.loc[did, "dominant_script"] == script, (did, out.loc[did, "dominant_script"])
+    # fractions are exact ratios in [0, 1] and scripts don't overlap
+    fr_cols = [c for c in out.columns if c.endswith("_frac")]
+    assert ((out[fr_cols] >= 0) & (out[fr_cols] <= 1)).all().all()
+    assert out.loc[6, "cjk_frac"] > 0.5 and out.loc[1, "cyrillic_frac"] > 0.5
