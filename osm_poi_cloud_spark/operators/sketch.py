@@ -1,0 +1,104 @@
+"""Distinct-count sketches as DataFrames: HyperLogLog registers built,
+merged and read with plain relational operators.
+
+Why not ``approx_count_distinct``? Spark's built-in HLL++ returns a
+NUMBER; a 100 TB lake wants the SKETCH — per-partition/per-day register
+tables that merge by union + max (no rescan of history) and answer
+rollups at any grouping later. The registers-as-rows design (register
+index, max rho) is exactly the Bloom word-table pattern
+(operators/bloom.py) applied to cardinality.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007):
+
+* hash each key (seeded ``xxhash64`` — content-determined, so sketches
+  are partitioning-independent and golden-oracle-able);
+* register index = low ``p`` bits; rho = 1 + leading zeros of the
+  remaining 64-p bits (capped);
+* register value = max rho — an idempotent, commutative merge, which
+  is what makes sketches unionable across days/partitions/tables;
+* estimate = alpha_m * m^2 / sum(2^-reg), with the standard
+  small-range (linear counting) and Spark-free exact corrections.
+
+Accuracy: ~1.04/sqrt(2^p) relative error (p=12 -> ~1.6%).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 12,
+              seed: int = 7) -> DataFrame:
+    """Key column -> HLL register table ``(register int, rho int)``
+    with at most 2^p rows. One groupBy shuffle whose output size is
+    CONSTANT regardless of input (absent registers mean rho=0)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    h = F.xxhash64(F.lit(seed), F.col(key_col))
+    register = F.pmod(h, F.lit(1 << p)).cast("int")
+    # remaining bits: arithmetic shift is fine after masking sign via
+    # shiftrightunsigned; rho = leading zeros in the (64-p)-bit tail + 1
+    rest = F.shiftrightunsigned(h, p)
+    # leading zeros via EXACT integer bit length (length of the minimal
+    # binary string) — a float log2 rounds 2^k-1 up to 2^k for k > 53
+    # and corrupts rho by one; bin() keeps it integer end to end
+    width = 64 - p
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        (F.lit(width + 1) - F.length(F.bin(rest))).cast("int"))
+    return (
+        df.select(register.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables -> one sketch (max rho per register).
+    Idempotent and commutative: merging a sketch with itself, or the
+    same day twice, changes nothing — the property that makes sketch
+    tables safe to re-aggregate in a lake."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """Register table -> one-row ``(estimate double)``.
+
+    Standard corrections: linear counting below 2.5m (using the count
+    of zero registers), raw harmonic estimate otherwise. Computed with
+    plain aggregations — no collect."""
+    m = 1 << p
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    # absent rows are rho=0 registers contributing 2^0 = 1 each
+    s_full = F.col("s") + (F.lit(m) - F.col("nonzero"))
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(_alpha(m) * m * m) / s_full
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(est.alias("estimate"))
+
+
+def approx_distinct(df: DataFrame, key_col: str, p: int = 12,
+                    seed: int = 7) -> float:
+    """Convenience: build + estimate, returning the number."""
+    return float(hll_estimate(hll_build(df, key_col, p, seed), p)
+                 .first()["estimate"])

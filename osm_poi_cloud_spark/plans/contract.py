@@ -997,6 +997,22 @@ def _script_fractions_oracle() -> str:
     )
 
 
+def _q_hll_registers_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over document URLs (operators/
+    sketch.py): the mergeable distinct-count sketch a lake stores
+    per-partition. Registers/rho are exact integers — golden verified
+    against an independent from-spec XXH64 + bit-length recompute."""
+    from ..operators.sketch import hll_build
+
+    _register(spark, sf_dir, ["documents"])
+    keys = (
+        spark.table("documents").filter(F.col("doc_id") < 2000)
+        .select(F.concat(F.lit("https://corpus.example/doc/"),
+                         F.col("doc_id").cast("string")).alias("url"))
+    )
+    return hll_build(keys, "url", p=10).orderBy("register")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1162,6 +1178,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_token_count"] = _q_bpe_token_count_spark
     q["pq_adc_topk"] = _q_pq_adc_spark
     q["script_fractions"] = _q_script_fractions_spark
+    q["hll_registers"] = _q_hll_registers_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1191,6 +1208,7 @@ _GOLDEN_SPECS = {
     "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "pq_adc_topk": ("query_id, vec_id, adc_dist, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
+    "hll_registers": ("register, rho", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

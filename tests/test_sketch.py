@@ -1,0 +1,89 @@
+"""HyperLogLog sketch: register exactness vs an independent XXH64
+recompute, merge idempotence/commutativity, estimate accuracy within
+the theoretical error bound, and partitioning independence."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.operators import sketch as SK
+
+sys.path.insert(0, "tools")
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.createDataFrame(
+        pd.DataFrame({"key": [f"{prefix}-{i}" for i in range(n)]}))
+
+
+def test_registers_match_independent_xxh64(spark):
+    """Register/rho recomputed with the from-spec XXH64 chain: low p
+    bits (as unsigned) select the register, leading zeros of the high
+    bits + 1 give rho — bit-exact vs the Spark build."""
+    from make_goldens import xxh64
+
+    p, seed = 8, 7
+    df = _keys(spark, 300)
+    got = (SK.hll_build(df, "key", p=p, seed=seed).toPandas()
+           .set_index("register")["rho"].to_dict())
+
+    expect: dict[int, int] = {}
+    for i in range(300):
+        seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+        u = xxh64(f"k-{i}".encode(), seed_h)  # unsigned 64-bit
+        reg = u & ((1 << p) - 1)
+        rest = u >> p
+        width = 64 - p
+        rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+        expect[reg] = max(expect.get(reg, 0), rho)
+    assert got == expect
+
+
+def test_merge_idempotent_commutative_and_partition_independent(spark):
+    a = SK.hll_build(_keys(spark, 500, "a"), "key", p=10)
+    b = SK.hll_build(_keys(spark, 400, "b"), "key", p=10)
+
+    def canon(df):
+        return df.toPandas().sort_values("register").reset_index(drop=True)
+
+    ab = canon(SK.hll_merge(a, b))
+    ba = canon(SK.hll_merge(b, a))
+    pd.testing.assert_frame_equal(ab, ba)
+    # self-merge is a no-op (safe re-aggregation in a lake)
+    aa = canon(SK.hll_merge(a, a))
+    pd.testing.assert_frame_equal(aa, canon(a))
+    # sketch of the union == merge of the sketches
+    both = _keys(spark, 500, "a").union(_keys(spark, 400, "b"))
+    pd.testing.assert_frame_equal(canon(SK.hll_build(both, "key", p=10)), ab)
+    # partitioning independence
+    pd.testing.assert_frame_equal(
+        canon(SK.hll_build(both.repartition(13), "key", p=10)), ab)
+
+
+@pytest.mark.parametrize("n", [50, 1000, 20000])
+def test_estimate_within_error_bound(spark, n):
+    """~1.04/sqrt(m) relative error at p=12 (~1.6%); allow 4 sigma."""
+    est = SK.approx_distinct(_keys(spark, n), "key", p=12)
+    rel = abs(est - n) / n
+    assert rel < 4 * 1.04 / np.sqrt(1 << 12), (n, est, rel)
+
+
+def test_duplicates_do_not_inflate(spark):
+    base = _keys(spark, 800)
+    dup3 = base.union(base).union(base)
+    e1 = SK.approx_distinct(base, "key", p=12)
+    e3 = SK.approx_distinct(dup3, "key", p=12)
+    assert e1 == e3  # identical sketch, identical estimate
+
+
+def test_register_table_is_bounded(spark):
+    sk = SK.hll_build(_keys(spark, 50000), "key", p=8)
+    assert sk.count() <= 256
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        SK.hll_build(_keys(spark, 5), "key", p=2)

@@ -301,6 +301,22 @@ def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFra
     return pd.DataFrame(rows, columns=["doc_id", "bpe_tokens"])
 
 
+def expected_hll_registers(doc_ids, p: int = 10, seed: int = 7) -> pd.DataFrame:
+    """Independent HLL registers: from-spec XXH64 (4-byte LE int seed
+    literal chaining into the UTF-8 key), unsigned low-p-bit register,
+    leading-zero rho via int.bit_length — no Spark semantics reused."""
+    regs: dict[int, int] = {}
+    seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+    width = 64 - p
+    for d in doc_ids:
+        u = xxh64(f"https://corpus.example/doc/{int(d)}".encode(), seed_h)
+        reg = u & ((1 << p) - 1)
+        rest = u >> p
+        rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return pd.DataFrame(sorted(regs.items()), columns=["register", "rho"])
+
+
 def expected_stratified_sample(docs_lang: pd.DataFrame) -> pd.DataFrame:
     """Independent keep decision: from-spec XXH64 of the 8-byte-LE
     doc_id seeded by the hash of the 4-byte-LE literal 0, pmod 1e6,
@@ -597,7 +613,8 @@ def main() -> None:
                                 "mvt_tile_stats", "dedup_components",
                                 "dedup_jaccard_verify", "fingerprint_hashes",
                                 "bloom_url_probe", "stratified_sample",
-                                "bpe_token_count", "pq_adc_topk")}
+                                "bpe_token_count", "pq_adc_topk",
+                                "hll_registers")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -634,6 +651,9 @@ def main() -> None:
             _norm_sorted(results["bpe_token_count"].astype("int64")),
             _norm_sorted(expected_bpe_counts(docs)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["hll_registers"].astype("int64")),
+            _norm_sorted(expected_hll_registers(docs["doc_id"].to_numpy())), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
 
@@ -648,7 +668,7 @@ def main() -> None:
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
                   "stratified_sample": "documents", "bpe_token_count": "documents",
-                  "pq_adc_topk": "embeddings"}
+                  "pq_adc_topk": "embeddings", "hll_registers": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
