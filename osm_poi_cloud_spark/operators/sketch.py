@@ -102,3 +102,68 @@ def approx_distinct(df: DataFrame, key_col: str, p: int = 12,
     """Convenience: build + estimate, returning the number."""
     return float(hll_estimate(hll_build(df, key_col, p, seed), p)
                  .first()["estimate"])
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+def cm_build(df: DataFrame, key_col: str, width: int = 2048, depth: int = 4,
+             seed: int = 13, weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch as ``(row int, bucket long, cnt long)`` — at
+    most depth*width rows from one shuffle, any input size. Each key
+    increments one bucket per hash row; point queries take the MIN over
+    rows (collisions only inflate, never deflate — one-sided error
+    eps = e/width with prob 1 - e^-depth).
+
+    Merging sketches = union + SUM per (row, bucket) — additive, so
+    per-day frequency sketches roll up exactly like the HLL registers
+    roll up distinct counts."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    rows = df.select(
+        F.col(key_col),
+        w.alias("_w"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     F.pmod(F.xxhash64(F.lit(seed + r), F.col(key_col)),
+                            F.lit(width)).alias("bucket"))
+            for r in range(depth)
+        ])).alias("rb"),
+    )
+    return (
+        rows.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"), "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + SUM per cell: exact additive merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_query(candidates: DataFrame, sketch: DataFrame, key_col: str,
+             width: int = 2048, depth: int = 4, seed: int = 13) -> DataFrame:
+    """Point-frequency estimates for candidate keys: recompute each
+    key's depth buckets, broadcast-join the sketch, take the MIN —
+    ``est_count >= true count`` always (upper bound), tight for heavy
+    hitters. Returns (key, est_count)."""
+    probes = candidates.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     F.pmod(F.xxhash64(F.lit(seed + r), F.col(key_col)),
+                            F.lit(width)).alias("bucket"))
+            for r in range(depth)
+        ])).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -1013,6 +1013,20 @@ def _q_hll_registers_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_build(keys, "url", p=10).orderBy("register")
 
 
+def _q_cm_frequencies_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates for the document languages
+    (a heavy-hitter sketch query): build over per-doc lang keys, probe
+    each distinct lang. Exact integers — golden verified against an
+    independent XXH64-bucket + Counter recompute."""
+    from ..operators.sketch import cm_build, cm_query
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000).select("lang")
+    sk = cm_build(docs, "lang", width=256, depth=3)
+    cand = docs.select("lang").distinct()
+    return cm_query(cand, sk, "lang", width=256, depth=3).orderBy("lang")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1179,6 +1193,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_adc_topk"] = _q_pq_adc_spark
     q["script_fractions"] = _q_script_fractions_spark
     q["hll_registers"] = _q_hll_registers_spark
+    q["cm_frequencies"] = _q_cm_frequencies_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1209,6 +1224,7 @@ _GOLDEN_SPECS = {
     "ann_ivf_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "pq_adc_topk": ("query_id, vec_id, adc_dist, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "hll_registers": ("register, rho", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "cm_frequencies": ("lang, est_count", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

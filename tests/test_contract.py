@@ -47,7 +47,7 @@ ALL_QUERIES = sorted(entry_mod.queries().keys())
 # Empty==empty silently passes the oracle compare, so every query also
 # pins a minimum row count at sf0.001 (r1 advice #1).
 MIN_ROWS = {
-    "stats_counts": 1, "pip_refine_triangle": 1, "lang_id_counts": 2,
+    "stats_counts": 1, "pip_refine_triangle": 1, "lang_id_counts": 2, "cm_frequencies": 3,
     "percentiles_by_type": 5, "sessionization": 300, "repetition_scores": 400, "pii_scrub": 400,
     "pip_donut_multipoly": 2, "polygon_centroid": 25, "url_canonical_dedup": 9,
     "mvt_tile_stats": 4,

@@ -87,3 +87,65 @@ def test_register_table_is_bounded(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         SK.hll_build(_keys(spark, 5), "key", p=2)
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def _zipf(spark, n_rows=6000):
+    """Zipf-ish key stream: key i appears ~ 1200/i times."""
+    rows = []
+    for i in range(1, 60):
+        rows.extend([f"key-{i}"] * max(1200 // i, 1))
+    rows = rows[:n_rows]
+    return spark.createDataFrame(pd.DataFrame({"key": rows})), pd.Series(rows).value_counts()
+
+
+def test_cm_upper_bound_and_heavy_hitter_accuracy(spark):
+    df, truth = _zipf(spark)
+    sk = SK.cm_build(df, "key", width=1024, depth=4).cache()
+    assert sk.count() <= 1024 * 4
+    cand = spark.createDataFrame(pd.DataFrame({"key": list(truth.index)}))
+    est = (SK.cm_query(cand, sk, "key", width=1024, depth=4)
+           .toPandas().set_index("key")["est_count"])
+    for k, true_n in truth.items():
+        assert est[k] >= true_n, k                  # one-sided guarantee
+        assert est[k] <= true_n + len(df.toPandas()) * (2.72 / 1024) * 3, k
+    # heavy hitters are near-exact at this width
+    for k in ("key-1", "key-2", "key-3"):
+        assert est[k] == truth[k], k
+    # absent key estimates are small (possibly >0 from collisions)
+    ghost = spark.createDataFrame(pd.DataFrame({"key": ["never-seen"]}))
+    g = SK.cm_query(ghost, sk, "key", width=1024, depth=4).first()["est_count"]
+    assert g < 60
+
+
+def test_cm_merge_is_additive_and_partition_independent(spark):
+    df, truth = _zipf(spark)
+    half1 = df.limit(3000)
+    # second "day": same stream again
+    sk_all2 = SK.cm_build(df.union(df), "key", width=512, depth=3)
+    merged = SK.cm_merge(SK.cm_build(df, "key", width=512, depth=3),
+                         SK.cm_build(df.repartition(9), "key", width=512, depth=3))
+
+    def canon(s):
+        return s.toPandas().sort_values(["row", "bucket"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(merged), canon(sk_all2))
+
+
+def test_cm_weighted_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "key": ["a", "a", "b"], "w": [5, 7, 100]}))
+    sk = SK.cm_build(df, "key", width=256, depth=3, weight_col="w")
+    est = (SK.cm_query(spark.createDataFrame(pd.DataFrame({"key": ["a", "b"]})),
+                       sk, "key", width=256, depth=3)
+           .toPandas().set_index("key")["est_count"])
+    assert est["a"] == 12 and est["b"] == 100
+
+
+def test_cm_validation(spark):
+    df = _keys(spark, 5)
+    with pytest.raises(ValueError):
+        SK.cm_build(df, "key", width=0)

@@ -317,6 +317,30 @@ def expected_hll_registers(doc_ids, p: int = 10, seed: int = 7) -> pd.DataFrame:
     return pd.DataFrame(sorted(regs.items()), columns=["register", "rho"])
 
 
+def expected_cm_frequencies(langs, width: int = 256, depth: int = 3,
+                            seed: int = 13) -> pd.DataFrame:
+    """Independent count-min: XXH64 bucket per (row, key), Counter
+    sums, min over rows per queried key."""
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for lang in langs:
+        for r in range(depth):
+            sh = xxh64(int(seed + r).to_bytes(4, "little"), 42)
+            h = _signed(xxh64(str(lang).encode(), sh))
+            cells[(r, ((h % width) + width) % width)] += 1
+    rows = []
+    for lang in sorted(set(langs)):
+        est = None
+        for r in range(depth):
+            sh = xxh64(int(seed + r).to_bytes(4, "little"), 42)
+            h = _signed(xxh64(str(lang).encode(), sh))
+            c = cells[(r, ((h % width) + width) % width)]
+            est = c if est is None else min(est, c)
+        rows.append((lang, est))
+    return pd.DataFrame(rows, columns=["lang", "est_count"])
+
+
 def expected_stratified_sample(docs_lang: pd.DataFrame) -> pd.DataFrame:
     """Independent keep decision: from-spec XXH64 of the 8-byte-LE
     doc_id seeded by the hash of the 4-byte-LE literal 0, pmod 1e6,
@@ -614,7 +638,7 @@ def main() -> None:
                                 "dedup_jaccard_verify", "fingerprint_hashes",
                                 "bloom_url_probe", "stratified_sample",
                                 "bpe_token_count", "pq_adc_topk",
-                                "hll_registers")}
+                                "hll_registers", "cm_frequencies")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -653,6 +677,11 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["hll_registers"].astype("int64")),
             _norm_sorted(expected_hll_registers(docs["doc_id"].to_numpy())), check_dtype=False)
+        langs = con.execute(
+            "SELECT lang FROM documents WHERE doc_id < 2000 ORDER BY doc_id").df()["lang"].tolist()
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["cm_frequencies"]),
+            _norm_sorted(expected_cm_frequencies(langs)), check_dtype=False)
         pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
@@ -668,7 +697,8 @@ def main() -> None:
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
                   "stratified_sample": "documents", "bpe_token_count": "documents",
-                  "pq_adc_topk": "embeddings", "hll_registers": "documents"}
+                  "pq_adc_topk": "embeddings", "hll_registers": "documents",
+                  "cm_frequencies": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
