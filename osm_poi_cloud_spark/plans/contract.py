@@ -1027,6 +1027,42 @@ def _q_cm_frequencies_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_query(cand, sk, "lang", width=256, depth=3).orderBy("lang")
 
 
+_Q_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_tokens
+  FROM documents WHERE doc_id < 2000
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_offset
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, seq_offset,
+       CAST(floor(seq_offset / 2048) AS BIGINT) AS seq_id
+FROM packed ORDER BY lang, doc_id
+"""
+
+
+def _q_pack_sequences_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): greedy
+    contiguous token packing per language under a 2048-token budget.
+    SHARED-SQL oracle: the window-cumsum formulation is the same text
+    in both dialects; token cost = whitespace token count (exact int
+    arithmetic on both sides)."""
+    from ..operators.packing import pack_sequences
+
+    _register(spark, sf_dir, ["documents"])
+    toks = spark.sql(
+        "SELECT doc_id, lang, "
+        "greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_tokens "
+        "FROM documents WHERE doc_id < 2000"
+    )
+    return pack_sequences(toks, budget=2048).orderBy("lang", "doc_id")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1194,6 +1230,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["script_fractions"] = _q_script_fractions_spark
     q["hll_registers"] = _q_hll_registers_spark
     q["cm_frequencies"] = _q_cm_frequencies_spark
+    q["pack_sequences"] = _q_pack_sequences_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1264,5 +1301,6 @@ def build_oracles() -> dict[str, str]:
     o["tfidf_top_terms"] = _Q_TFIDF_ORACLE
     o["corpus_curation"] = _corpus_curation_oracle()
     o["script_fractions"] = _script_fractions_oracle()
+    o["pack_sequences"] = _Q_PACK_SEQUENCES
     o.update(_golden_oracles())
     return o
