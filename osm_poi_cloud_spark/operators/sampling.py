@@ -73,3 +73,26 @@ def exact_count_per_stratum(df: DataFrame, strata_col: str, n: int,
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  fingerprint_col: str) -> DataFrame:
+    """Change detection between two snapshot tables (the incremental-
+    crawl delta): full outer join on the key, compare content
+    fingerprints. Returns (key, change) with change in
+    {'added', 'removed', 'changed', 'unchanged'} — feed 'added' +
+    'changed' downstream, skip the rest. One co-partitioned shuffle;
+    bucket both snapshots on the key (plans/bucketing.py) and even that
+    exchange disappears."""
+    o = old.select(F.col(key_col), F.col(fingerprint_col).alias("_fp_old"))
+    n = new.select(F.col(key_col), F.col(fingerprint_col).alias("_fp_new"))
+    change = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, on=key_col, how="full_outer")
+        .select(key_col, change.alias("change"))
+    )

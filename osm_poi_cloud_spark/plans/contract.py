@@ -1063,6 +1063,43 @@ def _q_pack_sequences_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, budget=2048).orderBy("lang", "doc_id")
 
 
+_Q_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(concat(text, '!')) ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 1
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+
+def _q_snapshot_diff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl change detection (operators/sampling.py:
+    snapshot_diff): two synthetic snapshots carved from documents (a
+    fifth of docs dropped on each side, every seventh re-fingerprinted)
+    diffed by content fingerprint. Shared-SQL oracle."""
+    from ..operators.sampling import snapshot_diff
+
+    _register(spark, sf_dir, ["documents"])
+    base = spark.table("documents").filter(F.col("doc_id") < 2000)
+    old = base.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("fp"))
+    new = base.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5("text")).alias("fp"))
+    return snapshot_diff(old, new, "doc_id", "fp").orderBy("doc_id")
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1231,6 +1268,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hll_registers"] = _q_hll_registers_spark
     q["cm_frequencies"] = _q_cm_frequencies_spark
     q["pack_sequences"] = _q_pack_sequences_spark
+    q["snapshot_diff"] = _q_snapshot_diff_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1302,5 +1340,6 @@ def build_oracles() -> dict[str, str]:
     o["corpus_curation"] = _corpus_curation_oracle()
     o["script_fractions"] = _script_fractions_oracle()
     o["pack_sequences"] = _Q_PACK_SEQUENCES
+    o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o.update(_golden_oracles())
     return o

@@ -83,3 +83,15 @@ def test_validation(spark):
         S.stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
     with pytest.raises(ValueError):
         S.exact_count_per_stratum(docs, "lang", 0, "doc_id")
+
+
+def test_snapshot_diff_hand_cases(spark):
+    from osm_poi_cloud_spark.operators.sampling import snapshot_diff
+
+    old = spark.createDataFrame(pd.DataFrame({
+        "url": ["a", "b", "c"], "fp": ["1", "2", "3"]}))
+    new = spark.createDataFrame(pd.DataFrame({
+        "url": ["b", "c", "d"], "fp": ["2", "9", "4"]}))
+    out = (snapshot_diff(old, new, "url", "fp").toPandas()
+           .set_index("url")["change"].to_dict())
+    assert out == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
