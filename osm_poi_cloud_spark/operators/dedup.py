@@ -454,3 +454,59 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (eval-set leakage detection)
+# ---------------------------------------------------------------------------
+
+def make_shingle_set_udf(k: int = 8, seed: int = 0):
+    """Arrow-batched UDF: text -> DISTINCT k-word shingle hashes (the
+    same spec kernel the minhash signatures use)."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(text: pd.Series) -> pd.Series:
+        sh, counts = hx.shingle_hashes_batch(list(text), k, seed=0)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        out = []
+        for i in range(len(text)):
+            out.append(np.unique(sh[offs[i]:offs[i + 1]]).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return shingles
+
+
+def contamination_pairs(docs: DataFrame, evals: DataFrame, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_id: str = "eval_id",
+                        min_shared: int = 1) -> DataFrame:
+    """Benchmark-leakage detection: (doc, eval item) pairs sharing at
+    least ``min_shared`` distinct k-word shingles — the standard
+    n-gram-overlap decontamination pass (GPT-3 appendix C / PaLM style)
+    run the scalable way: explode both sides to (shingle, id), join on
+    the 64-bit shingle hash (eval side broadcast — eval suites are
+    thousands of items, not billions), aggregate shared counts. Never
+    all-pairs; cost tracks true overlap."""
+    d = docs.select(
+        F.col(id_col),
+        F.explode(make_shingle_set_udf(k)(F.col(text_col))).alias("sh"),
+    )
+    e = evals.select(
+        F.col(eval_id),
+        F.explode(make_shingle_set_udf(k)(F.col(text_col))).alias("sh"),
+    )
+    return (
+        d.join(F.broadcast(e), on="sh")
+        .groupBy(id_col, eval_id)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def decontaminate(docs: DataFrame, evals: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_id: str = "eval_id", min_shared: int = 1) -> DataFrame:
+    """Drop every document sharing >= min_shared k-shingles with any
+    eval item (anti-join on the contamination pairs)."""
+    hits = contamination_pairs(docs, evals, k, text_col, id_col, eval_id,
+                               min_shared).select(id_col).distinct()
+    return docs.join(hits, on=id_col, how="left_anti")

@@ -1100,6 +1100,21 @@ def _q_snapshot_diff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", "fp").orderBy("doc_id")
 
 
+def _q_contamination_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination pairs (operators/dedup.py): 5 documents
+    act as the 'eval suite'; every corpus doc sharing >= 3 distinct
+    8-word shingles with one of them is flagged. Golden verified
+    against an independent pure-Python shingle-set recompute."""
+    from ..operators.dedup import contamination_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    return (contamination_pairs(docs, evals, k=8, min_shared=3)
+            .orderBy("doc_id", "eval_id"))
+
+
 _Q_TFIDF_ORACLE = """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
 terms AS (
@@ -1269,6 +1284,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cm_frequencies"] = _q_cm_frequencies_spark
     q["pack_sequences"] = _q_pack_sequences_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
+    q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     return q
@@ -1300,6 +1316,7 @@ _GOLDEN_SPECS = {
     "pq_adc_topk": ("query_id, vec_id, adc_dist, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
     "hll_registers": ("register, rho", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "cm_frequencies": ("lang, est_count", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "contamination_pairs": ("doc_id, eval_id, n_shared_shingles", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -53,7 +53,7 @@ MIN_ROWS = {
     "mvt_tile_stats": 4,
     "union_merge": 3, "topk_event_types": 5, "pip_bbox_join": 10,
     "dedup_minhash_pairs": 10, "dedup_simhash_pairs": 10,
-    "dedup_components": 30, "dedup_jaccard_verify": 10, "bloom_url_probe": 40, "tfidf_top_terms": 90, "stratified_sample": 10, "corpus_curation": 30, "bpe_token_count": 40, "script_fractions": 40, "hll_registers": 30, "pack_sequences": 40, "snapshot_diff": 40,
+    "dedup_components": 30, "dedup_jaccard_verify": 10, "bloom_url_probe": 40, "tfidf_top_terms": 90, "stratified_sample": 10, "corpus_curation": 30, "bpe_token_count": 40, "script_fractions": 40, "hll_registers": 30, "pack_sequences": 40, "snapshot_diff": 40, "contamination_pairs": 5,
     "classify_histogram": 15, "bbox_filter": 20, "knn_per_cell": 25,
     "window_rank_lag": 30, "ann_lsh_topk": 50, "ann_ivf_topk": 50,
     "cosine_topk": 50, "pq_adc_topk": 50,

@@ -137,3 +137,24 @@ def test_exact_dedup_keeps_null_text_rows(spark):
     )
     out = dd.exact_dedup(docs).toPandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_contamination_and_decontaminate(spark):
+    """Planted leakage: doc 100 embeds doc 0's opening words verbatim,
+    doc 101 shares nothing. The 8-shingle overlap must flag exactly the
+    leak (plus doc 0 against itself), and decontaminate drops both."""
+    base = _docs(spark).toPandas()
+    leak_text = " ".join(str(base.loc[0, "text"]).split()[:20]) + " plus unrelated tail words here"
+    extra = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [leak_text, "completely different content with no overlap at all whatsoever in any window"],
+    })
+    docs = spark.createDataFrame(pd.concat([base[["doc_id", "text"]], extra], ignore_index=True))
+    evals = spark.createDataFrame(pd.DataFrame({"eval_id": [0], "text": [base.loc[0, "text"]]}))
+
+    pairs = dd.contamination_pairs(docs, evals, k=8, min_shared=3).toPandas()
+    flagged = set(pairs["doc_id"])
+    assert 100 in flagged and 101 not in flagged
+    assert 0 in flagged  # the eval source itself
+    clean = dd.decontaminate(docs, evals, k=8, min_shared=3).toPandas()
+    assert 100 not in set(clean["doc_id"]) and 101 in set(clean["doc_id"])

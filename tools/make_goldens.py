@@ -341,6 +341,23 @@ def expected_cm_frequencies(langs, width: int = 256, depth: int = 3,
     return pd.DataFrame(rows, columns=["lang", "est_count"])
 
 
+def expected_contamination(docs: pd.DataFrame, k: int = 8,
+                           min_shared: int = 3) -> pd.DataFrame:
+    """Independent contamination pairs: the from-spec shingle hasher
+    above, Python set intersections (no join machinery)."""
+    sets = {int(r["doc_id"]): set(shingle_hashes(r["text"], k))
+            for _, r in docs.iterrows()}
+    rows = []
+    for did, dset in sets.items():
+        for eid in range(5):
+            if eid not in sets:
+                continue
+            shared = len(dset & sets[eid])
+            if shared >= min_shared:
+                rows.append((did, eid, shared))
+    return pd.DataFrame(rows, columns=["doc_id", "eval_id", "n_shared_shingles"])
+
+
 def expected_stratified_sample(docs_lang: pd.DataFrame) -> pd.DataFrame:
     """Independent keep decision: from-spec XXH64 of the 8-byte-LE
     doc_id seeded by the hash of the 4-byte-LE literal 0, pmod 1e6,
@@ -638,7 +655,8 @@ def main() -> None:
                                 "dedup_jaccard_verify", "fingerprint_hashes",
                                 "bloom_url_probe", "stratified_sample",
                                 "bpe_token_count", "pq_adc_topk",
-                                "hll_registers", "cm_frequencies")}
+                                "hll_registers", "cm_frequencies",
+                                "contamination_pairs")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -683,6 +701,9 @@ def main() -> None:
             _norm_sorted(results["cm_frequencies"]),
             _norm_sorted(expected_cm_frequencies(langs)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["contamination_pairs"].astype("int64")),
+            _norm_sorted(expected_contamination(docs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
 
@@ -698,7 +719,7 @@ def main() -> None:
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
                   "stratified_sample": "documents", "bpe_token_count": "documents",
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
-                  "cm_frequencies": "documents"}
+                  "cm_frequencies": "documents", "contamination_pairs": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
