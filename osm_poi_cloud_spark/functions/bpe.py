@@ -38,15 +38,27 @@ from pyspark.sql import types as T
 EOW = "</w>"
 
 
-def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_counts(df: DataFrame, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
     """Corpus word-frequency table (lowercased whitespace words): the
-    single shuffle of BPE training. Output is vocabulary-sized."""
-    return (
+    single shuffle of BPE training.
+
+    ``min_count`` floors the frequency BEFORE any collect: distinct
+    "words" in a web crawl grow with corpus size (URLs, typos, junk),
+    so the unpruned table is NOT vocabulary-bounded at 100 TB. Merge
+    decisions are driven by high-frequency pairs; a singleton tail of
+    hapax words contributes ~0 weight per pair, so pruning it leaves
+    early merges unchanged (asserted in tests) while bounding the
+    driver table to the true high-frequency vocabulary."""
+    wc = (
         df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
+    return wc
 
 
 def train_bpe(wc: pd.DataFrame, num_merges: int) -> list[tuple[str, str]]:
@@ -127,10 +139,36 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def train_bpe_from_corpus(df: DataFrame, num_merges: int,
-                          text_col: str = "text") -> list[tuple[str, str]]:
+                          text_col: str = "text", min_count: int = 1,
+                          sample_mod: int | None = None,
+                          id_col: str = "doc_id",
+                          max_vocab_rows: int = 20_000_000) -> list[tuple[str, str]]:
     """End-to-end: distributed word counts -> in-memory merge loop.
-    The collect is vocabulary-bounded (documented training pass)."""
-    wc = word_counts(df, text_col).toPandas().sort_values("word").reset_index(drop=True)
+
+    Two bounds make the driver collect safe at web scale:
+
+    * ``min_count`` prunes the hapax tail before collect (see
+      ``word_counts`` — the tail grows with corpus size; the merge
+      loop's pair counts are insensitive to it).
+    * ``sample_mod=m`` trains on the deterministic hash-sample of
+      documents with ``xxhash64(id) % m == 0`` — the same
+      partitioning-independent route IVF/PQ training uses
+      (operators/similarity.py). BPE statistics are corpus-level
+      frequencies, so a 1/m uniform sample preserves pair ranking.
+
+    ``max_vocab_rows`` is a hard backstop: the pruned table's row count
+    is checked BEFORE ``toPandas()`` and an explicit error (telling the
+    caller to raise ``min_count``/``sample_mod``) beats a driver OOM."""
+    if sample_mod is not None and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    wc_df = word_counts(df, text_col, min_count=min_count)
+    n_rows = wc_df.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"pruned vocabulary has {n_rows} rows > max_vocab_rows="
+            f"{max_vocab_rows}; raise min_count (current {min_count}) or "
+            f"sample_mod before collecting to the driver")
+    wc = wc_df.toPandas().sort_values("word").reset_index(drop=True)
     return train_bpe(wc, num_merges)
 
 

@@ -274,6 +274,22 @@ def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             if idx.max(initial=0) >= len(pal):
                 raise ValueError("pixel index outside color table")
             rgb = pal[idx]
+            if (ix, iy, iw, ih) != (0, 0, sw, sh):
+                # frame smaller than / offset within the logical screen:
+                # composite onto the canvas so pixel positions are
+                # canvas-relative (clip frames that overhang the edge)
+                cw = min(iw, max(sw - ix, 0))
+                ch = min(ih, max(sh - iy, 0))
+                if transparent is not None:
+                    canvas = np.zeros((sh, sw, 4), np.uint8)
+                    alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                    frame = np.dstack([rgb, alpha])
+                    canvas[iy:iy + ch, ix:ix + cw] = frame[:ch, :cw]
+                    return canvas
+                bg_rgb = pal[bg] if bg < len(pal) else np.zeros(3, np.uint8)
+                canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+                canvas[iy:iy + ch, ix:ix + cw] = rgb[:ch, :cw]
+                return canvas
             if transparent is not None:
                 alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
                 return np.dstack([rgb, alpha])

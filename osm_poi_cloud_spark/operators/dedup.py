@@ -465,7 +465,7 @@ def make_shingle_set_udf(k: int = 8, seed: int = 0):
     same spec kernel the minhash signatures use)."""
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingles(text: pd.Series) -> pd.Series:
-        sh, counts = hx.shingle_hashes_batch(list(text), k, seed=0)
+        sh, counts = hx.shingle_hashes_batch(list(text), k, seed=seed)
         offs = np.concatenate([[0], np.cumsum(counts)])
         out = []
         for i in range(len(text)):

@@ -14,10 +14,19 @@ A document that straddles a boundary starts the overflow into the next
 sequence (bounded by one doc's tokens — the standard trade; exact
 bin-packing is NP-hard and order-unstable).
 
-Scale: the window partitions by a pack key (shard/language/source), so
-each partition's window is independent — no global sort. A single
-global packing order would serialize through one task; the pack-key
-form is the one that survives 10^12 documents.
+Scale: a window partition is ONE task's worth of sorting and cumsum,
+so the pack key must be fine-grained. Partitioning by language alone
+puts the entire English half of a web corpus through a single task —
+exactly the data-size-unbounded partition the reference's sharder
+exists to avoid (main.rs:178-277 splits shards by row budget, never by
+a value-skewed key). ``n_buckets`` therefore salts the pack key with
+``pmod(xxhash64(order_col), n_buckets)``: each (pack_col, bucket)
+window is independent and size-bounded by corpus/n_buckets, ordering
+stays total *within* a bucket (the hash is a deterministic function of
+``order_col``), and sequence identity becomes the composite
+(pack_col, pack_bucket, seq_id). Pick n_buckets so a bucket's rows fit
+one task comfortably (e.g. corpus_rows / 10^6). The unbucketed default
+is kept for small inputs and fixture/oracle compatibility.
 """
 
 from __future__ import annotations
@@ -27,17 +36,37 @@ from pyspark.sql import functions as F
 
 
 def pack_sequences(df: DataFrame, budget: int, token_col: str = "n_tokens",
-                   pack_col: str = "lang", order_col: str = "doc_id") -> DataFrame:
-    """Add ``seq_id`` (per pack key) and ``seq_offset`` (token offset
-    within the running order). Deterministic: ordering on ``order_col``
-    is total within each pack key."""
+                   pack_col: str = "lang", order_col: str = "doc_id",
+                   n_buckets: int | None = None) -> DataFrame:
+    """Add ``seq_id`` and ``seq_offset`` (token offset within the
+    running order of the pack window).
+
+    With ``n_buckets=None`` the window partitions by ``pack_col`` only
+    (deterministic, totally ordered per key — use only when no single
+    key's rows exceed one task). With ``n_buckets=k`` an extra
+    ``pack_bucket`` column (``pmod(xxhash64(order_col), k)``) is added
+    and the window partitions by (pack_col, pack_bucket): size-bounded
+    partitions that survive 10^12 documents; sequence identity is then
+    (pack_col, pack_bucket, seq_id).
+    """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    keys = [pack_col]
+    if n_buckets is not None:
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        df = df.withColumn(
+            "pack_bucket",
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets)).cast("int"),
+        )
+        keys.append("pack_bucket")
     w = (
-        Window.partitionBy(pack_col).orderBy(order_col)
+        Window.partitionBy(*keys).orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    # CAST mirrors the shared-oracle text (DuckDB's window SUM over INT
+    # is HUGEINT→float64 without it); a no-op for Spark's bigint sum.
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     return (
         df.withColumn("seq_offset", before)
         .withColumn("seq_id", F.floor(F.col("seq_offset") / budget).cast("long"))
@@ -47,8 +76,11 @@ def pack_sequences(df: DataFrame, budget: int, token_col: str = "n_tokens",
 def packing_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens",
                   pack_col: str = "lang") -> DataFrame:
     """Per-pack-key fill metrics: sequences used, mean fill fraction —
-    the utilization number a packing run logs."""
-    per_seq = packed.groupBy(pack_col, "seq_id").agg(F.sum(token_col).alias("seq_tokens"))
+    the utilization number a packing run logs. Groups by the full
+    sequence identity (including ``pack_bucket`` when present), then
+    rolls up to ``pack_col``."""
+    keys = [pack_col] + (["pack_bucket"] if "pack_bucket" in packed.columns else [])
+    per_seq = packed.groupBy(*keys, "seq_id").agg(F.sum(token_col).alias("seq_tokens"))
     return per_seq.groupBy(pack_col).agg(
         F.count(F.lit(1)).alias("n_sequences"),
         (F.sum("seq_tokens") / (F.count(F.lit(1)) * F.lit(float(budget)))).alias("mean_fill"),

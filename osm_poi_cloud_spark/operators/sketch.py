@@ -85,7 +85,8 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     plain aggregations — no collect."""
     m = 1 << p
     agg = sketch.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        # coalesce: an EMPTY sketch (zero rows) must estimate 0, not NULL
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias("s"),
         F.count(F.lit(1)).alias("nonzero"),
     )
     # absent rows are rho=0 registers contributing 2^0 = 1 each

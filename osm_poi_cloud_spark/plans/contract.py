@@ -1035,9 +1035,9 @@ WITH toks AS (
 ),
 packed AS (
   SELECT doc_id, lang, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY lang ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_offset
   FROM toks
 )
 SELECT doc_id, lang, n_tokens, seq_offset,

@@ -65,6 +65,45 @@ def test_distributed_counts_match_local(spark):
         assert local[w] == n, w
 
 
+def test_min_count_prunes_tail_without_changing_merges(spark):
+    """The hapax tail carries ~0 pair weight: pruning it (min_count=2)
+    must leave the learned merges identical on the test corpus while
+    the collected vocabulary shrinks (bounded-collect guarantee)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # emulate the at-scale regime: base-vocabulary counts dwarf the
+    # singleton tail (x50 replication), then graft a web-crawl-style
+    # hapax tail of unique junk tokens (each appears exactly once)
+    big = (base.select("text").crossJoin(spark.range(50))
+           .select(F.col("id").alias("doc_id"), "text"))
+    junk = spark.range(200).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zqx"), F.col("id").cast("string"), F.lit("junk")).alias("text"))
+    docs = big.unionByName(junk)
+    full = B.word_counts(docs).count()
+    pruned = B.word_counts(docs, min_count=2).count()
+    assert pruned <= full - 200  # the floor actually bounds the collect
+    m_full = B.train_bpe_from_corpus(docs, 60)
+    m_pruned = B.train_bpe_from_corpus(docs, 60, min_count=2)
+    assert m_full == m_pruned
+    # and the floor is exactly a pre-collect filter of the same table
+    wc = B.word_counts(docs).toPandas()
+    wc = wc[wc["n"] >= 2].sort_values("word").reset_index(drop=True)
+    assert m_pruned == B.train_bpe(wc, 60)
+
+
+def test_max_vocab_rows_backstop_and_hash_sample(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        B.train_bpe_from_corpus(docs, 10, max_vocab_rows=5)
+    # hash-sample trains on the deterministic xxhash64(doc_id)%m==0
+    # subset — same result regardless of partitioning
+    m1 = B.train_bpe_from_corpus(docs, 40, sample_mod=3)
+    m2 = B.train_bpe_from_corpus(docs.repartition(5), 40, sample_mod=3)
+    assert m1 == m2 and len(m1) == 40
+    sampled = docs.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3)) == 0)
+    assert m1 == B.train_bpe_from_corpus(sampled, 40)
+
+
 def test_token_counts_deterministic_and_match_pure(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     merges = B.train_bpe_from_corpus(docs, 100)

@@ -49,12 +49,13 @@ def test_unbucketed_join_does_shuffle(spark, tables):
     broadcast disabled) MUST contain a shuffle — proving the assertion
     above is detecting bucketing, not a trivial plan."""
     lt, rt, left, right = tables
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plain = left.join(right, on="poi_id")
         assert not B.is_shuffle_free_join(plain)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_bucketed_groupby_partial_agg(spark, tables):

@@ -82,10 +82,30 @@ def test_decodes_real_world_gifs():
         arr = G.decode_gif(data)
         assert arr.ndim == 3 and arr.shape[2] in (3, 4)
         assert arr.shape[0] > 0 and arr.shape[1] > 0
-        # frame never exceeds the declared logical screen... frames may
-        # be smaller (it's a frame, not the composited screen)
+        # offset/undersized frames are composited onto the logical
+        # screen, so the decode is exactly canvas-sized
         w, h = G.parse_gif_dims(data)
-        assert arr.shape[1] <= w and arr.shape[0] <= h + 256  # frame offsets exist
+        assert (arr.shape[1], arr.shape[0]) == (w, h)
+
+
+def test_offset_frame_composited_onto_canvas():
+    """A first frame smaller than and offset within the logical screen
+    must land at (ix, iy) on a background-filled canvas of the declared
+    screen size — built by patching the encoder's descriptor bytes."""
+    import struct
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = (np.arange(12, dtype=np.uint8) % 4).reshape(4, 3)
+    blob = bytearray(G.encode_gif(idx, pal))
+    blob[6:10] = struct.pack("<HH", 10, 8)   # logical screen 10x8
+    blob[11] = 1                              # background index -> green
+    desc = 13 + 3 * 4                         # header + 4-entry GCT
+    assert blob[desc] == 0x2C
+    blob[desc + 1:desc + 5] = struct.pack("<HH", 2, 3)  # ix=2, iy=3
+    arr = G.decode_gif(bytes(blob))
+    assert arr.shape == (8, 10, 3)
+    assert (arr[0, 0] == pal[1]).all()                      # background fill
+    assert (arr[3:7, 2:5] == pal[idx]).all()                # frame placement
+    assert (arr[:3] == pal[1]).all() and (arr[7:] == pal[1]).all()
 
 
 def test_guards():

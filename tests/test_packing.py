@@ -42,6 +42,54 @@ def test_budget_overflow_bounded_by_one_doc(spark):
     assert (per_seq <= 2048 + 400).all()            # overflow <= one doc
 
 
+def test_bucketed_pack_key_hand_computed(spark):
+    """n_buckets salts the pack key: expected assignments recomputed
+    independently (from-spec XXH64 bucket + pandas per-group cumsum);
+    the Window's partition spec must carry pack_bucket so no single
+    language is one task."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import xxh64
+
+    import numpy as np
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": ["en"] * 250 + ["de"] * 50,
+        "n_tokens": rng.randint(1, 500, 300),
+    })
+    n_buckets = 8
+    # independent recompute: Spark xxhash64(long) == XXH64(8-byte LE, seed 42)
+    def bucket(d):
+        h = xxh64(int(d).to_bytes(8, "little", signed=True), 42)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h % n_buckets
+    pdf["exp_bucket"] = pdf["doc_id"].map(bucket)
+    exp = pdf.sort_values("doc_id").copy()
+    grp = exp.groupby(["lang", "exp_bucket"])["n_tokens"]
+    exp["exp_offset"] = grp.cumsum() - exp["n_tokens"]
+    exp["exp_seq"] = exp["exp_offset"] // 1000
+
+    df = spark.createDataFrame(pdf[["doc_id", "lang", "n_tokens"]])
+    packed = PK.pack_sequences(df, budget=1000, n_buckets=n_buckets)
+    out = packed.toPandas().set_index("doc_id").sort_index()
+    exp = exp.set_index("doc_id").sort_index()
+    assert (out["pack_bucket"] == exp["exp_bucket"]).all()
+    assert (out["seq_offset"] == exp["exp_offset"]).all()
+    assert (out["seq_id"] == exp["exp_seq"]).all()
+    # window partition granularity >> |langs|
+    n_parts = out.reset_index().groupby(["lang", "pack_bucket"]).ngroups
+    assert n_parts > 2
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "pack_bucket" in plan and "Window" in plan
+    # stats group by full sequence identity (bucket included)
+    stats = PK.packing_stats(packed, 1000).toPandas().set_index("lang")
+    exp_en_seqs = exp[exp["lang"] == "en"].groupby(["exp_bucket", "exp_seq"]).ngroups
+    assert stats.loc["en", "n_sequences"] == exp_en_seqs
+
+
 def test_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "lang": ["en"], "n_tokens": [5]}))
     with pytest.raises(ValueError):

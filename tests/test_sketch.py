@@ -79,6 +79,11 @@ def test_duplicates_do_not_inflate(spark):
     assert e1 == e3  # identical sketch, identical estimate
 
 
+def test_empty_input_estimates_zero(spark):
+    empty = _keys(spark, 100).filter("1 = 0")
+    assert SK.approx_distinct(empty, "key", p=10) == 0.0
+
+
 def test_register_table_is_bounded(spark):
     sk = SK.hll_build(_keys(spark, 50000), "key", p=8)
     assert sk.count() <= 256
