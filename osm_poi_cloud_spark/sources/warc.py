@@ -263,6 +263,234 @@ def parse_warc_bytes(data: bytes, **kw) -> list[tuple[str, dt.datetime, bytes]]:
     return list(iter_warc_records(io.BytesIO(data), **kw))
 
 
+def hadoop_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Expand a path glob through the Hadoop FileSystem API on the
+    driver (the same route ``plans.merge`` stats inputs through): works
+    for every scheme the cluster's Hadoop conf knows — ``file:``,
+    ``hdfs://``, ``s3a://`` (with the cluster's credentials/jars) —
+    returning fully-qualified file URIs in sorted order. A scheme the
+    JVM cannot resolve fails HERE with the Hadoop error, not inside a
+    task mid-job."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(conf)
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath().toUri().toString())
+                  for s in statuses if s.isFile())
+
+
+class _HttpStream:
+    """Pure-stdlib streaming reader over HTTP(S) with Range-based
+    resume: on a dropped connection mid-archive (routine when pulling
+    1 GB WARCs from object storage) it re-opens the URL with
+    ``Range: bytes=<consumed>-`` and continues, retrying with backoff.
+    A server that ignores Range (200 instead of 206) is handled by
+    reading and discarding the already-consumed prefix. Forward-only;
+    wrap in ``_SniffWrapper`` for the gzip sniff's ``seek(0)``."""
+
+    def __init__(self, url: str, max_retries: int = 5, timeout: float = 60.0):
+        self._url = url
+        self._retries = max_retries
+        self._timeout = timeout
+        self._pos = 0  # bytes handed to the caller
+        self._resp = None
+        self._open_at(0)
+
+    def _open_at(self, offset: int) -> None:
+        import time
+        import urllib.error
+        import urllib.request
+
+        if self._resp is not None:
+            try:
+                self._resp.close()
+            except OSError:
+                pass
+        last = None
+        for attempt in range(self._retries):
+            try:
+                req = urllib.request.Request(self._url)
+                if offset:
+                    req.add_header("Range", f"bytes={offset}-")
+                resp = urllib.request.urlopen(req, timeout=self._timeout)
+                skipped = 0
+                if offset and resp.status == 200:
+                    # Range unsupported: discard the consumed prefix
+                    remaining = offset
+                    while remaining > 0:
+                        chunk = resp.read(min(1 << 20, remaining))
+                        if not chunk:
+                            raise IOError("short body while skipping prefix")
+                        remaining -= len(chunk)
+                    skipped = offset
+                self._resp = resp
+                try:
+                    self._resp_expected = int(resp.headers.get("Content-Length"))
+                except (TypeError, ValueError):
+                    self._resp_expected = None
+                self._resp_got = skipped
+                return
+            except (urllib.error.URLError, OSError) as exc:  # incl. timeout
+                last = exc
+                time.sleep(min(2.0 ** attempt, 30.0) * 0.1)
+        raise IOError(f"failed to open {self._url} at offset {offset}: {last}")
+
+    def read(self, n: int = -1) -> bytes:
+        import http.client
+
+        out = bytearray()
+        want = None if n is None or n < 0 else n
+        stalls = 0
+        while want is None or len(out) < want:
+            dropped = False
+            try:
+                chunk = self._resp.read(1 << 16 if want is None
+                                        else want - len(out))
+            except (OSError, ValueError, http.client.HTTPException):
+                dropped = True
+                chunk = b""
+            if not dropped and not chunk:
+                # http.client reports a mid-body connection drop as a
+                # SHORT read, not an exception — compare against the
+                # response's declared Content-Length to tell a real EOF
+                # from a drop that needs a Range resume
+                if (self._resp_expected is not None
+                        and self._resp_got < self._resp_expected):
+                    dropped = True
+                else:
+                    break
+            if dropped:
+                stalls += 1
+                if stalls > self._retries:
+                    raise IOError(
+                        f"no progress resuming {self._url} at "
+                        f"{self._pos + len(out)} after {stalls} attempts")
+                self._open_at(self._pos + len(out))
+                continue
+            stalls = 0
+            out.extend(chunk)
+            self._resp_got += len(chunk)
+        self._pos += len(out)
+        return bytes(out)
+
+    def close(self) -> None:
+        if self._resp is not None:
+            self._resp.close()
+
+
+class _SniffWrapper:
+    """Make a forward-only stream satisfy ``read(2); seek(0)`` (the
+    gzip sniff at the top of ``iter_warc_records``): reads are buffered
+    until the first ``seek(0)``, which replays them; buffering then
+    stops, so steady-state memory is zero. The buffer is capped — this
+    exists for a 2-byte sniff, not general rewinding."""
+
+    _CAP = 1 << 16
+
+    def __init__(self, fp):
+        self._fp = fp
+        self._start_buf = bytearray()
+        self._replay = b""
+        self._buffering = True
+
+    def read(self, n: int = -1):
+        out = bytearray()
+        if self._replay:
+            take = self._replay if n < 0 else self._replay[:n]
+            self._replay = self._replay[len(take):]
+            out += take
+            if n >= 0 and len(out) == n:
+                return bytes(out)
+        need = -1 if n < 0 else n - len(out)
+        data = self._fp.read(need)
+        out += data
+        if self._buffering:
+            self._start_buf += data
+            if len(self._start_buf) > self._CAP:
+                self._buffering = False
+                self._start_buf = bytearray()
+        return bytes(out)
+
+    def seek(self, pos: int):
+        if pos != 0:
+            raise io.UnsupportedOperation("forward-only stream seeks to 0 only")
+        if not self._buffering:
+            raise io.UnsupportedOperation(
+                "seek(0) after the sniff window on a forward-only stream")
+        self._replay = bytes(self._start_buf) + self._replay
+        self._start_buf = bytearray()
+        self._buffering = False
+
+    def close(self):
+        self._fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def _s3_https_url(path: str) -> str:
+    """Map ``s3://bucket/key`` (and the Hadoop ``s3a://``/``s3n://``
+    spellings) to the bucket's virtual-hosted HTTPS endpoint — the
+    anonymous-read route public corpora like Common Crawl expose.
+    Credentialed buckets need ``read_warc_pages_jvm_bytes`` (the
+    cluster's Hadoop S3 client) instead."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    return f"https://{u.netloc}.s3.amazonaws.com{u.path}"
+
+
+def open_archive_stream(path: str):
+    """Executor-side opener: a streaming binary file object for one
+    archive URI. ``file:``/bare paths use local ``open`` (POSIX mounts
+    included); ``http(s)://`` streams with Range-resume; ``s3://`` /
+    ``s3a://`` / ``s3n://`` stream the public virtual-hosted HTTPS
+    endpoint. Anything else (e.g. ``hdfs://``, credentialed buckets)
+    raises with a pointer to the JVM-bytes route."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = unquote(u.path) if u.scheme == "file" else path
+        return open(local, "rb")
+    if u.scheme in ("http", "https"):
+        return _SniffWrapper(_HttpStream(path))
+    if u.scheme in ("s3", "s3a", "s3n"):
+        return _SniffWrapper(_HttpStream(_s3_https_url(path)))
+    raise ValueError(
+        f"no streaming opener for scheme {u.scheme!r} ({path!r}) — use "
+        f"read_warc_pages_jvm_bytes for schemes only the JVM's Hadoop "
+        f"client can reach")
+
+
+def _list_archives(spark: SparkSession, path_glob: str) -> list[str]:
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path_glob).scheme
+    if scheme in ("http", "https"):
+        # no listing service over plain HTTP: explicit comma-separated URLs
+        return [p.strip() for p in path_glob.split(",") if p.strip()]
+    if scheme in ("s3", "s3n"):
+        # the pure-HTTPS route has no LIST either; accept explicit keys
+        if any(ch in path_glob for ch in "*?[]"):
+            raise ValueError(
+                f"cannot glob {path_glob!r} over anonymous HTTPS — pass "
+                f"explicit comma-separated object URLs, or use s3a:// with "
+                f"the cluster's Hadoop S3 client configured")
+        return [p.strip() for p in path_glob.split(",") if p.strip()]
+    paths = hadoop_glob(spark, path_glob)
+    if not paths:
+        raise FileNotFoundError(f"no archives match {path_glob!r}")
+    return paths
+
+
 def read_wet_pages(spark: SparkSession, path_glob: str,
                    chunk_rows: int = 2000) -> DataFrame:
     """Common Crawl WET archives (pre-extracted plain text) ->
@@ -280,33 +508,34 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
                     content_types: tuple[str, ...] | None = ("text/html",),
                     sanitize_utf8: bool = True,
                     record_types: tuple[str, ...] = ("response",)) -> DataFrame:
-    """WARC archives -> (url, warc_ts, html) DataFrame. Spark lists the
-    files; each task opens its archive locally and STREAMS records in
-    ``chunk_rows`` batches (bounded memory even for 1 GB archives).
+    """WARC archives -> (url, warc_ts, html) DataFrame with file-level
+    parallelism: the driver expands the glob through the Hadoop
+    FileSystem API (``hadoop_glob`` — any scheme the cluster conf
+    resolves), then one task per archive opens a STREAMING reader
+    (``open_archive_stream``) and yields records in ``chunk_rows``
+    batches — peak memory per task is one chunk, never the archive.
+
+    Remote inputs: ``http(s)://`` and public ``s3://``/``s3a://``
+    buckets (Common Crawl's layout) stream over stdlib HTTPS with
+    Range-based resume on dropped connections; local/POSIX paths use
+    plain ``open``. Schemes needing the JVM's Hadoop client end-to-end
+    (``hdfs://``, credentialed S3) go through
+    ``read_warc_pages_jvm_bytes`` — Python workers have no py4j
+    gateway, so per-task Hadoop streams are not reachable from Python;
+    whole-file JVM reads are the honest fallback there.
+
     Feed into ``plans.pipeline.build_pois(lang=None)`` — and repartition
     first (as ``app.read_pages`` does) so the parse stage and the
     extraction UDF aren't a chained narrow Python pipeline.
-
-    LOCAL/SHARED FILESYSTEMS ONLY: tasks ``open()`` the archive path
-    directly (``file:`` URIs are unwrapped), which covers local disk and
-    any POSIX mount (NFS, fuse, EBS). Object-store schemes (``s3a://``,
-    ``hdfs://``) are rejected up front with a clear error instead of
-    failing inside a task — stage such archives onto a mount first (the
-    reference's download step does exactly this, download/Dockerfile).
     ``content_types`` / ``sanitize_utf8`` as in ``iter_warc_records``."""
-    if "://" in path_glob and not path_glob.startswith("file://"):
-        raise ValueError(
-            f"read_warc_pages streams archives via local open(); got remote path "
-            f"{path_glob!r} — stage it to a local/POSIX mount first")
-    files = spark.read.format("binaryFile").load(path_glob).select("path")
+    paths = _list_archives(spark, path_glob)
+    files = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(len(paths))
 
     def batches(it):
         for pdf in it:
             for path in pdf["path"]:
-                from urllib.parse import unquote, urlparse
-
-                local = unquote(urlparse(path).path) if path.startswith("file:") else path
-                with open(local, "rb") as f:
+                with open_archive_stream(path) as f:
                     urls, tss, htmls = [], [], []
                     for url, ts, body in iter_warc_records(
                             f, content_types=content_types,
@@ -319,5 +548,35 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
                             urls, tss, htmls = [], [], []
                     if urls:
                         yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+
+    return files.mapInPandas(batches, schema=PAGES_FROM_WARC_SCHEMA)
+
+
+def read_warc_pages_jvm_bytes(spark: SparkSession, path_glob: str,
+                              content_types: tuple[str, ...] | None = ("text/html",),
+                              sanitize_utf8: bool = True,
+                              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """WARC archives via Spark's ``binaryFile`` datasource: the JVM's
+    Hadoop client reads each WHOLE archive (so every scheme/credential
+    the cluster supports works — ``hdfs://``, ``s3a://`` with keys),
+    and the bytes are parsed in-memory per task. Memory per task is
+    bounded by the archive size (~1 GB for Common Crawl; binaryFile
+    caps at 2 GB) — prefer ``read_warc_pages`` streaming wherever a
+    streaming opener exists. Record semantics and byte parity are
+    identical: both routes share ``iter_warc_records``."""
+    files = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                rows = parse_warc_bytes(
+                    bytes(content), content_types=content_types,
+                    sanitize_utf8=sanitize_utf8, record_types=record_types)
+                if rows:
+                    yield pd.DataFrame(
+                        {"url": [r[0] for r in rows],
+                         "warc_ts": [r[1] for r in rows],
+                         "html": [r[2] for r in rows]})
 
     return files.mapInPandas(batches, schema=PAGES_FROM_WARC_SCHEMA)
