@@ -161,6 +161,44 @@ def extract_image_features(media: DataFrame, dim: int = 64) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SAMPLES_SCHEMA = (
+    "media_id string, n_frames int, n_channels int, sample_rate int, "
+    "samples binary, ok boolean"
+)
+
+
+def decode_audio_samples(media: DataFrame) -> DataFrame:
+    """Raw decoded audio: RIFF/WAVE PCM payloads -> float64 samples in
+    [-1, 1] as little-endian bytes (``(frames, channels)`` row-major) —
+    the canonical form downstream feature extractors / models consume.
+    Integer PCM dequantization is exact IEEE (divide by 2^(bits-1)-1),
+    so the byte stream is deterministic and golden-pinnable. Compressed
+    audio comes back ok=false (the remaining audio seam)."""
+    from ..functions import wav as wav_codec
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_frames", "n_channels",
+                                    "sample_rate", "samples", "ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = wav_codec.decode_wav(b)
+                    vals = (samples.shape[0], samples.shape[1], rate,
+                            np.ascontiguousarray(samples, dtype="<f8").tobytes(),
+                            True)
+                except (ValueError, struct.error):
+                    vals = (0, 0, 0, b"", False)
+                rows["media_id"].append(mid)
+                for k, v in zip(("n_frames", "n_channels", "sample_rate",
+                                 "samples", "ok"), vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_SAMPLES_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id string, duration double, sample_rate int, "
     "feature array<float>, ok boolean"

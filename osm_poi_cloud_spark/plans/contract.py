@@ -1214,6 +1214,50 @@ def _q_mvt_tile_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-suite contract row (operators/multimodal.py + the from-spec
+    PNG/JPEG/GIF/WAV codecs in functions/): the deterministic synthetic
+    media fixture decoded through ``decode_image_pixels`` /
+    ``decode_audio_samples``, pinned per item by TWO exact integers —
+    ``payload_crc`` (crc32 of the encoder's bytes) and ``content_crc``
+    (crc32 of the decoded pixel buffer / float64 sample bytes). Golden
+    oracle: make_goldens re-derives the source arrays from their
+    formulas and recomputes content CRCs WITHOUT the decoders (lossless
+    PNG/GIF round-trip + PCM quantization math); JPEG rows are pinned
+    by determinism + baseline==progressive decode parity."""
+    from ..operators.multimodal import (decode_audio_samples,
+                                        decode_image_pixels,
+                                        make_synthetic_media)
+
+    media = make_synthetic_media(spark, 64)
+    payload_crc = media.select(
+        "media_id", "kind", F.crc32("payload").alias("payload_crc"))
+    pix = decode_image_pixels(media.filter(F.col("kind") == "image")).select(
+        "media_id", "width", "height", "channels",
+        F.lit(0).alias("n_frames"), F.lit(0).alias("sample_rate"),
+        F.when(F.col("ok"), F.crc32("pixels")).otherwise(F.lit(0)).cast("long")
+        .alias("content_crc"),
+        "ok")
+    aud = decode_audio_samples(media.filter(F.col("kind") == "audio")).select(
+        "media_id", F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.col("n_channels").alias("channels"), "n_frames", "sample_rate",
+        F.when(F.col("ok"), F.crc32("samples")).otherwise(F.lit(0)).cast("long")
+        .alias("content_crc"),
+        "ok")
+    vid = media.filter(F.col("kind") == "video").select(
+        "media_id", F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("channels"), F.lit(0).alias("n_frames"),
+        F.lit(0).alias("sample_rate"), F.lit(0).cast("long").alias("content_crc"),
+        F.lit(False).alias("ok"))
+    decoded = pix.unionByName(aud).unionByName(vid)
+    return (
+        F.broadcast(payload_crc).join(decoded, "media_id")
+        .select("media_id", "kind", "width", "height", "channels",
+                "n_frames", "sample_rate", "payload_crc", "content_crc", "ok")
+        .orderBy("media_id")
+    )
+
+
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
     hierarchy + per-cell count. No offline DuckDB S2/H3 oracle exists;
@@ -1287,6 +1331,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
+    q["media_features"] = _q_media_features_spark
     return q
 
 
@@ -1318,6 +1363,9 @@ _GOLDEN_SPECS = {
     "cm_frequencies": ("lang, est_count", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "contamination_pairs": ("doc_id, eval_id, n_shared_shingles", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "mvt_tile_stats": ("z, n_tiles, n_feats, mvt_bytes, mvt_crc_xor", "SELECT COUNT(*) FROM customer"),
+    "media_features": ("media_id, kind, width, height, channels, n_frames, "
+                       "sample_rate, payload_crc, content_crc, ok",
+                       "SELECT COUNT(*) FROM customer"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -108,3 +108,20 @@ def test_spark_audio_features_operator(spark):
         assert out.loc[mid, "sample_rate"] == rate
     # everything non-WAV (images, video, compressed audio) is ok=false
     assert not out.loc[[i for i in src.index if i not in wav_ids], "ok"].any()
+
+
+def test_spark_audio_samples_operator(spark):
+    from osm_poi_cloud_spark.operators import multimodal as mm
+
+    media = mm.make_synthetic_media(spark, 32)
+    src = media.toPandas().set_index("media_id")
+    out = mm.decode_audio_samples(media).toPandas().set_index("media_id")
+    wav_ids = [i for i in src.index if src.loc[i, "mime"] == "audio/wav"]
+    assert len(wav_ids) == 4 and out.loc[wav_ids, "ok"].all()
+    for mid in wav_ids:  # canonical float64 LE bytes == direct codec
+        samples, rate = W.decode_wav(bytes(src.loc[mid, "payload"]))
+        got = np.frombuffer(bytes(out.loc[mid, "samples"]), dtype="<f8") \
+            .reshape(out.loc[mid, "n_frames"], out.loc[mid, "n_channels"])
+        np.testing.assert_array_equal(got, samples)
+        assert out.loc[mid, "sample_rate"] == rate
+    assert not out.loc[[i for i in src.index if i not in wav_ids], "ok"].any()

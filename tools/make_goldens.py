@@ -629,6 +629,107 @@ def expected_mvt_stats(spark, sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["z", "n_tiles", "n_feats", "mvt_bytes", "mvt_crc_xor"])
 
 
+def expected_media_features(spark) -> pd.DataFrame:
+    """Independent recompute of the media_features contract rows.
+
+    The synthetic source ARRAYS are re-derived here from their closed
+    formulas (an independent restatement of make_synthetic_media's
+    generation — any drift fails the build). Content CRCs:
+
+    * PNG / GIF — lossless: crc32 of the SOURCE array bytes (GIF via
+      the palette expansion), no decoder involved;
+    * WAV — PCM quantize/dequantize math restated from the spec
+      (round to 2^(bits-1)-1 steps, exact IEEE divide back);
+    * JPEG — lossy, no second decoder exists: the engine value is
+      accepted ONLY after the parity pin (the same array encoded
+      baseline AND progressive must decode bit-identically — both
+      encoders share quantization, so a decoder drift breaks it)
+      plus an exact-dims check;
+    * video / compressed-audio stand-ins — ok=false, content_crc=0.
+
+    payload_crc is crc32 of the encoder bytes (a determinism pin of
+    the encoders themselves), recomputed here from the re-derived
+    arrays via the encode functions."""
+    import zlib
+
+    from osm_poi_cloud_spark.functions import gif as gif_codec
+    from osm_poi_cloud_spark.functions import jpeg as jpeg_codec
+    from osm_poi_cloud_spark.functions import png as png_codec
+    from osm_poi_cloud_spark.functions import wav as wav_codec
+
+    rows = []
+    for i in range(64):
+        kind = ("image", "image", "video", "audio")[i % 4]
+        if kind == "image" and i % 2 == 0:  # PNG
+            w, h = 16 + i % 7, 9 + i % 5
+            c = (1, 3, 4)[i % 3]
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+            arr = img if c == 1 else np.stack(
+                [(img + k * 31) % 256 for k in range(c)], axis=2).astype(np.uint8)
+            payload = png_codec.encode_png(arr)
+            src = arr[:, :, None] if arr.ndim == 2 else arr
+            rows.append((f"m{i}", kind, w, h, c, 0, 0,
+                         zlib.crc32(payload), zlib.crc32(src.tobytes()), True))
+        elif kind == "image" and i % 8 == 1:  # JPEG (lossy)
+            w, h = 18 + i % 9, 12 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            rgb = np.stack([((xx * 11 + k * 40 + i) % 256) for k in range(3)],
+                           axis=2).astype(np.uint8)
+            sub = ("4:4:4", "4:2:0")[i % 2]
+            base = jpeg_codec.encode_jpeg(rgb, quality=90, subsampling=sub)
+            prog = jpeg_codec.encode_jpeg_progressive(rgb, quality=90, subsampling=sub)
+            d_base = jpeg_codec.decode_jpeg(base)
+            d_prog = jpeg_codec.decode_jpeg(prog)
+            assert np.array_equal(d_base, d_prog), f"JPEG parity broken at m{i}"
+            assert d_base.shape[:2] == (h, w), f"JPEG dims wrong at m{i}"
+            payload = prog if i % 16 == 9 else base
+            dec = d_prog if i % 16 == 9 else d_base
+            dec = dec[:, :, None] if dec.ndim == 2 else dec
+            rows.append((f"m{i}", kind, w, h, dec.shape[2], 0, 0,
+                         zlib.crc32(payload), zlib.crc32(dec.tobytes()), True))
+        elif kind == "image":  # GIF (lossless palette)
+            w, h = 20 + i % 11, 10 + i % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((xx + yy + i) % 5).astype(np.uint8)
+            pal = np.array([[(p * 53 + i) % 256, (p * 29) % 256, (p * 17) % 256]
+                            for p in range(5)], dtype=np.uint8)
+            payload = gif_codec.encode_gif(idx, pal, interlace=bool(i % 16 == 5))
+            rows.append((f"m{i}", kind, w, h, 3, 0, 0,
+                         zlib.crc32(payload), zlib.crc32(pal[idx].tobytes()), True))
+        elif kind == "video":
+            payload = bytes([i % 251]) * 64
+            rows.append((f"m{i}", kind, 0, 0, 0, 0, 0,
+                         zlib.crc32(payload), 0, False))
+        elif i % 8 == 3:  # WAV: spec-restated quantize/dequantize
+            t = np.arange(800 + 40 * (i % 5)) / 16000.0
+            tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            bits = (16, 8, 32, -32)[(i // 8) % 4]
+            payload = wav_codec.encode_wav(tone, sample_rate=16000, bits=bits)
+            x = np.clip(tone.astype(np.float64), -1.0, 1.0)
+            if bits == -32:
+                dec = x.astype("<f4").astype(np.float64)
+            elif bits == 8:
+                dec = np.round((x + 1.0) * 127.5).astype(np.uint8) \
+                    .astype(np.float64) / 127.5 - 1.0
+            else:
+                scale = float(2 ** (bits - 1) - 1)
+                dec = np.round(x * scale).astype(f"<i{bits // 8}") \
+                    .astype(np.float64) / scale
+            dec = np.clip(dec, -1.0, 1.0).reshape(-1, 1)
+            rows.append((f"m{i}", kind, 0, 0, 1, dec.shape[0], 16000,
+                         zlib.crc32(payload),
+                         zlib.crc32(np.ascontiguousarray(dec, "<f8").tobytes()),
+                         True))
+        else:  # compressed-audio stand-in
+            payload = bytes([i % 251]) * 48
+            rows.append((f"m{i}", kind, 0, 0, 0, 0, 0,
+                         zlib.crc32(payload), 0, False))
+    return pd.DataFrame(rows, columns=[
+        "media_id", "kind", "width", "height", "channels", "n_frames",
+        "sample_rate", "payload_crc", "content_crc", "ok"])
+
+
 def main() -> None:
     from osm_poi_cloud_spark.config import get_spark
     from osm_poi_cloud_spark.plans import contract as C
@@ -656,7 +757,7 @@ def main() -> None:
                                 "bloom_url_probe", "stratified_sample",
                                 "bpe_token_count", "pq_adc_topk",
                                 "hll_registers", "cm_frequencies",
-                                "contamination_pairs")}
+                                "contamination_pairs", "media_features")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -706,6 +807,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["mvt_tile_stats"].astype("int64")),
             _norm_sorted(expected_mvt_stats(spark, sf_dir)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["media_features"]),
+            _norm_sorted(expected_media_features(spark)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -719,7 +823,8 @@ def main() -> None:
                   "fingerprint_hashes": "documents", "bloom_url_probe": "documents",
                   "stratified_sample": "documents", "bpe_token_count": "documents",
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
-                  "cm_frequencies": "documents", "contamination_pairs": "documents"}
+                  "cm_frequencies": "documents", "contamination_pairs": "documents",
+                  "media_features": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
