@@ -861,7 +861,7 @@ def _q_corpus_curation_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_curation_oracle() -> str:
+def _corpus_curation_oracle(final_select: str | None = None) -> str:
     from ..functions.text_analysis import PII_PATTERNS, STOPWORDS
 
     ratios = []
@@ -921,12 +921,30 @@ kept AS (
   WHERE lang_detected = 'en' AND n_tokens >= 5 AND quality_score >= 0.4
     AND dup_word_frac <= 0.4 AND dup_line_frac <= 0.5
 )
-SELECT doc_id, lang_detected, ROUND(quality_score, 6) AS quality6,
-       md5(text_clean) AS clean_md5
+{final_select or '''SELECT doc_id, lang_detected, ROUND(quality_score, 6) AS quality6,
+       md5(text_clean) AS clean_md5'''}
 FROM kept
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text_clean))
 ORDER BY doc_id
 """
+
+
+def _q_curated_packing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed last mile (plans/curation.py curate_tokenize_pack):
+    curate -> train+apply BPE on the clean text -> pack into 2048-token
+    sequences keyed on (lang_detected, pack_bucket) with n_buckets=4
+    (the scale-safe window key). Golden oracle: make_goldens re-derives
+    the survivors through the DuckDB curation SQL mirror, token counts
+    through the independent naive BPE trainer, buckets through from-spec
+    XXH64, and offsets through a pandas per-group cumsum."""
+    from .curation import curate_tokenize_pack
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id", "text")
+    packed, _ = curate_tokenize_pack(docs, budget=2048, num_merges=150,
+                                     n_buckets=4)
+    return packed.select("doc_id", "lang_detected", "bpe_tokens",
+                         "pack_bucket", "seq_offset", "seq_id").orderBy("doc_id")
 
 
 def _q_bpe_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1350,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_hashes"] = _q_fingerprint_spark
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     q["media_features"] = _q_media_features_spark
+    q["curated_packing"] = _q_curated_packing_spark
     return q
 
 
@@ -1366,6 +1385,9 @@ _GOLDEN_SPECS = {
     "media_features": ("media_id, kind, width, height, channels, n_frames, "
                        "sample_rate, payload_crc, content_crc, ok",
                        "SELECT COUNT(*) FROM customer"),
+    "curated_packing": ("doc_id, lang_detected, bpe_tokens, pack_bucket, "
+                        "seq_offset, seq_id",
+                        "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),

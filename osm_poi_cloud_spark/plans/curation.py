@@ -68,6 +68,51 @@ def curate_documents(
     return exact_dedup(out, "text_clean", id_col)
 
 
+def curate_tokenize_pack(
+    df: DataFrame,
+    budget: int = 2048,
+    num_merges: int = 150,
+    merges: list[tuple[str, str]] | None = None,
+    min_count: int = 1,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curation_kwargs,
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """The pipeline's last mile in one call: curate -> learn/apply a
+    BPE vocabulary -> pack documents into fixed-token-budget training
+    sequences.
+
+    Composition: ``curate_documents`` (map-only cascade + one dedup
+    shuffle) -> ``train_bpe_from_corpus`` over the CLEAN text (bounded
+    driver collect, see functions/bpe.py) unless ``merges`` is given ->
+    ``bpe_token_counts`` (one Arrow-batched stage) -> ``pack_sequences``
+    keyed on ``(lang_detected, pack_bucket)`` when ``n_buckets`` is set
+    (size-bounded window partitions — the 100 TB path).
+
+    Returns ``(packed, merges)``: packed rows carry the curation audit
+    columns plus ``bpe_tokens``, ``seq_offset`` and ``seq_id``. The
+    curated lineage is consumed twice (trainer collect + encode);
+    persist it upstream if recompute is expensive.
+    """
+    from ..functions.bpe import bpe_token_counts, train_bpe_from_corpus
+    from ..operators.packing import pack_sequences
+
+    curated = curate_documents(df, text_col=text_col, id_col=id_col,
+                               **curation_kwargs)
+    if merges is None:
+        merges = train_bpe_from_corpus(curated, num_merges,
+                                       text_col="text_clean",
+                                       min_count=min_count, id_col=id_col)
+    counts = bpe_token_counts(curated, merges, text_col="text_clean",
+                              id_col=id_col)
+    base = curated.join(counts, id_col)
+    packed = pack_sequences(base, budget, token_col="bpe_tokens",
+                            pack_col="lang_detected", order_col=id_col,
+                            n_buckets=n_buckets)
+    return packed, merges
+
+
 def curation_report(raw: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """One-row funnel summary (rows in, rows out, survival rate) — the

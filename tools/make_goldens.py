@@ -629,6 +629,36 @@ def expected_mvt_stats(spark, sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["z", "n_tiles", "n_feats", "mvt_bytes", "mvt_crc_xor"])
 
 
+def expected_curated_packing(con) -> pd.DataFrame:
+    """Independent recompute of the composed curate->BPE->pack query:
+    survivors + clean text come from the DuckDB curation-SQL mirror
+    (the established bit-identical IEEE chain), token counts from the
+    independent naive BPE trainer, pack buckets from the from-spec
+    XXH64 (signed int64 % 4), and offsets from a pandas per-(lang,
+    bucket) cumsum — no engine packing/window semantics reused."""
+    from osm_poi_cloud_spark.plans.contract import _corpus_curation_oracle
+
+    kept = con.execute(_corpus_curation_oracle(
+        "SELECT doc_id, lang_detected, text_clean")).df()
+    counts = expected_bpe_counts(
+        kept.rename(columns={"text_clean": "text"})[["doc_id", "text"]], 150)
+    df = kept.merge(counts, on="doc_id")
+
+    def bucket(d: int) -> int:
+        h = xxh64(int(d).to_bytes(8, "little", signed=True), 42)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h % 4
+
+    df["pack_bucket"] = df["doc_id"].map(bucket).astype("int32")
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    grp = df.groupby(["lang_detected", "pack_bucket"])["bpe_tokens"]
+    df["seq_offset"] = (grp.cumsum() - df["bpe_tokens"]).astype("int64")
+    df["seq_id"] = (df["seq_offset"] // 2048).astype("int64")
+    return df[["doc_id", "lang_detected", "bpe_tokens", "pack_bucket",
+               "seq_offset", "seq_id"]]
+
+
 def expected_media_features(spark) -> pd.DataFrame:
     """Independent recompute of the media_features contract rows.
 
@@ -757,7 +787,8 @@ def main() -> None:
                                 "bloom_url_probe", "stratified_sample",
                                 "bpe_token_count", "pq_adc_topk",
                                 "hll_registers", "cm_frequencies",
-                                "contamination_pairs", "media_features")}
+                                "contamination_pairs", "media_features",
+                                "curated_packing")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -810,6 +841,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["media_features"]),
             _norm_sorted(expected_media_features(spark)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["curated_packing"]),
+            _norm_sorted(expected_curated_packing(con)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -824,7 +858,7 @@ def main() -> None:
                   "stratified_sample": "documents", "bpe_token_count": "documents",
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
-                  "media_features": "customer"}
+                  "media_features": "customer", "curated_packing": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
