@@ -217,3 +217,43 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
     learned vocabulary."""
     count_udf, _ = make_bpe_udfs(merges)
     return df.select(F.col(id_col), count_udf(F.col(text_col)).alias("bpe_tokens"))
+
+
+def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens array<string>) — the full token stream per document
+    (Arrow-batched, per-batch word memo)."""
+    _, tokens_udf = make_bpe_udfs(merges)
+    return df.select(F.col(id_col), tokens_udf(F.col(text_col)).alias("tokens"))
+
+
+def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, token_id) — dense ids assigned by lexicographic token
+    order. The distinct step is a normal shuffle; the id-assignment
+    window runs in ONE task over the DISTINCT vocabulary, which a BPE
+    tokenizer bounds by construction (chars + one entry per merge), so
+    the single-partition window is vocabulary-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    toks = tokens_df.select(F.explode(tokens_col).alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.select("token", (F.row_number().over(w) - 1).cast("long").alias("token_id"))
+
+
+def encode_token_ids(tokens_df: DataFrame, vocab: DataFrame,
+                     tokens_col: str = "tokens",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, token_ids array<long>) — token strings mapped to dense ids
+    via a BROADCAST join against the (bounded) vocabulary: posexplode
+    keeps each token's position, the re-collect sorts on it, so the id
+    array is exactly the token stream. One shuffle (the per-doc
+    regroup); the vocab side never shuffles."""
+    pos = tokens_df.select(
+        F.col(id_col), F.posexplode(tokens_col).alias("pos", "token"))
+    joined = pos.join(F.broadcast(vocab), "token")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+            lambda s: s["token_id"]).alias("token_ids"))
+    )

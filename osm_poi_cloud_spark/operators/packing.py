@@ -85,3 +85,36 @@ def packing_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens",
         F.count(F.lit(1)).alias("n_sequences"),
         (F.sum("seq_tokens") / (F.count(F.lit(1)) * F.lit(float(budget)))).alias("mean_fill"),
     )
+
+
+def sequence_shards(packed: DataFrame, token_ids_col: str = "token_ids",
+                    pack_col: str = "lang", order_col: str = "doc_id") -> DataFrame:
+    """Materialize packed sequences as training shards: one row per
+    sequence with the concatenated token-id array in document order —
+    the sink a tokenized-corpus writer feeds to the training loader.
+
+    Entirely native (no Python): `collect_list(struct(order, ids))`
+    gathers each sequence's documents in ONE aggregation (the shuffle
+    is on the same (pack key, seq_id) the packing window already
+    established), `sort_array` restores document order inside the
+    struct array (struct ordering compares fields left-to-right, so the
+    first field ``order_col`` dominates), then a `transform`+`flatten`
+    splices the id arrays. A sequence's size is budget-bounded up to
+    one document's overflow (see ``pack_sequences``), so rows are
+    bounded and the aggregation state never exceeds one sequence."""
+    keys = [pack_col] + (["pack_bucket"] if "pack_bucket" in packed.columns else [])
+    gathered = packed.groupBy(*keys, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                                     F.col(token_ids_col).alias("t")))),
+                lambda s: s["t"],
+            )
+        ).alias("tokens"),
+    )
+    return gathered.select(
+        *keys, "seq_id", "n_docs",
+        F.size("tokens").alias("n_tokens"),
+        "tokens",
+    )

@@ -947,6 +947,29 @@ def _q_curated_packing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "pack_bucket", "seq_offset", "seq_id").orderBy("doc_id")
 
 
+def _q_training_shards_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining sink (plans/curation.py
+    curate_to_training_shards): curate -> BPE tokenize -> dense
+    vocabulary ids -> bucketed packing -> materialized per-sequence
+    token-id shards. Each shard row is pinned by ``tok_fp`` =
+    xxhash64 of the comma-joined id stream (exact-integer fingerprint
+    of the entire array in document order). Golden oracle: make_goldens
+    re-derives survivors via the DuckDB curation mirror, token STREAMS
+    via the independent naive BPE encoder, ids via the same
+    sorted-vocabulary rule, and the fingerprint via from-spec XXH64."""
+    from .curation import curate_to_training_shards
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id", "text")
+    shards, _ = curate_to_training_shards(docs, budget=2048, num_merges=150,
+                                          n_buckets=4)
+    return shards.select(
+        "lang_detected", "pack_bucket", "seq_id", "n_docs", "n_tokens",
+        F.xxhash64(F.concat_ws(",", F.transform(
+            "tokens", lambda t: t.cast("string")))).alias("tok_fp"),
+    ).orderBy("lang_detected", "pack_bucket", "seq_id")
+
+
 def _q_bpe_token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE token counts (functions/bpe.py): 150 merges trained on
     the corpus itself (deterministic lexicographic tie-break), then
@@ -1351,6 +1374,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mvt_tile_stats"] = _q_mvt_tile_stats_spark
     q["media_features"] = _q_media_features_spark
     q["curated_packing"] = _q_curated_packing_spark
+    q["training_shards"] = _q_training_shards_spark
     return q
 
 
@@ -1387,6 +1411,9 @@ _GOLDEN_SPECS = {
                        "SELECT COUNT(*) FROM customer"),
     "curated_packing": ("doc_id, lang_detected, bpe_tokens, pack_bucket, "
                         "seq_offset, seq_id",
+                        "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "training_shards": ("lang_detected, pack_bucket, seq_id, n_docs, "
+                        "n_tokens, tok_fp",
                         "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

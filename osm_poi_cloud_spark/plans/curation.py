@@ -113,6 +113,52 @@ def curate_tokenize_pack(
     return packed, merges
 
 
+def curate_to_training_shards(
+    df: DataFrame,
+    budget: int = 2048,
+    num_merges: int = 150,
+    merges: list[tuple[str, str]] | None = None,
+    min_count: int = 1,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curation_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The COMPLETE pretraining last mile: curate -> BPE tokenize ->
+    vocabulary ids -> pack -> materialized training shards.
+
+    Returns ``(shards, vocab)``: one shard row per packed sequence with
+    the concatenated token-id array in document order (what a training
+    loader consumes), plus the (token, token_id) vocabulary table.
+    Stage shapes: curation is the map-only cascade + one dedup shuffle;
+    tokenization is one Arrow stage; the vocab is a bounded broadcast;
+    packing is one window; the shard gather is one aggregation on the
+    packing key — five exchanges end to end, each on a different
+    bounded key, nothing corpus-sized ever sits on one task when
+    ``n_buckets`` is set."""
+    from ..functions.bpe import (build_vocab, bpe_tokenize, encode_token_ids,
+                                 train_bpe_from_corpus)
+    from ..operators.packing import pack_sequences, sequence_shards
+
+    curated = curate_documents(df, text_col=text_col, id_col=id_col,
+                               **curation_kwargs)
+    if merges is None:
+        merges = train_bpe_from_corpus(curated, num_merges,
+                                       text_col="text_clean",
+                                       min_count=min_count, id_col=id_col)
+    toks = bpe_tokenize(curated, merges, text_col="text_clean", id_col=id_col)
+    vocab = build_vocab(toks)
+    ids = encode_token_ids(toks, vocab, id_col=id_col)
+    base = (curated.select(id_col, "lang_detected")
+            .join(ids, id_col)
+            .withColumn("bpe_tokens", F.size("token_ids")))
+    packed = pack_sequences(base, budget, token_col="bpe_tokens",
+                            pack_col="lang_detected", order_col=id_col,
+                            n_buckets=n_buckets)
+    return sequence_shards(packed, pack_col="lang_detected",
+                           order_col=id_col), vocab
+
+
 def curation_report(raw: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """One-row funnel summary (rows in, rows out, survival rate) — the

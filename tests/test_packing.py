@@ -90,6 +90,24 @@ def test_bucketed_pack_key_hand_computed(spark):
     assert stats.loc["en", "n_sequences"] == exp_en_seqs
 
 
+def test_sequence_shards_hand_computed(spark):
+    """Shard gather: token-id arrays spliced in doc order per sequence,
+    out-of-order input partitions notwithstanding."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [2, 0, 1, 3],          # deliberately unsorted
+        "lang": ["en"] * 4,
+        "n_tokens": [2, 3, 2, 1],
+        "token_ids": [[40, 41], [10, 11, 12], [20, 21], [50]],
+    })).repartition(3)
+    packed = PK.pack_sequences(df, budget=5)
+    # offsets: doc0=0, doc1=3, doc2=5, doc3=7 -> seqs 0,0,1,1
+    shards = PK.sequence_shards(packed).toPandas().set_index("seq_id")
+    assert list(shards.loc[0, "tokens"]) == [10, 11, 12, 20, 21]
+    assert list(shards.loc[1, "tokens"]) == [40, 41, 50]
+    assert shards.loc[0, "n_docs"] == 2 and shards.loc[0, "n_tokens"] == 5
+    assert shards.loc[1, "n_docs"] == 2 and shards.loc[1, "n_tokens"] == 3
+
+
 def test_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "lang": ["en"], "n_tokens": [5]}))
     with pytest.raises(ValueError):

@@ -235,16 +235,17 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h ^ (h >> 32)
 
 
-def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFrame:
+def naive_bpe_encoder(texts, num_merges: int = 150):
     """Independent naive BPE: full pair recount every round (the
     Sennrich reference shape, no incremental bookkeeping) + sequential
     merge-apply encoding — deliberately a different algorithm from the
-    engine's incremental trainer / rank-greedy encoder."""
+    engine's incremental trainer / rank-greedy encoder. Returns a
+    ``doc_text -> list[token]`` function (memoized per word)."""
     from collections import Counter
 
     EOW = "</w>"
     wc: Counter = Counter()
-    for t in docs["text"]:
+    for t in texts:
         for w in str(t if t is not None else "").lower().split():
             if w:
                 wc[w] += 1
@@ -272,7 +273,7 @@ def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFra
                     i += 1
             segs[w] = tuple(out)
 
-    def encode(word: str) -> int:
+    def encode(word: str) -> list:
         syms = list(word) + [EOW]
         for m in merges:  # sequential apply, training order
             joined = m[0] + m[1]
@@ -285,19 +286,27 @@ def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFra
                     out.append(syms[i])
                     i += 1
             syms = out
-        return len(syms)
+        return syms
 
-    enc_cache: dict[str, int] = {}
-    rows = []
-    for _, r in docs.iterrows():
-        total = 0
-        for w in str(r["text"] if r["text"] is not None else "").lower().split():
+    enc_cache: dict[str, list] = {}
+
+    def encode_doc(text) -> list:
+        toks = []
+        for w in str(text if text is not None else "").lower().split():
             if not w:
                 continue
             if w not in enc_cache:
                 enc_cache[w] = encode(w)
-            total += enc_cache[w]
-        rows.append((int(r["doc_id"]), total))
+            toks.extend(enc_cache[w])
+        return toks
+
+    return encode_doc
+
+
+def expected_bpe_counts(docs: pd.DataFrame, num_merges: int = 150) -> pd.DataFrame:
+    encode_doc = naive_bpe_encoder(list(docs["text"]), num_merges)
+    rows = [(int(r["doc_id"]), len(encode_doc(r["text"])))
+            for _, r in docs.iterrows()]
     return pd.DataFrame(rows, columns=["doc_id", "bpe_tokens"])
 
 
@@ -659,6 +668,53 @@ def expected_curated_packing(con) -> pd.DataFrame:
                "seq_offset", "seq_id"]]
 
 
+def expected_training_shards(con) -> pd.DataFrame:
+    """Independent recompute of the training-shard sink: survivors via
+    the DuckDB curation mirror, token STREAMS via the naive BPE encoder
+    (sequential merge-apply — different algorithm from the engine's
+    rank-greedy encoder, so agreement pins the segmentation itself, not
+    just counts), ids via the sorted-distinct-vocabulary rule, packing
+    via from-spec XXH64 buckets + cumsum, fingerprint via from-spec
+    XXH64 over the comma-joined UTF-8 id stream (== Spark's
+    xxhash64(string), seed 42)."""
+    from osm_poi_cloud_spark.plans.contract import _corpus_curation_oracle
+
+    kept = con.execute(_corpus_curation_oracle(
+        "SELECT doc_id, lang_detected, text_clean")).df()
+    encode_doc = naive_bpe_encoder(list(kept["text_clean"]), 150)
+    streams = {int(r["doc_id"]): encode_doc(r["text_clean"])
+               for _, r in kept.iterrows()}
+    vocab = {t: i for i, t in enumerate(sorted({t for s in streams.values()
+                                                for t in s}))}
+
+    def bucket(d: int) -> int:
+        h = xxh64(int(d).to_bytes(8, "little", signed=True), 42)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h % 4
+
+    df = kept[["doc_id", "lang_detected"]].copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_tok"] = df["doc_id"].map(lambda d: len(streams[d]))
+    df["pack_bucket"] = df["doc_id"].map(bucket).astype("int32")
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    grp = df.groupby(["lang_detected", "pack_bucket"])["n_tok"]
+    df["seq_id"] = ((grp.cumsum() - df["n_tok"]) // 2048).astype("int64")
+
+    rows = []
+    for (lang, bkt, seq), g in df.groupby(["lang_detected", "pack_bucket", "seq_id"]):
+        ids = []
+        for d in sorted(g["doc_id"]):
+            ids.extend(vocab[t] for t in streams[d])
+        h = xxh64(",".join(map(str, ids)).encode(), 42)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        rows.append((lang, int(bkt), int(seq), len(g), len(ids), h))
+    return pd.DataFrame(rows, columns=[
+        "lang_detected", "pack_bucket", "seq_id", "n_docs", "n_tokens",
+        "tok_fp"])
+
+
 def expected_media_features(spark) -> pd.DataFrame:
     """Independent recompute of the media_features contract rows.
 
@@ -788,7 +844,7 @@ def main() -> None:
                                 "bpe_token_count", "pq_adc_topk",
                                 "hll_registers", "cm_frequencies",
                                 "contamination_pairs", "media_features",
-                                "curated_packing")}
+                                "curated_packing", "training_shards")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -844,6 +900,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["curated_packing"]),
             _norm_sorted(expected_curated_packing(con)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["training_shards"]),
+            _norm_sorted(expected_training_shards(con)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -858,7 +917,8 @@ def main() -> None:
                   "stratified_sample": "documents", "bpe_token_count": "documents",
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
-                  "media_features": "customer", "curated_packing": "documents"}
+                  "media_features": "customer", "curated_packing": "documents",
+                  "training_shards": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
