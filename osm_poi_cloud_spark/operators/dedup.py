@@ -510,3 +510,95 @@ def decontaminate(docs: DataFrame, evals: DataFrame, k: int = 8,
     hits = contamination_pairs(docs, evals, k, text_col, id_col, eval_id,
                                min_shared).select(id_col).distinct()
     return docs.join(hits, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# repeated-span (substring-level) dedup — the ExactSubstr analog
+# ---------------------------------------------------------------------------
+#
+# Document-level dedup misses the pervasive failure mode of web corpora:
+# long spans (boilerplate, licenses, templated passages) repeated inside
+# otherwise-distinct pages. The reference treatment (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") builds a
+# suffix array — inherently single-machine. The Spark-native equivalent
+# fingerprints every k-word window and groups by fingerprint: a window
+# appearing in >= min_docs distinct documents is a duplicated span. Cost
+# is one row per token position (the same linear blow-up a suffix array
+# pays) and ONE shuffle on the fingerprint; everything is native Column
+# expressions (transform/slice/concat_ws inside codegen), no Python.
+
+
+def _span_windows(df: DataFrame, k: int, text_col: str, id_col: str,
+                  fingerprint: str) -> DataFrame:
+    """(id, win_pos, fp) — fingerprint of every k-word window. ``win_pos``
+    is the 0-based token index the window starts at. Documents shorter
+    than k words produce no rows (guarded: Spark's sequence() would
+    DESCEND for stop < start)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fingerprint == "xxhash64":
+        fp = lambda c: F.xxhash64(c)
+        empty = F.array().cast("array<bigint>")
+    elif fingerprint == "md5":
+        fp = lambda c: F.md5(c)
+        empty = F.array().cast("array<string>")
+    else:
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'md5', got {fingerprint!r}")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    wins = F.when(
+        F.size("toks") >= k,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda j: fp(F.concat_ws(" ", F.slice(F.col("toks"), j, k)))),
+    ).otherwise(empty)
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), F.posexplode(wins).alias("win_pos", "fp"))
+    )
+
+
+def duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id", min_docs: int = 2,
+                     fingerprint: str = "xxhash64") -> DataFrame:
+    """Catalog of duplicated spans: (fp, n_docs, n_occurrences) for every
+    k-word window appearing in >= ``min_docs`` distinct documents. One
+    explode + one partial-aggregated groupBy; at 100 TB the group count
+    is bounded by distinct window content, and the heavy hitters ARE the
+    output of interest."""
+    wins = _span_windows(df, k, text_col, id_col, fingerprint)
+    return (
+        wins.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dedup_stats(df: DataFrame, k: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id", min_docs: int = 2,
+                     fingerprint: str = "xxhash64") -> DataFrame:
+    """Per-document span-duplication profile: (id, n_windows,
+    n_dup_windows) where a dup window's fingerprint occurs in >=
+    ``min_docs`` distinct documents. The standard curation gate drops or
+    trims documents whose duplicated-window fraction is high. Two
+    shuffles total (the span groupBy + the per-doc regroup); documents
+    shorter than k words report 0/0."""
+    wins = _span_windows(df, k, text_col, id_col, fingerprint)
+    dup = (
+        wins.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    marked = wins.join(dup, "fp", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_windows"),
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(id_col,
+                F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+                F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"))
+    )

@@ -947,6 +947,56 @@ def _q_curated_packing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "pack_bucket", "seq_offset", "seq_id").orderBy("doc_id")
 
 
+_Q_SPAN_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 2000
+),
+wins AS (
+  SELECT doc_id, u.fp
+  FROM toks, UNNEST(
+    CASE WHEN len(toks) >= 8 THEN
+      list_transform(generate_series(1, len(toks) - 7),
+                     j -> md5(array_to_string(list_slice(toks, j, j + 7), ' ')))
+    ELSE [] END) AS u(fp)
+),
+dup AS (
+  SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+perdoc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM wins w LEFT JOIN dup d USING (fp)
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def _q_span_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (substring-level) dedup profile
+    (operators/dedup.py span_dedup_stats — the distributed ExactSubstr
+    analog): every 8-word window fingerprinted (md5 here so DuckDB can
+    recompute the identical fingerprints), a window in >= 2 distinct
+    docs is a duplicated span; per-doc window/dup-window counts.
+    Dialect-split oracle: same tokenization, same 1-based window
+    enumeration, same md5-of-space-joined-words in DuckDB list SQL."""
+    from ..operators.dedup import span_dedup_stats
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    return span_dedup_stats(docs, k=8, fingerprint="md5").orderBy("doc_id")
+
+
 def _q_training_shards_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining sink (plans/curation.py
     curate_to_training_shards): curate -> BPE tokenize -> dense
@@ -1375,6 +1425,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = _q_media_features_spark
     q["curated_packing"] = _q_curated_packing_spark
     q["training_shards"] = _q_training_shards_spark
+    q["span_dedup"] = _q_span_dedup_spark
     return q
 
 
@@ -1455,5 +1506,6 @@ def build_oracles() -> dict[str, str]:
     o["script_fractions"] = _script_fractions_oracle()
     o["pack_sequences"] = _Q_PACK_SEQUENCES
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
+    o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o.update(_golden_oracles())
     return o

@@ -158,3 +158,48 @@ def test_contamination_and_decontaminate(spark):
     assert 0 in flagged  # the eval source itself
     clean = dd.decontaminate(docs, evals, k=8, min_shared=3).toPandas()
     assert 100 not in set(clean["doc_id"]) and 101 in set(clean["doc_id"])
+
+
+def test_span_dedup_hand_computed(spark):
+    """ExactSubstr analog: hand-derived window counts and shared-span
+    detection, short docs guarded (no descending-sequence bug)."""
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.dedup import (duplicated_spans,
+                                                     span_dedup_stats)
+
+    boiler = "all rights reserved contact us for more information today"  # 9 words
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"alpha beta {boiler}",            # 11 words -> 4 windows (k=8)
+            f"gamma delta epsilon {boiler}",   # 12 words -> 5 windows
+            "one two three four five six seven eight nine ten",  # unique, 3 windows
+            "short doc only",                  # 3 words -> 0 windows
+        ],
+    }))
+    stats = span_dedup_stats(df, k=8).toPandas().set_index("doc_id").sort_index()
+    assert list(stats["n_windows"]) == [4, 5, 3, 0]
+    # the 9-word boilerplate yields 2 shared 8-word windows per doc
+    assert list(stats["n_dup_windows"]) == [2, 2, 0, 0]
+    cat = duplicated_spans(df, k=8).toPandas()
+    assert len(cat) == 2 and (cat["n_docs"] == 2).all() and (cat["n_occurrences"] == 2).all()
+    # md5 fingerprint variant agrees on the integer profile
+    stats_md5 = span_dedup_stats(df, k=8, fingerprint="md5").toPandas() \
+        .set_index("doc_id").sort_index()
+    assert (stats_md5 == stats).all().all()
+
+
+def test_span_dedup_within_doc_repeats(spark):
+    """min_docs counts DISTINCT docs: a span repeated only inside one
+    document is not cross-doc duplication (but n_occurrences sees it
+    when the span also crosses docs)."""
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.dedup import span_dedup_stats
+
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"{span} x {span}", "totally different words here make nine ok fine"],
+    }))
+    stats = span_dedup_stats(df, k=8).toPandas().set_index("doc_id")
+    assert stats.loc[0, "n_dup_windows"] == 0  # repeats, but single doc
