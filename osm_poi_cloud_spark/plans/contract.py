@@ -981,6 +981,33 @@ ORDER BY t.doc_id
 """
 
 
+def _q_link_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority ranking (operators/graph.py pagerank): a
+    deterministic synthetic link graph over the documents table (each
+    doc emits 3 out-links to pmod(xxhash64(doc_id, j), N), self-loops
+    dropped), 10 damped power iterations with uniform dangling
+    redistribution. Golden oracle: make_goldens rebuilds the identical
+    edge list with from-spec chained XXH64 and runs an independent
+    dense numpy power iteration (<= 1e-7 agreement gate), pinning the
+    engine's rounded ranks."""
+    from ..operators.graph import pagerank
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000).select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("j")), F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    pr = pagerank(edges, iters=10, damping=0.85)
+    return pr.select(
+        "node", F.round("rank", 7).alias("rank7")).orderBy("node")
+
+
 def _q_span_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span (substring-level) dedup profile
     (operators/dedup.py span_dedup_stats — the distributed ExactSubstr
@@ -1426,6 +1453,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curated_packing"] = _q_curated_packing_spark
     q["training_shards"] = _q_training_shards_spark
     q["span_dedup"] = _q_span_dedup_spark
+    q["link_pagerank"] = _q_link_pagerank_spark
     return q
 
 
@@ -1466,6 +1494,8 @@ _GOLDEN_SPECS = {
     "training_shards": ("lang_detected, pack_bucket, seq_id, n_docs, "
                         "n_tokens, tok_fp",
                         "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "link_pagerank": ("node, rank7",
+                      "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -715,6 +715,43 @@ def expected_training_shards(con) -> pd.DataFrame:
         "tok_fp"])
 
 
+def check_pagerank(doc_ids: np.ndarray, result: pd.DataFrame,
+                   iters: int = 10, d: float = 0.85) -> None:
+    """Independent PageRank check: rebuild the synthetic link graph
+    with from-spec chained XXH64 (long as 8-byte LE seeds the 4-byte LE
+    int hash), run a dense numpy power iteration with uniform dangling
+    redistribution, and require <= 1e-7 agreement with the engine's
+    rounded ranks (which the fixture then pins bit-stably)."""
+    ids = sorted(int(x) for x in doc_ids if int(x) < 2000)
+    n = len(ids)
+    edges = set()
+    for s in ids:
+        h1 = xxh64(int(s).to_bytes(8, "little", signed=True), 42)
+        for j in (1, 2, 3):
+            h = xxh64(int(j).to_bytes(4, "little"), h1)
+            hs = h - (1 << 64) if h >= 1 << 63 else h
+            t = hs % n
+            if t != s:
+                edges.add((s, t))
+    present = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(present)}
+    m = len(present)
+    out_deg = np.zeros(m)
+    for s, t in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(m, 1.0 / m)
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        inflow = np.zeros(m)
+        for s, t in edges:
+            inflow[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1 - d) / m + d * (inflow + dangling / m)
+    got = result.set_index("node")["rank7"]
+    assert sorted(got.index) == present, "node set mismatch"
+    assert np.allclose(got.loc[present].to_numpy(), r, atol=1e-7), \
+        "pagerank diverges from independent power iteration"
+
+
 def expected_media_features(spark) -> pd.DataFrame:
     """Independent recompute of the media_features contract rows.
 
@@ -844,7 +881,8 @@ def main() -> None:
                                 "bpe_token_count", "pq_adc_topk",
                                 "hll_registers", "cm_frequencies",
                                 "contamination_pairs", "media_features",
-                                "curated_packing", "training_shards")}
+                                "curated_packing", "training_shards",
+                                "link_pagerank")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -903,6 +941,7 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["training_shards"]),
             _norm_sorted(expected_training_shards(con)), check_dtype=False)
+        check_pagerank(docs["doc_id"].to_numpy(), results["link_pagerank"])
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -918,7 +957,7 @@ def main() -> None:
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
                   "media_features": "customer", "curated_packing": "documents",
-                  "training_shards": "documents"}
+                  "training_shards": "documents", "link_pagerank": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
