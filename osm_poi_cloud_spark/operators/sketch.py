@@ -168,3 +168,101 @@ def cm_query(candidates: DataFrame, sketch: DataFrame, key_col: str,
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (k-minimum-values: Bar-Yossef et al. 2002;
+# Beyer et al., SIGMOD 2007) — deterministic sample + quantiles +
+# a second distinct estimator
+# ---------------------------------------------------------------------------
+#
+# The third leg of the sketch suite (HLL = distinct, count-min =
+# frequency, KMV = sample/quantiles): keep the k rows whose seeded
+# xxhash64(id) is smallest in UNSIGNED order. Three properties make it
+# the right lake sketch:
+#
+# * EXACT mergeability — bottom-k of a union equals bottom-k over the
+#   concatenated sketches (an identity, not an approximation), so
+#   per-partition/per-day sketches roll up losslessly;
+# * deterministic — the sample is a pure function of content (ids),
+#   independent of partitioning, so fixtures replay bit-identically;
+# * dual use — the k-th smallest normalized hash U_(k) gives the KMV
+#   distinct estimate (k-1)/U_(k), and the carried value column is a
+#   uniform sample for quantile estimation.
+#
+# Physically `orderBy(h).limit(k)` is TakeOrderedAndProject: per-
+# partition heaps of size k + one k-row merge at the driver side of
+# the exchange — no global sort, no full shuffle (plan-asserted in
+# tests).
+
+#: flips the sign bit so SIGNED ordering of (h ^ SIGN) equals UNSIGNED
+#: ordering of h — two's-complement identity
+_SIGN = -0x8000000000000000
+
+
+def kmv_build(df: DataFrame, id_col: str, value_col: str | None = None,
+              k: int = 1024, seed: int = 11) -> DataFrame:
+    """Bottom-k sketch rows ``(h, id[, val])``, smallest unsigned
+    seeded hashes first. Distinct ids only (KMV's order statistics
+    need distinct hash draws; duplicate ids collapse by definition)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cols = [F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
+            F.col(id_col).alias("id")]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("val"))
+    return (
+        df.select(*cols).dropDuplicates(["h"])
+        .orderBy(F.expr(f"h ^ {_SIGN}"))
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Union + re-take-k: EXACTLY the sketch of the concatenated
+    inputs (duplicates collapse on the hash)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates(["h"]).orderBy(F.expr(f"h ^ {_SIGN}")).limit(k)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One row ``(n_kept, estimate)``. With fewer than k rows the count
+    is EXACT (every distinct id is in the sketch); at capacity the KMV
+    estimator (k-1)/U_(k) applies, U_(k) = k-th smallest hash mapped to
+    (0, 1)."""
+    stats = sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.expr(f"h ^ {_SIGN}")).alias("max_flipped"),
+    )
+    # unsigned value of the k-th hash, as double in [0, 2^64)
+    u = (F.col("max_flipped").cast("double")
+         + F.lit(float(1 << 63)))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / (u / F.lit(float(1 << 64))))
+    return stats.select("n_kept", est.alias("estimate"))
+
+
+def kmv_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
+    """Exact lower-index quantiles of the sketch's value column — the
+    sample quantile q_p = val at sorted index ceil(p*n)-1 (clamped at
+    0), one row per prob. Pure relational: one window rank over the
+    k-row sketch, a broadcast probs join, no driver math — so the same
+    selection rule is trivially restated in the golden recompute."""
+    from pyspark.sql import Window
+
+    n = sketch.count()
+    if n == 0:
+        raise ValueError("empty sketch")
+    ranked = sketch.select(
+        "val", F.row_number().over(Window.orderBy("val", "h")).alias("r"))
+    probs_df = sketch.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double")
+    target = F.greatest(F.ceil(F.col("prob") * n), F.lit(1))
+    return (
+        probs_df.crossJoin(ranked)
+        .filter(F.col("r") == target)
+        .select("prob", F.col("val").alias("q"))
+        .orderBy("prob")
+    )

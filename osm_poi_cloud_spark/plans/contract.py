@@ -981,6 +981,21 @@ ORDER BY t.doc_id
 """
 
 
+def _q_kmv_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch (operators/sketch.py): deterministic
+    256-row bottom-hash sample of the documents (by doc_id), exact
+    lower-index quantiles of n_chars over the sample. Integer values,
+    golden verified against an independent from-spec XXH64 bottom-k +
+    numpy selection recompute."""
+    from ..operators.sketch import kmv_build, kmv_quantiles
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "n_chars")
+    sk = kmv_build(docs, "doc_id", value_col="n_chars", k=256)
+    return kmv_quantiles(sk, [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0])
+
+
 def _q_link_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-authority ranking (operators/graph.py pagerank): a
     deterministic synthetic link graph over the documents table (each
@@ -1454,6 +1469,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["training_shards"] = _q_training_shards_spark
     q["span_dedup"] = _q_span_dedup_spark
     q["link_pagerank"] = _q_link_pagerank_spark
+    q["kmv_quantiles"] = _q_kmv_quantiles_spark
     return q
 
 
@@ -1495,6 +1511,8 @@ _GOLDEN_SPECS = {
                         "n_tokens, tok_fp",
                         "SELECT SUM(doc_id * n_chars) FROM documents"),
     "link_pagerank": ("node, rank7",
+                      "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "kmv_quantiles": ("prob, q",
                       "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -154,3 +154,60 @@ def test_cm_validation(spark):
     df = _keys(spark, 5)
     with pytest.raises(ValueError):
         SK.cm_build(df, "key", width=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k
+# ---------------------------------------------------------------------------
+
+def test_kmv_merge_is_exact_identity(spark):
+    """Bottom-k of a union EQUALS bottom-k over concatenated sketches —
+    the lossless-rollup property, asserted bitwise."""
+    a = _keys(spark, 3000)
+    b = (_keys(spark, 5000).withColumn(
+        "key", F.concat(F.lit("other-"), F.col("key"))))
+    k = 128
+    direct = SK.kmv_build(a.union(b), "key", k=k).toPandas()
+    merged = SK.kmv_merge(SK.kmv_build(a, "key", k=k),
+                          SK.kmv_build(b, "key", k=k), k=k).toPandas()
+    assert sorted(direct["h"]) == sorted(merged["h"])
+    assert sorted(direct["id"]) == sorted(merged["id"])
+
+
+def test_kmv_distinct_exact_below_capacity(spark):
+    sk = SK.kmv_build(_keys(spark, 100), "key", k=256)
+    row = SK.kmv_distinct_estimate(sk, 256).first()
+    assert row["n_kept"] == 100 and row["estimate"] == 100.0
+
+
+def test_kmv_distinct_estimator_at_capacity(spark):
+    n = 20000
+    sk = SK.kmv_build(_keys(spark, n), "key", k=512)
+    est = SK.kmv_distinct_estimate(sk, 512).first()["estimate"]
+    # KMV relative error ~ 1/sqrt(k-1) ~ 4.4%; allow 4 sigma
+    assert abs(est - n) / n < 0.18
+
+
+def test_kmv_quantiles_match_independent_selection(spark):
+    """Quantiles == the stated rule (sorted sample, index ceil(p*n)-1)
+    recomputed independently in numpy over the same sample."""
+    import numpy as np
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = SK.kmv_build(docs, "doc_id", value_col="n_chars", k=64)
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = SK.kmv_quantiles(sk, probs).toPandas().set_index("prob")["q"]
+    pdf = sk.toPandas().sort_values(["val", "h"]).reset_index(drop=True)
+    n = len(pdf)
+    for p in probs:
+        idx = max(int(np.ceil(p * n)), 1) - 1
+        assert got[p] == pdf.loc[idx, "val"], p
+
+
+def test_kmv_deterministic_and_takeordered_plan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = SK.kmv_build(docs, "doc_id", k=32).toPandas()
+    b = SK.kmv_build(docs.repartition(13), "doc_id", k=32).toPandas()
+    assert list(a["h"]) == list(b["h"])  # partitioning-independent
+    plan = SK.kmv_build(docs, "doc_id", k=32) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort

@@ -715,6 +715,28 @@ def expected_training_shards(con) -> pd.DataFrame:
         "tok_fp"])
 
 
+def expected_kmv_quantiles(docs: pd.DataFrame, k: int = 256,
+                           seed: int = 11) -> pd.DataFrame:
+    """Independent KMV recompute: from-spec chained XXH64 (4-byte LE
+    seed int, then the 8-byte LE doc_id), bottom-k by UNSIGNED hash,
+    sample sorted by (value, signed hash), lower-index selection."""
+    rows = []
+    seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+    for _, r in docs.iterrows():
+        u = xxh64(int(r["doc_id"]).to_bytes(8, "little", signed=True), seed_h)
+        hs = u - (1 << 64) if u >= 1 << 63 else u
+        rows.append((u, hs, int(r["n_chars"])))
+    rows.sort(key=lambda t: t[0])          # unsigned bottom-k
+    sample = rows[:k]
+    sample.sort(key=lambda t: (t[2], t[1]))  # (val, signed h)
+    n = len(sample)
+    out = []
+    for p in (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0):
+        idx = max(math.ceil(p * n), 1) - 1
+        out.append((p, sample[idx][2]))
+    return pd.DataFrame(out, columns=["prob", "q"])
+
+
 def check_pagerank(doc_ids: np.ndarray, result: pd.DataFrame,
                    iters: int = 10, d: float = 0.85) -> None:
     """Independent PageRank check: rebuild the synthetic link graph
@@ -882,7 +904,7 @@ def main() -> None:
                                 "hll_registers", "cm_frequencies",
                                 "contamination_pairs", "media_features",
                                 "curated_packing", "training_shards",
-                                "link_pagerank")}
+                                "link_pagerank", "kmv_quantiles")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -942,6 +964,12 @@ def main() -> None:
             _norm_sorted(results["training_shards"]),
             _norm_sorted(expected_training_shards(con)), check_dtype=False)
         check_pagerank(docs["doc_id"].to_numpy(), results["link_pagerank"])
+        docs_chars = con.execute(
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000 "
+            "ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["kmv_quantiles"]),
+            _norm_sorted(expected_kmv_quantiles(docs_chars)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -957,7 +985,8 @@ def main() -> None:
                   "pq_adc_topk": "embeddings", "hll_registers": "documents",
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
                   "media_features": "customer", "curated_packing": "documents",
-                  "training_shards": "documents", "link_pagerank": "documents"}
+                  "training_shards": "documents", "link_pagerank": "documents",
+                  "kmv_quantiles": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
