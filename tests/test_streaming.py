@@ -202,3 +202,78 @@ def test_curation_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(exp) > 0
     assert sorted(got["clean_fp"]) == sorted(exp["clean_fp"])
     assert (got["lang_detected"] == "en").all()
+
+
+def test_applyinpandaswithstate_first_seen(spark, tmp_path):
+    """Custom-state first-occurrence filter: duplicate keys across
+    SEPARATE micro-batches (maxFilesPerTrigger=1) must be suppressed by
+    the persisted hash-group state, and the emitted key set must equal
+    the batch distinct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from osm_poi_cloud_spark.streaming import stateful as st
+
+    src = str(tmp_path / "keys")
+    out = str(tmp_path / "fs_out")
+    ckpt = str(tmp_path / "fs_ckpt")
+    # three files with heavy cross-file overlap
+    for lo, hi in ((0, 60), (30, 90), (0, 120)):
+        pdf = pd.DataFrame({"url": [f"https://h{i%7}.org/p/{i}" for i in range(lo, hi)]})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(T.StructType([T.StructField("url", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (st.first_seen_keys_stream(stream, "url", n_groups=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()["url"]
+    assert got.is_unique  # cross-batch dedup actually happened
+    exp = {f"https://h{i%7}.org/p/{i}" for i in range(0, 120)}
+    assert set(got) == exp
+
+
+def test_applyinpandaswithstate_host_stats_parity(spark, tmp_path):
+    """Running per-host stats: the LAST emission per host equals the
+    batch groupBy over the full input (stream==batch oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from osm_poi_cloud_spark.streaming import stateful as st
+
+    src = str(tmp_path / "hs_src")
+    out = str(tmp_path / "hs_out")
+    ckpt = str(tmp_path / "hs_ckpt")
+    for lo, hi in ((0, 80), (80, 200)):
+        pdf = pd.DataFrame({
+            "url": [f"https://host{i%5}.example/p/{i}" for i in range(lo, hi)],
+            "n_chars": [100 + i for i in range(lo, hi)],
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("n_chars", T.LongType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.append(batch_df.toPandas())
+
+    q = (st.host_stats_stream(stream, "url", size_col="n_chars")
+         .writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emitted = pd.concat(rows, ignore_index=True)
+    final = emitted.groupby("host").last()  # last emission per host
+    batch = (spark.read.parquet(src)
+             .select(F.parse_url("url", F.lit("HOST")).alias("host"),
+                     F.col("n_chars"))
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_chars").alias("n_bytes"))
+             .toPandas().set_index("host"))
+    assert sorted(final.index) == sorted(batch.index)
+    for h in batch.index:
+        assert final.loc[h, "n_pages"] == batch.loc[h, "n_pages"], h
+        assert final.loc[h, "n_bytes"] == batch.loc[h, "n_bytes"], h
