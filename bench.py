@@ -180,6 +180,23 @@ def main() -> None:
     timed("dedup_exact", lambda: force(dd.exact_dedup(docs)))
     timed("dedup_minhash", lambda: force(
         dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
+    timed("span_dedup", lambda: force(dd.span_dedup_stats(docs, k=8)))
+
+    # ---- 6b. link-graph pagerank (3 checkpointed power iterations over a
+    # deterministic 3-out-degree graph on the fat doc ids). Like
+    # connected components, per-round checkpoint latency dominates at
+    # this corpus size (75k edges spread over 128 shuffle partitions is
+    # scheduling overhead, not compute) — the entry tracks round cost,
+    # which is what amortizes at 100 TB. ----
+    from osm_poi_cloud_spark.operators.graph import pagerank
+    n_docs_fat = extras["fat_docs_n"]
+    pr_edges = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+        .select(F.col("doc_id").alias("src"),
+                F.pmod(F.xxhash64(F.col("doc_id"), F.col("j")), F.lit(n_docs_fat)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    timed("pagerank", lambda: force(pagerank(pr_edges, iters=3)))
 
     # ---- 7. similarity over embeddings ----
     n_emb_fat = int(os.environ.get("SPARK_GRAFT_EMB_N", str(max(int(500_000 * SF), 5000))))

@@ -68,7 +68,7 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct().persist())
-    nodes = out_deg = None
+    nodes = e_deg = dangling_nodes = None
     try:
         nodes = (e.select(F.col("src").alias("node"))
                  .union(e.select(F.col("dst").alias("node")))
@@ -76,38 +76,49 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
         n = nodes.count()
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
-        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # loop-invariant hoists: the degree-annotated edge list and the
+        # dangling-node set never change across iterations — join them
+        # ONCE, not once per round
+        e_deg = e.join(out_deg, "src") \
+            .select("src", "dst", "deg").persist()
+        dangling_nodes = (
+            nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+            .select("node").persist()
+        )
 
         ranks = _checkpoint(nodes.withColumn("rank", F.lit(1.0 / n)))
         base = (1.0 - damping) / n
         for _ in range(iters):
-            # mass sitting on dangling nodes this round (one scalar)
-            dangling = (
-                ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
+            # mass sitting on dangling nodes this round: a ONE-ROW
+            # aggregate cross-joined into the update (broadcast of a
+            # single double) — no per-iteration driver round-trip, so a
+            # 100-iteration run is one job per round, not two
+            dang = (
+                ranks.join(dangling_nodes, "node", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
             )
             contribs = (
-                e.join(ranks, e["src"] == ranks["node"])
-                .join(out_deg, "src")
+                e_deg.join(ranks, e_deg["src"] == ranks["node"])
                 .select(F.col("dst").alias("node"),
                         (F.col("rank") / F.col("deg")).alias("w"))
                 .groupBy("node").agg(F.sum("w").alias("inflow"))
             )
             new_ranks = (
                 nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
                     (F.lit(base)
                      + F.lit(damping) * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                                         + F.lit(dangling / n))).alias("rank"),
+                                         + F.col("dangling") / n)).alias("rank"),
                 )
             )
             ranks = _checkpoint(new_ranks)
         return ranks
     finally:
         e.unpersist()
-        for cached in (nodes, out_deg):
+        for cached in (nodes, e_deg, dangling_nodes):
             if cached is not None:
                 cached.unpersist()
         if checkpoint_dir is not None:

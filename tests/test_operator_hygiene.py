@@ -33,7 +33,6 @@ ALLOWED_ACTIONS = {
     ("operators/dedup.py", "_cc_star"),                  # 1-row checksum agg over checkpointed edges (convergence probe)
     ("operators/pq.py", "train_pq_codebooks"),           # bounded training sample collect (same pattern as IVF)
     ("operators/sketch.py", "approx_distinct"),          # 1-row estimate read (the convenience API's whole point)
-    ("operators/graph.py", "pagerank"),                  # 1-double dangling-mass agg per round over checkpointed ranks (same class as CC's convergence probe)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components
