@@ -981,6 +981,37 @@ ORDER BY t.doc_id
 """
 
 
+def _q_mixture_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner (operators/mixture.py): weights 4:1:1:1
+    over src0-src3 at a budget of HALF the pool — src0's share exceeds
+    its tokens, so it caps at rate 1 and water-fills the rest. Output:
+    per-source rate + achieved sample. Golden oracle: make_goldens
+    restates the integer water-fill and the from-spec XXH64 keep rule
+    independently."""
+    from ..operators.mixture import apply_mixture, mixture_report, plan_mixture
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        "SELECT doc_id, source, "
+        "greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_tokens "
+        "FROM documents WHERE doc_id < 2000 "
+        "AND source IN ('src0', 'src1', 'src2', 'src3')"
+    )
+    weights = {"src0": 4.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+    total = docs.agg(F.sum("n_tokens")).first()[0]
+    rates = plan_mixture(docs, weights, int(total) // 2)
+    report = mixture_report(apply_mixture(docs, rates))
+    rate_rows = [(s, int(r)) for s, r in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rate_rows, "source string, rate_ppm long")
+    return (
+        rates_df.join(report, "source", "left")
+        .select("source", "rate_ppm",
+                F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"))
+        .orderBy("source")
+    )
+
+
 def _q_kmv_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k sketch (operators/sketch.py): deterministic
     256-row bottom-hash sample of the documents (by doc_id), exact
@@ -1470,6 +1501,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _q_span_dedup_spark
     q["link_pagerank"] = _q_link_pagerank_spark
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
+    q["mixture_sample"] = _q_mixture_sample_spark
     return q
 
 
@@ -1514,6 +1546,8 @@ _GOLDEN_SPECS = {
                       "SELECT SUM(doc_id * n_chars) FROM documents"),
     "kmv_quantiles": ("prob, q",
                       "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "mixture_sample": ("source, rate_ppm, n_docs, tokens_kept",
+                       "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_components": ("doc_id, component", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_jaccard_verify": ("a, b, jaccard", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "fingerprint_hashes": ("doc_id, fp", "SELECT SUM(doc_id * n_chars) FROM documents"),

@@ -33,6 +33,7 @@ ALLOWED_ACTIONS = {
     ("operators/dedup.py", "_cc_star"),                  # 1-row checksum agg over checkpointed edges (convergence probe)
     ("operators/pq.py", "train_pq_codebooks"),           # bounded training sample collect (same pattern as IVF)
     ("operators/sketch.py", "approx_distinct"),          # 1-row estimate read (the convenience API's whole point)
+    ("operators/mixture.py", "plan_mixture"),            # |sources|-row planning aggregate (bounded planner pass)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components

@@ -737,6 +737,56 @@ def expected_kmv_quantiles(docs: pd.DataFrame, k: int = 256,
     return pd.DataFrame(out, columns=["prob", "q"])
 
 
+def expected_mixture_sample(con) -> pd.DataFrame:
+    """Independent mixture recompute: per-doc whitespace tokens from
+    DuckDB, the integer water-fill restated, the keep rule via from-spec
+    chained XXH64 (4-byte LE seed 23, then the 8-byte LE doc_id)."""
+    docs = con.execute(
+        "SELECT doc_id, source, "
+        "greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_tokens "
+        "FROM documents WHERE doc_id < 2000 "
+        "AND source IN ('src0', 'src1', 'src2', 'src3') ORDER BY doc_id").df()
+    weights = {"src0": 4.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+    totals = docs.groupby("source")["n_tokens"].sum().astype(int).to_dict()
+    budget = int(docs["n_tokens"].sum()) // 2
+    PPM = 1_000_000
+    rates: dict[str, int] = {}
+    remaining = dict(totals)
+    while remaining and budget > 0:
+        wsum = sum(weights[s] for s in remaining)
+        if wsum <= 0:
+            break
+        capped = {s for s in remaining
+                  if (budget * weights[s]) / wsum >= remaining[s]}
+        if capped:
+            for s in capped:
+                rates[s] = PPM
+                budget -= remaining.pop(s)
+            continue
+        for s, avail in remaining.items():
+            target = int(budget * weights[s] / wsum)
+            rates[s] = min(PPM, (target * PPM) // max(avail, 1))
+        break
+    for s in totals:
+        rates.setdefault(s, 0)
+
+    seed_h = xxh64(int(23).to_bytes(4, "little"), 42)
+
+    def kept(d: int, src: str) -> bool:
+        h = xxh64(int(d).to_bytes(8, "little", signed=True), seed_h)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h % PPM < rates.get(src, 0)
+
+    rows = []
+    for s in sorted(rates):
+        sub = docs[docs["source"] == s]
+        keep = sub[[kept(int(r["doc_id"]), s) for _, r in sub.iterrows()]]
+        rows.append((s, rates[s], len(keep), int(keep["n_tokens"].sum())))
+    return pd.DataFrame(rows, columns=["source", "rate_ppm", "n_docs",
+                                       "tokens_kept"])
+
+
 def check_pagerank(doc_ids: np.ndarray, result: pd.DataFrame,
                    iters: int = 10, d: float = 0.85) -> None:
     """Independent PageRank check: rebuild the synthetic link graph
@@ -904,7 +954,8 @@ def main() -> None:
                                 "hll_registers", "cm_frequencies",
                                 "contamination_pairs", "media_features",
                                 "curated_packing", "training_shards",
-                                "link_pagerank", "kmv_quantiles")}
+                                "link_pagerank", "kmv_quantiles",
+                                "mixture_sample")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -970,6 +1021,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["kmv_quantiles"]),
             _norm_sorted(expected_kmv_quantiles(docs_chars)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["mixture_sample"]),
+            _norm_sorted(expected_mixture_sample(con)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -986,7 +1040,7 @@ def main() -> None:
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
                   "media_features": "customer", "curated_packing": "documents",
                   "training_shards": "documents", "link_pagerank": "documents",
-                  "kmv_quantiles": "documents"}
+                  "kmv_quantiles": "documents", "mixture_sample": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
