@@ -93,3 +93,55 @@ def knn_bruteforce(queries: DataFrame, pois: DataFrame, k: int,
         .filter(F.col("rn") <= k)
         .select(query_id, poi_id, "dist_m", "rn")
     )
+
+
+def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
+                left_id: str = "query_id", right_id: str = "poi_id") -> DataFrame:
+    """All (left, right) pairs within ``radius_deg`` in DEGREE-SPACE
+    Euclidean distance — the within-distance companion to ``knn_join``.
+
+    Metric note: plain L2 on (lon, lat) degrees, NOT meters. The point
+    is cross-engine exactness: the distance is two subtractions, two
+    multiplies, an add and an IEEE-correctly-rounded sqrt, so an
+    oracle engine reproduces every boundary decision bit-for-bit (the
+    haversine form in ``knn_join`` is meter-true but transcendental).
+    Degree space does not wrap at the antimeridian; pairs straddling
+    +-180 deg are not candidates, consistently with the metric itself.
+
+    Plan: both sides keyed by a ``radius_deg``-sized lon/lat grid cell
+    (floor division — native), the LEFT side expands to its 3x3 cell
+    neighborhood (if dist <= r, the cells differ by <= 1 in each axis,
+    so coverage is EXACT, not approximate), one shuffle hash join on
+    the cell key, then the exact distance filter. Output pair count —
+    not n^2 — drives the cost, the same blocking argument as the LSH
+    band join."""
+    if radius_deg <= 0:
+        raise ValueError(f"radius_deg must be positive, got {radius_deg}")
+    r = float(radius_deg)
+    lcx = F.floor(F.col("lon") / r).cast("long")
+    lcy = F.floor(F.col("lat") / r).cast("long")
+
+    lt = left.select(
+        F.col(left_id), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+        lcx.alias("_cx"), lcy.alias("_cy"),
+    )
+    lt = (
+        lt.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(left_id, "l_lon", "l_lat",
+                (F.col("_cx") + F.col("_dx")).alias("cx"),
+                (F.col("_cy") + F.col("_dy")).alias("cy"))
+    )
+    rt = right.select(
+        F.col(right_id), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+        lcx.alias("cx"), lcy.alias("cy"),
+    )
+    dx = F.col("l_lon") - F.col("r_lon")
+    dy = F.col("l_lat") - F.col("r_lat")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        lt.join(rt, ["cx", "cy"])
+        .withColumn("dist_deg", dist)
+        .filter(F.col("dist_deg") <= r)
+        .select(left_id, right_id, "dist_deg")
+    )

@@ -981,6 +981,33 @@ ORDER BY t.doc_id
 """
 
 
+_Q_RADIUS_PAIRS_ORACLE = f"""
+WITH pts AS ({PTS_SQL})
+SELECT a.poi_id AS query_id, b.poi_id AS poi_id,
+       sqrt((a.lon - b.lon) * (a.lon - b.lon)
+            + (a.lat - b.lat) * (a.lat - b.lat)) AS dist_deg
+FROM pts a, pts b
+WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat)) <= 2.0
+ORDER BY query_id, poi_id
+"""
+
+
+def _q_radius_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial self-join (operators/knn.py radius_join):
+    grid-blocked candidate generation + exact degree-space L2 filter.
+    Dialect-split oracle: DuckDB runs the labeled n^2 brute force with
+    the IDENTICAL IEEE expression (sub/mul/add/sqrt — every boundary
+    decision bit-equal), so the blocked join must reproduce the exact
+    pair set and distances."""
+    from ..operators.knn import radius_join
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    q = pts.select(F.col("poi_id").alias("query_id"), "lon", "lat")
+    return radius_join(q, pts, 2.0).orderBy("query_id", "poi_id")
+
+
 def _q_mixture_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture planner (operators/mixture.py): weights 4:1:1:1
     over src0-src3 at a budget of HALF the pool — src0's share exceeds
@@ -1502,6 +1529,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["link_pagerank"] = _q_link_pagerank_spark
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
     q["mixture_sample"] = _q_mixture_sample_spark
+    q["radius_pairs"] = _q_radius_pairs_spark
     return q
 
 
@@ -1589,5 +1617,6 @@ def build_oracles() -> dict[str, str]:
     o["pack_sequences"] = _Q_PACK_SEQUENCES
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
+    o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
     o.update(_golden_oracles())
     return o

@@ -96,3 +96,44 @@ def test_knn_antimeridian_wrap(spark):
     qs = pd.DataFrame({"query_id": ["q"], "lon": [179.99], "lat": [0.0]})
     got = knn.knn_join(spark.createDataFrame(qs), spark.createDataFrame(pois), k=2, zoom=8).toPandas()
     assert set(got["poi_id"]) == {"east", "west"}, "wrap across the antimeridian must find the west point"
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """Grid-blocked radius join == n^2 brute force, including pairs that
+    straddle cell boundaries and pairs exactly AT the radius."""
+    import numpy as np
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.knn import radius_join
+
+    rng = np.random.RandomState(3)
+    n = 300
+    pts = pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": rng.uniform(-10, 10, n).round(3),
+        "lat": rng.uniform(-5, 5, n).round(3),
+    })
+    r = 0.7
+    qdf = spark.createDataFrame(pts.rename(columns={"pid": "query_id"}))
+    pdf = spark.createDataFrame(pts.rename(columns={"pid": "poi_id"}))
+    got = radius_join(qdf, pdf, r).toPandas()
+    # brute force in numpy, same metric
+    lon = pts["lon"].to_numpy(); lat = pts["lat"].to_numpy()
+    d = np.sqrt((lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2)
+    exp = {(i, j) for i in range(n) for j in range(n) if d[i, j] <= r}
+    assert set(zip(got["query_id"], got["poi_id"])) == exp
+    # exact-at-radius inclusion: craft a pair at exactly r apart
+    two = pd.DataFrame({"pid": [0, 1], "lon": [0.0, 0.5], "lat": [0.0, 0.0]})
+    a = spark.createDataFrame(two.rename(columns={"pid": "query_id"}))
+    b = spark.createDataFrame(two.rename(columns={"pid": "poi_id"}))
+    out = radius_join(a, b, 0.5).toPandas()
+    assert (0, 1) in set(zip(out["query_id"], out["poi_id"]))
+
+
+def test_radius_join_validation(spark):
+    import pandas as pd
+    import pytest
+    from osm_poi_cloud_spark.operators.knn import radius_join
+
+    df = spark.createDataFrame(pd.DataFrame({"query_id": [1], "lon": [0.0], "lat": [0.0]}))
+    with pytest.raises(ValueError):
+        radius_join(df, df, 0.0)
