@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .similarity import _pairwise_d2
+
 def train_pq_codebooks(corpus: DataFrame, m: int, k: int = 256,
                        seed: int = 29, max_sample: int = 4096,
                        iters: int = 10, vec_col: str = "embedding",
@@ -70,7 +72,7 @@ def train_pq_codebooks(corpus: DataFrame, m: int, k: int = 256,
         kk = min(k, len(xs))
         cent = xs[np.sort(rng.choice(len(xs), size=kk, replace=False))].copy()
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = _pairwise_d2(xs, cent)
             assign = d2.argmin(axis=1)
             for c in range(len(cent)):
                 msk = assign == c
@@ -96,7 +98,7 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
         codes = np.empty((len(x), m), dtype=np.int32)
         for s in range(m):
             xs = x[:, s * sub:(s + 1) * sub]
-            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            d2 = _pairwise_d2(xs, books[s])
             codes[:, s] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 

@@ -116,6 +116,17 @@ def lsh_bucket_ann(
     )
 
 
+def _pairwise_d2(x: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """(n, c) squared L2 distances via a per-centroid loop: bit-identical
+    to the 3D broadcast form (np.sum's pairwise reduction order over the
+    feature axis is the same either way — verified) while allocating
+    1/c of the temporary memory, which matters inside Arrow batches."""
+    out = np.empty((x.shape[0], cent.shape[0]), dtype=np.float64)
+    for c in range(cent.shape[0]):
+        out[:, c] = ((x - cent[c]) ** 2).sum(axis=1)
+    return out
+
+
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int, seed: int = 19,
                         max_sample: int = 4096, iters: int = 10,
                         vec_col: str = "embedding", id_col: str = "vec_id",
@@ -156,7 +167,7 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int, seed: int = 19,
     rng = np.random.RandomState(seed)
     cent = x[np.sort(rng.choice(len(x), size=min(n_centroids, len(x)), replace=False))].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_d2(x, cent)
         assign = d2.argmin(axis=1)
         for c in range(len(cent)):
             m = assign == c
@@ -177,7 +188,7 @@ def ivf_assign(corpus: DataFrame, centroids, vec_col: str = "embedding",
         if not len(vecs):
             return pd.Series([], dtype="int32")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_d2(m, cent)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     return corpus.select(F.col(id_col), F.col(vec_col),
@@ -245,7 +256,7 @@ def ivf_ann(
         if not len(vecs):
             return pd.Series([], dtype=object)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_d2(m, cent)
         # stable sort: tied centroid distances must probe in index order
         # (the golden checker sorts stably too — bit-reproducibility)
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
