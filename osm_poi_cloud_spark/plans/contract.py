@@ -981,6 +981,63 @@ ORDER BY t.doc_id
 """
 
 
+def _quality_classifier_oracle() -> str:
+    from ..functions.text_analysis import STOPWORDS
+    from ..operators.classifier import (DEFAULT_QUALITY_BIAS,
+                                        DEFAULT_QUALITY_WEIGHTS, FEATURES)
+
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    terms = [f"CAST({DEFAULT_QUALITY_BIAS!r} AS DOUBLE)"]
+    for w, f in zip(DEFAULT_QUALITY_WEIGHTS, FEATURES):
+        terms.append(f"CAST({w!r} AS DOUBLE) * {f}")
+    logit = " + ".join(terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents WHERE doc_id < 2000
+),
+feat AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(list_filter(toks, t -> list_contains({en}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stopword_ratio,
+         n_chars / greatest(len(toks), 1) AS mean_word_len,
+         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+           / greatest(len(toks), 1) AS dup_word_frac,
+         CAST(len(regexp_split_to_array(text, '\\n'))
+              - len(list_distinct(regexp_split_to_array(text, '\\n'))) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(text, '\\n')), 1) AS dup_line_frac
+  FROM tok
+)
+SELECT doc_id, {logit} AS logit, ({logit}) > 0 AS keep
+FROM feat ORDER BY doc_id
+"""
+
+
+def _q_quality_classifier_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/classifier.py): the
+    self-distilled logistic model's logit computed as a pure native
+    left-to-right IEEE chain over the mirrored feature expressions.
+    Dialect-split oracle: DuckDB recomputes the identical features and
+    the identical weighted-sum chain — logits match bit-for-bit, so
+    every keep/drop boundary decision is verified exactly."""
+    from ..operators.classifier import (DEFAULT_QUALITY_BIAS,
+                                        DEFAULT_QUALITY_WEIGHTS, featurize,
+                                        score_quality_lr)
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    scored = score_quality_lr(featurize(docs), DEFAULT_QUALITY_WEIGHTS,
+                              DEFAULT_QUALITY_BIAS)
+    return scored.select("doc_id", "logit", "keep").orderBy("doc_id")
+
+
 _Q_RADIUS_PAIRS_ORACLE = f"""
 WITH pts AS ({PTS_SQL})
 SELECT a.poi_id AS query_id, b.poi_id AS poi_id,
@@ -1530,6 +1587,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
     q["mixture_sample"] = _q_mixture_sample_spark
     q["radius_pairs"] = _q_radius_pairs_spark
+    q["quality_classifier"] = _q_quality_classifier_spark
     return q
 
 
@@ -1618,5 +1676,6 @@ def build_oracles() -> dict[str, str]:
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
+    o["quality_classifier"] = _quality_classifier_oracle()
     o.update(_golden_oracles())
     return o

@@ -1,0 +1,78 @@
+"""Learned quality filter: separates clean vs junk, bitwise-deterministic
+training vs an independently-restated GD, native (UDF-free) scoring."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_poi_cloud_spark.operators import classifier as C
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+def _mixed_corpus(spark):
+    from train_default_quality_lr import junk_corpus
+
+    clean = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .select("doc_id", "text").withColumn("label", F.lit(1)))
+    junk = junk_corpus(spark, 150).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text") \
+        .withColumn("label", F.lit(0))
+    return clean.unionByName(junk)
+
+
+def test_separates_clean_from_junk(spark):
+    feat = C.featurize(_mixed_corpus(spark))
+    w, b = C.train_quality_lr(feat, "label", iters=200)
+    scored = C.score_quality_lr(feat, w, b).select("doc_id", "label", "keep").toPandas()
+    acc = (scored["keep"] == (scored["label"] == 1)).mean()
+    assert acc > 0.98
+    # the published default weights also separate this corpus
+    d = C.score_quality_lr(feat, C.DEFAULT_QUALITY_WEIGHTS, C.DEFAULT_QUALITY_BIAS) \
+        .select("label", "keep").toPandas()
+    assert (d["keep"] == (d["label"] == 1)).mean() > 0.98
+
+
+def test_training_bitwise_deterministic_and_matches_independent_gd(spark):
+    feat = C.featurize(_mixed_corpus(spark))
+    w1, b1 = C.train_quality_lr(feat, "label", iters=50)
+    w2, b2 = C.train_quality_lr(C.featurize(_mixed_corpus(spark).repartition(13)),
+                                "label", iters=50)
+    assert (w1 == w2).all() and b1 == b2  # partitioning-independent, bitwise
+
+    # independent restatement: same spec (full-batch, np.sum reductions,
+    # rows sorted by id), written separately
+    pdf = feat.select("doc_id", "label", *C.FEATURES).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    x = pdf[list(C.FEATURES)].to_numpy(np.float64)
+    y = pdf["label"].to_numpy(np.float64)
+    w = np.zeros(x.shape[1]); b = 0.0; n = float(len(x))
+    for _ in range(50):
+        p = 1.0 / (1.0 + np.exp(-((x * w).sum(axis=1) + b)))
+        w = w - 0.5 * ((p - y)[:, None] * x).sum(axis=0) / n
+        b = b - 0.5 * (p - y).sum() / n
+    assert (w1 == w).all() and b1 == b
+
+
+def test_scoring_is_native(spark):
+    feat = C.featurize(_mixed_corpus(spark))
+    scored = C.score_quality_lr(feat, C.DEFAULT_QUALITY_WEIGHTS,
+                                C.DEFAULT_QUALITY_BIAS, with_prob=True)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # zero Python in the scoring path
+    probs = scored.select("logit", "prob").limit(5).toPandas()
+    assert ((probs["prob"] > 0.5) == (probs["logit"] > 0)).all()
+
+
+def test_validation(spark):
+    feat = C.featurize(_mixed_corpus(spark))
+    with pytest.raises(ValueError):
+        C.train_quality_lr(feat, "label", max_rows=5)
+    with pytest.raises(ValueError):
+        C.train_quality_lr(feat.filter("1=0"), "label")
+    with pytest.raises(ValueError):
+        C.lr_logit_col([1.0], ("a", "b"))

@@ -34,6 +34,7 @@ ALLOWED_ACTIONS = {
     ("operators/pq.py", "train_pq_codebooks"),           # bounded training sample collect (same pattern as IVF)
     ("operators/sketch.py", "approx_distinct"),          # 1-row estimate read (the convenience API's whole point)
     ("operators/mixture.py", "plan_mixture"),            # |sources|-row planning aggregate (bounded planner pass)
+    ("operators/classifier.py", "train_quality_lr"),     # bounded training sample collect (IVF/PQ/BPE pattern)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components
