@@ -248,6 +248,26 @@ def main() -> None:
         urls.select("doc_id", "url"), urls.filter(F.col("doc_id") % 2 == 0).select("url"),
         "url", fpp=0.001, expected_keys=max(n_docs // 2, 1))))
 
+    # ---- 7c. learned quality filter (native scoring) + mixture plan ----
+    from osm_poi_cloud_spark.operators import classifier as qc
+    from osm_poi_cloud_spark.operators import mixture as mx
+    timed("quality_classifier", lambda: force(
+        qc.score_quality_lr(qc.featurize(docs.select("doc_id", "text")),
+                            qc.DEFAULT_QUALITY_WEIGHTS, qc.DEFAULT_QUALITY_BIAS)))
+    toks = docs.selectExpr(
+        "doc_id", "source",
+        "greatest(length(text) - length(replace(text, ' ', '')) + 1, 1) AS n_tokens")
+    def run_mixture():
+        weights = {f"src{i}": float(1 + i % 4) for i in range(20)}
+        rates = mx.plan_mixture(toks, weights, 10**6)
+        force(mx.mixture_report(mx.apply_mixture(toks, rates)))
+    timed("mixture_sample", run_mixture)
+
+    # ---- 7d. radius join over the POI table ----
+    from osm_poi_cloud_spark.operators.knn import radius_join
+    rq = pois.select(F.col("poi_id").alias("query_id"), "lon", "lat")
+    timed("radius_join", lambda: force(radius_join(rq, pois, 0.25)))
+
     rings = pois.select(
         "poi_id",
         F.array(

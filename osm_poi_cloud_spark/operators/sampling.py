@@ -96,3 +96,39 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
         o.join(n, on=key_col, how="full_outer")
         .select(key_col, change.alias("change"))
     )
+
+
+def snapshot_upsert(base: DataFrame, snapshot: DataFrame, key_col: str,
+                    payload_cols: list[str] | None = None,
+                    keep_deletes: bool = False) -> DataFrame:
+    """Incremental-crawl table maintenance: merge a new snapshot into
+    the base table — new keys insert, changed keys replace, keys absent
+    from the snapshot drop (or survive with ``keep_deletes=True``, the
+    append-only-lake variant).
+
+    Pure relational MERGE semantics as one full-outer join: the
+    snapshot side wins wherever it has the key. Same scale shape as
+    ``snapshot_diff`` — one co-partitioned shuffle, exchange-free when
+    both sides are bucketed on the key (plans/bucketing.py). Unlike a
+    rewrite-everything batch job, only the join output is written; pair
+    with partition-overwrite on the key's bucket/partition column for
+    the at-scale in-place upsert."""
+    cols = payload_cols
+    if cols is None:
+        cols = [c for c in snapshot.columns if c != key_col]
+    missing = set(cols) - set(base.columns)
+    if missing:
+        raise ValueError(f"payload columns absent from base: {sorted(missing)}")
+    b = base.select(F.col(key_col), *[F.col(c).alias(f"_b_{c}") for c in cols])
+    s = snapshot.select(F.col(key_col), F.lit(1).alias("_in_snap"),
+                        *[F.col(c).alias(f"_s_{c}") for c in cols])
+    joined = b.join(s, on=key_col, how="full_outer")
+    if not keep_deletes:
+        # a base row with no snapshot row is a delete
+        joined = joined.filter(F.col("_in_snap").isNotNull())
+    out_cols = [F.col(key_col)] + [
+        F.when(F.col("_in_snap").isNotNull(), F.col(f"_s_{c}"))
+        .otherwise(F.col(f"_b_{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.select(*out_cols)

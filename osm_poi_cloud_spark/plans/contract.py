@@ -981,6 +981,48 @@ ORDER BY t.doc_id
 """
 
 
+_Q_SNAPSHOT_UPSERT_ORACLE = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp, n_chars
+  FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(concat(text, '!')) ELSE md5(text) END AS fp,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 1
+)
+SELECT COALESCE(new.doc_id, old.doc_id) AS doc_id,
+       COALESCE(new.fp, old.fp) AS fp,
+       CAST(COALESCE(new.n_chars, old.n_chars) AS BIGINT) AS n_chars
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+
+def _q_snapshot_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-lake MERGE (operators/sampling.py snapshot_upsert):
+    the new snapshot's rows win, base-only rows survive
+    (keep_deletes=True — the append-only variant; with deletes the
+    result degenerates to the snapshot itself). Dialect-split oracle:
+    the equivalent full-outer COALESCE merge in plain SQL."""
+    from ..operators.sampling import snapshot_upsert
+
+    _register(spark, sf_dir, ["documents"])
+    base = spark.table("documents").filter(F.col("doc_id") < 2000)
+    old = base.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars")
+    new = base.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5("text")).alias("fp"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")).alias("n_chars"))
+    merged = snapshot_upsert(old, new, "doc_id", keep_deletes=True)
+    return merged.select("doc_id", "fp", F.col("n_chars").cast("long").alias("n_chars")) \
+        .orderBy("doc_id")
+
+
 def _quality_classifier_oracle() -> str:
     from ..functions.text_analysis import STOPWORDS
     from ..operators.classifier import (DEFAULT_QUALITY_BIAS,
@@ -1588,6 +1630,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mixture_sample"] = _q_mixture_sample_spark
     q["radius_pairs"] = _q_radius_pairs_spark
     q["quality_classifier"] = _q_quality_classifier_spark
+    q["snapshot_upsert"] = _q_snapshot_upsert_spark
     return q
 
 
@@ -1677,5 +1720,6 @@ def build_oracles() -> dict[str, str]:
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
     o["quality_classifier"] = _quality_classifier_oracle()
+    o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
     o.update(_golden_oracles())
     return o

@@ -95,3 +95,28 @@ def test_snapshot_diff_hand_cases(spark):
     out = (snapshot_diff(old, new, "url", "fp").toPandas()
            .set_index("url")["change"].to_dict())
     assert out == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+
+
+def test_snapshot_upsert_hand_computed(spark):
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.sampling import snapshot_upsert
+
+    base = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 3], "v": ["a", "b", "c"], "n": [10, 20, 30]}))
+    snap = spark.createDataFrame(pd.DataFrame({
+        "k": [2, 3, 4], "v": ["B", "c", "d"], "n": [21, 30, 40]}))
+    # delete semantics: base-only key 1 drops; 2 updates; 4 inserts
+    got = snapshot_upsert(base, snap, "k").toPandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [2, 3, 4]
+    assert list(got["v"]) == ["B", "c", "d"]
+    assert list(got["n"]) == [21, 30, 40]
+    # append-only: key 1 survives with its base payload
+    kept = snapshot_upsert(base, snap, "k", keep_deletes=True).toPandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(kept["k"]) == [1, 2, 3, 4]
+    assert list(kept["v"]) == ["a", "B", "c", "d"]
+    # payload validation
+    import pytest
+    with pytest.raises(ValueError):
+        snapshot_upsert(base.drop("n"), snap, "k")
