@@ -981,6 +981,64 @@ ORDER BY t.doc_id
 """
 
 
+_Q_BIGRAM_LM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 2000
+),
+bg AS (
+  SELECT doc_id, toks[j.g] AS prev, toks[j.g + 1] AS w
+  FROM docs, UNNEST(CASE WHEN len(toks) >= 2
+                         THEN generate_series(1, len(toks) - 1)
+                         ELSE [] END) AS j(g)
+),
+uni AS (
+  SELECT u.t AS prev, COUNT(*) AS c1
+  FROM docs, UNNEST(toks) AS u(t) GROUP BY u.t
+),
+big AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+vs AS (SELECT COUNT(*) AS v FROM uni),
+q AS (
+  SELECT bg.doc_id,
+         CAST(floor(CAST(COALESCE(big.c2, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(uni.c1, 0) + vs.v AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qp
+  FROM bg LEFT JOIN big USING (prev, w) LEFT JOIN uni USING (prev), vs
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS sum_p_ppm
+  FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.sum_p_ppm, 0) AS BIGINT) AS sum_p_ppm,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+            THEN CAST(floor(p.sum_p_ppm / p.n_bigrams) AS BIGINT)
+            ELSE 0 END AS mean_p_ppm
+FROM docs d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _q_bigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (functions/lm.py): add-one-smoothed
+    bigram LM self-trained on the corpus, per-document quantized mean
+    probability — the perplexity-surrogate filter, exact by design
+    (probabilities floor-quantized to ppm integers BEFORE any cross-row
+    sum, so no float reduction order anywhere). Dialect-split oracle:
+    the identical counts/joins/IEEE chain in DuckDB list SQL."""
+    from ..functions.lm import score_bigram_lm, train_bigram_lm
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    bc, uc, v = train_bigram_lm(docs)
+    return score_bigram_lm(docs, bc, uc, v, broadcast_counts=True) \
+        .orderBy("doc_id")
+
+
 _Q_SNAPSHOT_UPSERT_ORACLE = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp, n_chars
@@ -1631,6 +1689,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["radius_pairs"] = _q_radius_pairs_spark
     q["quality_classifier"] = _q_quality_classifier_spark
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
+    q["bigram_lm_scores"] = _q_bigram_lm_spark
     return q
 
 
@@ -1721,5 +1780,6 @@ def build_oracles() -> dict[str, str]:
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
     o["quality_classifier"] = _quality_classifier_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
+    o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
     o.update(_golden_oracles())
     return o
