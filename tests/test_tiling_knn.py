@@ -137,3 +137,34 @@ def test_radius_join_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"query_id": [1], "lon": [0.0], "lat": [0.0]}))
     with pytest.raises(ValueError):
         radius_join(df, df, 0.0)
+
+
+def test_radius_join_property(spark):
+    """Property sweep: random point clouds and radii — the blocked join
+    equals brute force every time (cell-boundary straddles included)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from osm_poi_cloud_spark.operators.knn import radius_join
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(5, 80),
+           st.floats(0.05, 3.0, allow_nan=False))
+    def check(seed, n, r):
+        rng = np.random.RandomState(seed)
+        pts = pd.DataFrame({
+            "pid": np.arange(n),
+            "lon": rng.uniform(-20, 20, n),
+            "lat": rng.uniform(-10, 10, n),
+        })
+        q = spark.createDataFrame(pts.rename(columns={"pid": "query_id"}))
+        p = spark.createDataFrame(pts.rename(columns={"pid": "poi_id"}))
+        got = radius_join(q, p, r).toPandas()
+        lon = pts["lon"].to_numpy(); lat = pts["lat"].to_numpy()
+        d = np.sqrt((lon[:, None] - lon[None, :]) ** 2
+                    + (lat[:, None] - lat[None, :]) ** 2)
+        exp = {(i, j) for i in range(n) for j in range(n) if d[i, j] <= r}
+        assert set(zip(got["query_id"], got["poi_id"])) == exp
+
+    check()
