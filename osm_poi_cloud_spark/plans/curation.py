@@ -194,12 +194,22 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-scrub", action="store_true", help="skip PII scrubbing")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--shards-out", default=None,
+                    help="ALSO produce training shards (token-id sequences) "
+                         "here; writes <path>/shards and <path>/vocab")
+    ap.add_argument("--budget", type=int, default=2048,
+                    help="tokens per training sequence (with --shards-out)")
+    ap.add_argument("--num-merges", type=int, default=4096,
+                    help="BPE merges to learn (with --shards-out)")
+    ap.add_argument("--min-count", type=int, default=2,
+                    help="BPE vocabulary frequency floor (with --shards-out)")
+    ap.add_argument("--pack-buckets", type=int, default=256,
+                    help="hash buckets for the pack key (with --shards-out)")
     args = ap.parse_args(argv)
 
     spark = get_spark("corpus-curation")
     raw = spark.read.parquet(args.input)
-    curated = curate_documents(
-        raw,
+    cur_kwargs = dict(
         text_col=args.text_col,
         id_col=args.id_col,
         keep_langs=tuple(args.langs.split(",")),
@@ -209,10 +219,22 @@ def main(argv: list[str] | None = None) -> None:
         min_tokens=args.min_tokens,
         scrub=not args.no_scrub,
     )
+    curated = curate_documents(raw, **cur_kwargs)
     curated.write.mode("overwrite").parquet(args.output)
     rep = curation_report(raw, spark.read.parquet(args.output), args.id_col).first()
     print(f"curation: {rep['rows_in']:,} in -> {rep['rows_out']:,} out "
           f"({rep['survival_rate']:.1%} survive)")
+    if args.shards_out:
+        shards, vocab = curate_to_training_shards(
+            raw, budget=args.budget, num_merges=args.num_merges,
+            min_count=args.min_count, n_buckets=args.pack_buckets,
+            **cur_kwargs)
+        shards.write.mode("overwrite").parquet(f"{args.shards_out}/shards")
+        vocab.write.mode("overwrite").parquet(f"{args.shards_out}/vocab")
+        n_seq = spark.read.parquet(f"{args.shards_out}/shards").count()
+        n_vocab = spark.read.parquet(f"{args.shards_out}/vocab").count()
+        print(f"shards: {n_seq:,} sequences (budget {args.budget}), "
+              f"vocab {n_vocab:,} tokens")
 
 
 if __name__ == "__main__":

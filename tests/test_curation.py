@@ -72,3 +72,29 @@ def test_curation_cli(tmp_path):
     import pandas as pd_  # noqa
     got = pd.read_parquet(out)
     assert len(got) > 0 and set(got["lang_detected"]) <= {"en", "de"}
+
+
+def test_curation_cli_with_shards(tmp_path):
+    """--shards-out produces the training-shard + vocab tables; shard
+    token streams decode back through the vocab."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "clean2")
+    shards_out = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_poi_cloud_spark.plans.curation",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--shards-out", shards_out,
+         "--num-merges", "80", "--pack-buckets", "4", "--min-count", "1"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sequences" in r.stdout and "vocab" in r.stdout
+    shards = pd.read_parquet(f"{shards_out}/shards")
+    vocab = pd.read_parquet(f"{shards_out}/vocab")
+    assert len(shards) > 0 and len(vocab) > 0
+    ids = set(vocab["token_id"])
+    assert all(t in ids for row in shards["tokens"] for t in row)
+    assert (shards["n_tokens"] == shards["tokens"].map(len)).all()
