@@ -981,6 +981,75 @@ ORDER BY t.doc_id
 """
 
 
+_ROBOTS_RULES = [
+    # host, prefix, allow
+    ("h0.example", "/p/", False),
+    ("h1.example", "/p/1", False),
+    ("h2.example", "/", False), ("h2.example", "/p/", True),
+    ("h3.example", "/p/3", False), ("h3.example", "/p/33", True),
+    ("h5.example", "/q/", False),  # never matches: default-allow path
+]
+
+
+def _robots_filter_oracle() -> str:
+    from ..functions.robots import HOST_RE, PATH_RE
+
+    vals = ", ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})" for h, p, a in _ROBOTS_RULES)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://h', CAST(doc_id % 7 AS VARCHAR),
+                '.example/p/', CAST(doc_id AS VARCHAR),
+                '/', CAST(doc_id % 13 AS VARCHAR)) AS url
+  FROM documents WHERE doc_id < 2000
+),
+rules(host, prefix, allow) AS (VALUES {vals}),
+tagged AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(url, '{HOST_RE}', '\\1')) AS h,
+         regexp_replace(url, '{PATH_RE}', '\\1') AS p
+  FROM urls
+),
+matches AS (
+  SELECT t.doc_id, t.url, r.allow, len(r.prefix) AS rule_len
+  FROM tagged t JOIN rules r ON t.h = r.host
+  WHERE starts_with(t.p, r.prefix)
+),
+best AS (
+  SELECT doc_id, allow FROM matches
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY rule_len DESC, CAST(allow AS INT) DESC) = 1
+)
+SELECT u.doc_id, u.url, COALESCE(b.allow, TRUE) AS allowed
+FROM urls u LEFT JOIN best b USING (doc_id)
+ORDER BY u.doc_id
+"""
+
+
+def _q_robots_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match URL filtering (functions/robots.py):
+    synthetic per-host URLs against a literal rule table (most-specific
+    prefix wins, allow wins ties, unknown host / no match allows).
+    Dialect-split oracle mirrors the host/path regexps (same pattern
+    strings), the prefix match and the longest-rule window in DuckDB
+    SQL. Rule PARSING (RFC 9309 groups) is pytest-pinned in
+    test_robots; this row pins the per-URL decision logic."""
+    from ..functions.robots import filter_allowed_urls
+
+    _register(spark, sf_dir, ["documents"])
+    urls = spark.sql(
+        "SELECT doc_id, concat('https://h', CAST(doc_id % 7 AS STRING), "
+        "'.example/p/', CAST(doc_id AS STRING), '/', "
+        "CAST(doc_id % 13 AS STRING)) AS url "
+        "FROM documents WHERE doc_id < 2000")
+    rules = spark.createDataFrame(
+        [(h, p, a, len(p)) for h, p, a in _ROBOTS_RULES],
+        "host string, prefix string, allow boolean, rule_len int")
+    return filter_allowed_urls(urls, rules, keep_decision=True) \
+        .select("doc_id", "url", "allowed").orderBy("doc_id")
+
+
 _Q_BIGRAM_LM_ORACLE = """
 WITH docs AS (
   SELECT doc_id,
@@ -1690,6 +1759,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_classifier"] = _q_quality_classifier_spark
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
     q["bigram_lm_scores"] = _q_bigram_lm_spark
+    q["robots_filter"] = _q_robots_filter_spark
     return q
 
 
@@ -1781,5 +1851,6 @@ def build_oracles() -> dict[str, str]:
     o["quality_classifier"] = _quality_classifier_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
     o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
+    o["robots_filter"] = _robots_filter_oracle()
     o.update(_golden_oracles())
     return o
