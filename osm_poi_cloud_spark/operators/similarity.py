@@ -316,3 +316,42 @@ def embedding_cosine_dedup_pairs(df: DataFrame, threshold: float = 0.98,
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence (serving lifecycle)
+# ---------------------------------------------------------------------------
+
+def save_ivf_index(path: str, centroids, indexed: DataFrame,
+                   id_col: str = "vec_id") -> None:
+    """Persist an IVF index: centroids as a small parquet table
+    (centroid_id, centroid array<double>) and the coded corpus
+    PARTITIONED BY centroid_id — the layout that makes a later probe a
+    partition-PRUNED read (only the nprobe directories are scanned, the
+    same pruning contract as the z-partitioned tile table; asserted in
+    tests). One write-time shuffle buys every future query's pruning."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    spark = indexed.sparkSession
+    cent_rows = [(int(i), [float(v) for v in cent[i]]) for i in range(len(cent))]
+    spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    indexed.repartition("centroid_id").write.mode("overwrite") \
+        .partitionBy("centroid_id").parquet(f"{path}/vectors")
+
+
+def load_ivf_index(spark, path: str):
+    """-> (centroids ndarray, indexed DataFrame) reloaded from
+    ``save_ivf_index`` output. The returned DataFrame is the
+    partition-pruned parquet table: filtering it on ``centroid_id``
+    (what ``ivf_ann``'s probe join induces) reads only the probed
+    directories."""
+    import numpy as np
+
+    cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas() \
+        .sort_values("centroid_id")
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in cent_pdf["centroid"]])
+    indexed = spark.read.parquet(f"{path}/vectors")
+    return centroids, indexed

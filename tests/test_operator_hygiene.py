@@ -35,6 +35,7 @@ ALLOWED_ACTIONS = {
     ("operators/sketch.py", "approx_distinct"),          # 1-row estimate read (the convenience API's whole point)
     ("operators/mixture.py", "plan_mixture"),            # |sources|-row planning aggregate (bounded planner pass)
     ("operators/classifier.py", "train_quality_lr"),     # bounded training sample collect (IVF/PQ/BPE pattern)
+    ("operators/similarity.py", "load_ivf_index"),       # bounded centroid-table read (n_centroids rows)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components

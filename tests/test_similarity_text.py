@@ -274,3 +274,34 @@ def test_script_fractions_hand_cases(spark):
     fr_cols = [c for c in out.columns if c.endswith("_frac")]
     assert ((out[fr_cols] >= 0) & (out[fr_cols] <= 1)).all().all()
     assert out.loc[6, "cjk_frac"] > 0.5 and out.loc[1, "cyrillic_frac"] > 0.5
+
+
+def test_ivf_index_save_load_and_partition_pruning(spark, tmp_path):
+    """Index lifecycle: persisted centroids reload bitwise, probe
+    results match the in-memory index exactly, and the vectors table is
+    partitioned by centroid_id so a probe's filter is a PRUNED read
+    (PartitionFilters in the scan, same contract as tile serving)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from osm_poi_cloud_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, indexed = sim.ivf_index(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    sim.save_ivf_index(path, centroids, indexed)
+    cent2, indexed2 = sim.load_ivf_index(spark, path)
+    assert (np.asarray(centroids) == cent2).all()  # bitwise round trip
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sim.ivf_ann(indexed, centroids, q, k=5, nprobe=3).toPandas() \
+        .sort_values(["query_id", "rn"]).reset_index(drop=True)
+    b = sim.ivf_ann(indexed2, cent2, q, k=5, nprobe=3).toPandas() \
+        .sort_values(["query_id", "rn"]).reset_index(drop=True)
+    assert (a[["query_id", "vec_id", "rn"]].to_numpy()
+            == b[["query_id", "vec_id", "rn"]].to_numpy()).all()
+    # pruning: a centroid filter must appear as PartitionFilters
+    plan = indexed2.filter(F.col("centroid_id").isin(1, 2, 3)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
+    assert m, plan[:1500]
