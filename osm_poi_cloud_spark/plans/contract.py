@@ -981,6 +981,61 @@ ORDER BY t.doc_id
 """
 
 
+_LINK_HTML_SPARK = (
+    "concat('<html><body><a href=\"https://h', CAST(doc_id % 7 AS STRING), "
+    "'.example/p/', CAST(doc_id AS STRING), '\">x</a><p>filler</p>', "
+    "'<a class=\"z\" href=\"/local/', CAST(doc_id % 13 AS STRING), '\">y</a>', "
+    "'<a href=\"mailto:a@b.c\">m</a></body></html>')"
+)
+
+
+def _page_links_oracle() -> str:
+    from ..functions.links import LINK_RE, ORIGIN_RE
+
+    html = _LINK_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH pages AS (
+  SELECT concat('https://src', CAST(doc_id % 5 AS VARCHAR),
+                '.example/page/', CAST(doc_id AS VARCHAR)) AS url,
+         {html} AS html
+  FROM documents WHERE doc_id < 2000
+),
+hrefs AS (
+  SELECT url, u.h AS href
+  FROM pages, UNNEST(regexp_extract_all(html, '{LINK_RE}', 1)) AS u(h)
+),
+resolved AS (
+  SELECT url AS src,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN starts_with(href, '//') THEN NULL
+              WHEN starts_with(href, '/')
+                THEN concat(regexp_replace(url, '{ORIGIN_RE}', '\\1'), href)
+              ELSE NULL END AS dst
+  FROM hrefs
+)
+SELECT src, dst FROM resolved WHERE dst IS NOT NULL
+ORDER BY src, dst
+"""
+
+
+def _q_page_links_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (functions/links.py): deterministic linked
+    HTML synthesized from the documents table, scanned with ONE native
+    regexp_extract_all pass and resolved by the absolute/root-relative
+    CASE rules (protocol-relative / mailto / dotted-relative dropped).
+    Dialect-split oracle: the identical pattern strings and resolution
+    CASE in DuckDB list SQL."""
+    from ..functions.links import extract_links
+
+    _register(spark, sf_dir, ["documents"])
+    pages = spark.sql(
+        "SELECT concat('https://src', CAST(doc_id % 5 AS STRING), "
+        "'.example/page/', CAST(doc_id AS STRING)) AS url, "
+        f"{_LINK_HTML_SPARK} AS html "
+        "FROM documents WHERE doc_id < 2000")
+    return extract_links(pages).orderBy("src", "dst")
+
+
 _ROBOTS_RULES = [
     # host, prefix, allow
     ("h0.example", "/p/", False),
@@ -1760,6 +1815,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
     q["bigram_lm_scores"] = _q_bigram_lm_spark
     q["robots_filter"] = _q_robots_filter_spark
+    q["page_links"] = _q_page_links_spark
     return q
 
 
@@ -1852,5 +1908,6 @@ def build_oracles() -> dict[str, str]:
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
     o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
     o["robots_filter"] = _robots_filter_oracle()
+    o["page_links"] = _page_links_oracle()
     o.update(_golden_oracles())
     return o
