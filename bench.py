@@ -263,6 +263,27 @@ def main() -> None:
         force(mx.mixture_report(mx.apply_mixture(toks, rates)))
     timed("mixture_sample", run_mixture)
 
+    # ---- 7c2. bigram LM + robots + KMV over the fat corpus ----
+    from osm_poi_cloud_spark.functions import lm as lm_fn
+    from osm_poi_cloud_spark.functions.robots import filter_allowed_urls
+    from osm_poi_cloud_spark.operators import sketch as sk_op
+    def run_bigram_lm():
+        bc_t, uc_t, v_t = lm_fn.train_bigram_lm(docs)
+        force(lm_fn.score_bigram_lm(docs, bc_t, uc_t, v_t))
+    timed("bigram_lm", run_bigram_lm)
+    rb_rules = spark.createDataFrame(
+        [(f"h{i}.example", "/p/", i % 3 == 0, 3) for i in range(16)],
+        "host string, prefix string, allow boolean, rule_len int")
+    rb_urls = docs.selectExpr(
+        "doc_id",
+        "concat('https://h', CAST(doc_id % 16 AS STRING), '.example/p/', "
+        "CAST(doc_id AS STRING)) AS url")
+    timed("robots_filter", lambda: force(
+        filter_allowed_urls(rb_urls, rb_rules, keep_decision=True)))
+    timed("kmv_sketch", lambda: force(sk_op.kmv_build(
+        docs.selectExpr("doc_id", "n_chars"), "doc_id",
+        value_col="n_chars", k=4096)))
+
     # ---- 7d. radius join over the POI table ----
     from osm_poi_cloud_spark.operators.knn import radius_join
     rq = pois.select(F.col("poi_id").alias("query_id"), "lon", "lat")

@@ -305,3 +305,39 @@ def test_ivf_index_save_load_and_partition_pruning(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
     assert m, plan[:1500]
+
+
+def test_media_near_dup_composition(spark):
+    """Image near-dup: decoded-pixel feature vectors -> LSH-blocked
+    cosine pairs. A pixel-identical PNG re-encode of the same image
+    must pair with cosine ~1.0; unrelated images must not."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from osm_poi_cloud_spark.functions import png as png_codec
+    from osm_poi_cloud_spark.operators import multimodal as mm
+    from osm_poi_cloud_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(12):
+        # structured, mutually-distinct images (different brightness and
+        # gradient direction): statistics-based features must separate
+        # them, unlike pure noise which is statistically identical
+        yy, xx = np.mgrid[0:24, 0:24]
+        base = (xx if i % 2 == 0 else yy) * 8 + i * 18
+        arr = np.stack([(base + k * 40) % 256 for k in range(3)],
+                       axis=2).astype(np.uint8)
+        rows.append((f"img{i}", "image", png_codec.encode_png(arr),
+                     "image/png", 24, 24, 0, 0))
+        if i < 3:  # near-dup partner: identical pixels, fresh encode
+            rows.append((f"img{i}_copy", "image", png_codec.encode_png(arr.copy()),
+                         "image/png", 24, 24, 0, 0))
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    feats = mm.extract_image_features(media).withColumnRenamed("media_id", "vec_id") \
+        .withColumnRenamed("feature", "embedding")
+    pairs = sim.embedding_cosine_dedup_pairs(
+        feats, threshold=0.999, bits=4, id_col="vec_id").toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    for i in range(3):
+        assert (f"img{i}", f"img{i}_copy") in got, i
+    # no spurious pairs between unrelated random images
+    assert all("copy" in a or "copy" in b for a, b in got)
