@@ -61,3 +61,61 @@ def host_link_graph(links: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+#: whole-tag scan for anchor-text extraction (group 0 = full <a>…</a>)
+ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_links_with_anchors(pages: DataFrame, html_col: str = "html",
+                               url_col: str = "url") -> DataFrame:
+    """(src, dst, anchor) — link edges with their anchor text. Same
+    native shape as ``extract_links`` (one regexp scan + per-element
+    sub-extracts inside a ``transform``); anchor text is the flat inner
+    text of the <a> element (nested markup is out of the documented
+    regexp scope)."""
+    html_str = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), 0)
+    origin = F.regexp_replace(F.col(url_col), ORIGIN_RE, "$1")
+    exploded = (
+        pages.select(F.col(url_col).alias("src"), origin.alias("_origin"),
+                     F.explode(tags).alias("tag"))
+        .select(
+            "src", "_origin",
+            F.regexp_extract(F.col("tag"), LINK_RE, 1).alias("href"),
+            F.regexp_extract(F.col("tag"), r">([^<]*)</a>$", 1).alias("anchor"),
+        )
+    )
+    dst = (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(F.col("href").startswith("//"), F.lit(None))
+        .when(F.col("href").startswith("/"), F.concat(F.col("_origin"), F.col("href")))
+        .otherwise(F.lit(None))
+    )
+    return (
+        exploded.withColumn("dst", dst)
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst", F.trim(F.col("anchor")).alias("anchor"))
+    )
+
+
+def anchor_text_corpus(links_with_anchors: DataFrame,
+                       max_anchors: int = 64) -> DataFrame:
+    """Per-TARGET anchor aggregation: (dst, n_links, n_sources,
+    anchors) — the classic "what the web calls this page" signal
+    (anchor-text corpora train retrieval/quality models; search engines
+    have used it since DocId days). ``anchors`` keeps up to
+    ``max_anchors`` DISTINCT non-empty texts in sorted order
+    (deterministic, bounded per row — no unbounded collect_list on a
+    popular target)."""
+    return (
+        links_with_anchors
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src").alias("n_sources"),
+            F.slice(F.sort_array(F.collect_set(
+                F.when(F.col("anchor") != "", F.col("anchor")))),
+                1, max_anchors).alias("anchors"),
+        )
+    )

@@ -1036,6 +1036,81 @@ def _q_page_links_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages).orderBy("src", "dst")
 
 
+_ANCHOR_HTML_SPARK = (
+    "concat('<html><body><a href=\"https://t', CAST(doc_id % 10 AS STRING), "
+    "'.example/page\">anchor-', CAST(doc_id % 3 AS STRING), '</a>', "
+    "'<a href=\"/rel/', CAST(doc_id % 5 AS STRING), '\">local ', "
+    "CAST(doc_id % 2 AS STRING), '</a></body></html>')"
+)
+
+
+def _anchor_texts_oracle() -> str:
+    from ..functions.links import ANCHOR_RE, LINK_RE, ORIGIN_RE
+
+    html = _ANCHOR_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH pages AS (
+  SELECT concat('https://s', CAST(doc_id % 4 AS VARCHAR),
+                '.example/p/', CAST(doc_id AS VARCHAR)) AS url,
+         {html} AS html
+  FROM documents WHERE doc_id < 2000
+),
+tags AS (
+  SELECT url, u.t AS tag
+  FROM pages, UNNEST(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS u(t)
+),
+parsed AS (
+  SELECT url AS src,
+         regexp_extract(tag, '{LINK_RE}', 1) AS href,
+         trim(regexp_extract(tag, '>([^<]*)</a>$', 1)) AS anchor
+  FROM tags
+),
+resolved AS (
+  SELECT src, anchor,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN starts_with(href, '//') THEN NULL
+              WHEN starts_with(href, '/')
+                THEN concat(regexp_replace(src, '{ORIGIN_RE}', '\\1'), href)
+              ELSE NULL END AS dst
+  FROM parsed
+),
+agg AS (
+  SELECT dst,
+         COUNT(*) AS n_links,
+         COUNT(DISTINCT src) AS n_sources,
+         list_slice(list_sort(list_distinct(
+             list(anchor) FILTER (WHERE anchor <> ''))), 1, 64) AS anchors
+  FROM resolved WHERE dst IS NOT NULL GROUP BY dst
+)
+SELECT dst, CAST(n_links AS BIGINT) AS n_links,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       md5(array_to_string(anchors, '|')) AS anchors_md5
+FROM agg ORDER BY dst
+"""
+
+
+def _q_anchor_texts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (functions/links.py): links with anchor text
+    extracted in one native pass, aggregated per TARGET (bounded sorted
+    distinct anchors — the retrieval/quality training signal). The
+    anchors array is fingerprinted with md5 of the pipe-joined texts so
+    the dialect-split DuckDB oracle can reproduce it exactly."""
+    from ..functions.links import anchor_text_corpus, extract_links_with_anchors
+
+    _register(spark, sf_dir, ["documents"])
+    pages = spark.sql(
+        "SELECT concat('https://s', CAST(doc_id % 4 AS STRING), "
+        "'.example/p/', CAST(doc_id AS STRING)) AS url, "
+        f"{_ANCHOR_HTML_SPARK} AS html "
+        "FROM documents WHERE doc_id < 2000")
+    corpus = anchor_text_corpus(extract_links_with_anchors(pages))
+    return corpus.select(
+        "dst", F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.md5(F.concat_ws("|", F.col("anchors"))).alias("anchors_md5"),
+    ).orderBy("dst")
+
+
 _ROBOTS_RULES = [
     # host, prefix, allow
     ("h0.example", "/p/", False),
@@ -1816,6 +1891,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_lm_scores"] = _q_bigram_lm_spark
     q["robots_filter"] = _q_robots_filter_spark
     q["page_links"] = _q_page_links_spark
+    q["anchor_texts"] = _q_anchor_texts_spark
     return q
 
 
@@ -1909,5 +1985,6 @@ def build_oracles() -> dict[str, str]:
     o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
     o["robots_filter"] = _robots_filter_oracle()
     o["page_links"] = _page_links_oracle()
+    o["anchor_texts"] = _anchor_texts_oracle()
     o.update(_golden_oracles())
     return o

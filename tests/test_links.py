@@ -49,3 +49,27 @@ def test_host_graph_and_pagerank_composition(spark):
     pr = pagerank(edges, iters=10).toPandas().set_index("node")["rank"]
     assert pr.idxmax() == "hub.example"  # every site votes for the hub
     assert abs(pr.sum() - 1.0) < 1e-9
+
+
+def test_anchor_text_extraction_and_corpus(spark):
+    rows = [
+        _page("https://a.example/1",
+              '<a href="https://t.example/page">Great Resource</a>'
+              '<a href="/rel">  local link  </a>'
+              '<a href="https://t.example/page"></a>'),
+        _page("https://b.example/2",
+              '<a class="x" href="https://t.example/page">great resource</a>'),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+    links = L.extract_links_with_anchors(df)
+    got = links.toPandas()
+    assert len(got) == 4
+    rel = got[got["dst"] == "https://a.example/rel"]
+    assert list(rel["anchor"]) == ["local link"]  # trimmed
+    corpus = L.anchor_text_corpus(links).toPandas().set_index("dst")
+    t = corpus.loc["https://t.example/page"]
+    assert t["n_links"] == 3 and t["n_sources"] == 2
+    # distinct, sorted, empty-anchor dropped
+    assert list(t["anchors"]) == ["Great Resource", "great resource"]
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
