@@ -574,6 +574,105 @@ def duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     )
 
 
+def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id", min_docs: int = 2,
+                            fingerprint: str = "xxhash64",
+                            spans: DataFrame | None = None) -> DataFrame:
+    """ExactSubstr-style span *removal* (Lee et al. 2022): cut the
+    duplicated k-word windows out of each document's text instead of
+    gating whole documents (``span_dedup_stats`` over-deletes when it
+    drops a doc, under-cleans when it keeps one).
+
+    Plan (everything native Column expressions, no Python):
+
+    1. fingerprint every k-word window (shared ``_span_windows`` kernel
+       — same tokenization as the catalog/stats ops),
+    2. flag fingerprints in >= ``min_docs`` distinct docs (or take a
+       pre-computed ``spans`` catalog carrying ``fp``, e.g. from
+       ``duplicated_spans`` over a LARGER corpus than ``df``),
+    3. per doc: sort flagged window positions and fold them into
+       disjoint [s, e) token intervals with one ``aggregate`` HOF
+       (adjacent/overlapping windows merge, so a long repeated passage
+       becomes ONE interval),
+    4. rewrite ``text`` keeping only tokens outside every interval
+       (indexed ``filter`` HOF; O(tokens x intervals) per doc — the
+       interval list is already gap-merged so it is small).
+
+    Shuffle shape: the span groupBy + one per-doc regroup + one hash
+    join back to ``df`` — same cost class as ``span_dedup_stats``.
+
+    Rewritten documents come back whitespace-normalized (tokens
+    re-joined with single spaces; that is the coordinate system the
+    window fingerprints live in). Untouched documents keep their text
+    byte-identical. Adds ``tokens_removed`` / ``chars_removed`` (0 for
+    untouched docs; ``chars_removed`` counts versus the normalized
+    form). Documents shorter than k tokens are never touched.
+    """
+    wins = _span_windows(df, k, text_col, id_col, fingerprint)
+    if spans is None:
+        spans = duplicated_spans(df, k, text_col, id_col, min_docs, fingerprint)
+    flagged = wins.join(spans.select("fp"), "fp", "left_semi")
+    intervals = (
+        flagged.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("win_pos")).alias("ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                "ps",
+                F.array().cast("array<struct<s:int,e:int>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) == F.lit(0)) | (p > F.element_at(acc, -1)["e"]),
+                    F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e")))),
+                ).otherwise(
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(F.element_at(acc, -1)["e"], p + k).alias("e"),
+                        )),
+                    )
+                ),
+            ).alias("ivs"),
+        )
+    )
+    # original-CASE tokens: same split as the fingerprint kernel minus the
+    # lower(), so positions line up 1:1 with win_pos coordinates
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    out = (
+        df.join(intervals, id_col, "left")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "_kept",
+            F.when(F.col("ivs").isNull(), F.col("_toks")).otherwise(
+                F.filter(
+                    "_toks",
+                    lambda t, i: ~F.exists(
+                        "ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])),
+                )
+            ),
+        )
+        .withColumn(
+            "tokens_removed",
+            F.when(F.col("ivs").isNull(), F.lit(0)).otherwise(
+                F.size("_toks") - F.size("_kept")).cast("long"),
+        )
+        .withColumn(
+            "chars_removed",
+            F.when(F.col("ivs").isNull(), F.lit(0)).otherwise(
+                F.length(F.concat_ws(" ", "_toks"))
+                - F.length(F.concat_ws(" ", "_kept"))
+            ).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("ivs").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", "_kept")),
+        )
+        .drop("ivs", "_toks", "_kept")
+    )
+    return out
+
+
 def span_dedup_stats(df: DataFrame, k: int = 8, text_col: str = "text",
                      id_col: str = "doc_id", min_docs: int = 2,
                      fingerprint: str = "xxhash64") -> DataFrame:

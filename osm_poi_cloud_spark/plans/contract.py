@@ -1453,6 +1453,30 @@ def _q_span_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs, k=8, fingerprint="md5").orderBy("doc_id")
 
 
+def _q_span_removal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span *removal* (operators/dedup.py
+    remove_duplicated_spans): every 8-word window in >= 2 distinct docs
+    is cut out of the text (overlapping/adjacent windows interval-merged
+    natively). Output pins the rewritten text via md5 fingerprint plus
+    the removal accounting. Golden oracle: tools/make_goldens.py
+    recomputes removal independently in pure Python keyed on the window
+    STRINGS themselves (no hashing at all), interval-merges with a
+    from-scratch sweep, and md5s the rewritten text."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    out = remove_duplicated_spans(docs, k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                        lambda t: t != "")).cast("long").alias("n_tokens_after"),
+        "tokens_removed", "chars_removed",
+        F.md5(F.coalesce(F.col("text"), F.lit("\x00__NULL_TEXT__"))).alias("text_fp"),
+    ).orderBy("doc_id")
+
+
 def _q_training_shards_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining sink (plans/curation.py
     curate_to_training_shards): curate -> BPE tokenize -> dense
@@ -1882,6 +1906,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curated_packing"] = _q_curated_packing_spark
     q["training_shards"] = _q_training_shards_spark
     q["span_dedup"] = _q_span_dedup_spark
+    q["span_removal"] = _q_span_removal_spark
     q["link_pagerank"] = _q_link_pagerank_spark
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
     q["mixture_sample"] = _q_mixture_sample_spark
@@ -1944,6 +1969,8 @@ _GOLDEN_SPECS = {
     "bloom_url_probe": ("doc_id, probably_seen", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "stratified_sample": ("doc_id, lang", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "bpe_token_count": ("doc_id, bpe_tokens", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "span_removal": ("doc_id, n_tokens_after, tokens_removed, chars_removed, "
+                     "text_fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

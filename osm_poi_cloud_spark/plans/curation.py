@@ -42,6 +42,8 @@ def curate_documents(
     max_dup_line_frac: float = 0.5,
     min_tokens: int = 5,
     scrub: bool = True,
+    span_k: int | None = None,
+    span_min_docs: int = 2,
 ) -> DataFrame:
     """Curate a raw document table for pretraining.
 
@@ -51,6 +53,15 @@ def curate_documents(
     Exact dedup keeps the min-``id_col`` representative per identical
     CLEAN text, so two pages differing only in scrubbed emails
     deduplicate together — the order (scrub THEN dedup) is load-bearing.
+
+    ``span_k``: when set, ExactSubstr span removal
+    (``operators.dedup.remove_duplicated_spans``) runs over the clean
+    text BEFORE the exact dedup — ``span_k``-word windows shared by >=
+    ``span_min_docs`` documents are cut out, and two documents that
+    were identical *except* for shared boilerplate now also collapse in
+    the dedup. Adds ``tokens_removed``/``chars_removed`` audit columns.
+    Cost: two extra shuffles (span groupBy + per-doc regroup); default
+    off, and the default path's plan is unchanged.
     """
     out = df.filter(F.length(text_col) > 0)
     out = quality_features(out, text_col)
@@ -65,6 +76,11 @@ def curate_documents(
     )
     clean = scrub_pii_col(F.col(text_col)) if scrub else F.col(text_col)
     out = out.withColumn("text_clean", clean)
+    if span_k is not None:
+        from ..operators.dedup import remove_duplicated_spans
+
+        out = remove_duplicated_spans(out, k=span_k, text_col="text_clean",
+                                      id_col=id_col, min_docs=span_min_docs)
     return exact_dedup(out, "text_clean", id_col)
 
 
@@ -122,6 +138,7 @@ def curate_to_training_shards(
     n_buckets: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    curated: DataFrame | None = None,
     **curation_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """The COMPLETE pretraining last mile: curate -> BPE tokenize ->
@@ -135,13 +152,21 @@ def curate_to_training_shards(
     packing is one window; the shard gather is one aggregation on the
     packing key — five exchanges end to end, each on a different
     bounded key, nothing corpus-sized ever sits on one task when
-    ``n_buckets`` is set."""
+    ``n_buckets`` is set.
+
+    ``curated``: pass an already-curated table (must carry
+    ``text_clean`` and ``lang_detected``, e.g. the parquet a previous
+    ``curate_documents`` run wrote) to skip re-running the curation
+    cascade — the CLI uses this so ``--shards-out`` consumes the
+    curated output it just materialized instead of recomputing
+    curation once per downstream consumer."""
     from ..functions.bpe import (build_vocab, bpe_tokenize, encode_token_ids,
                                  train_bpe_from_corpus)
     from ..operators.packing import pack_sequences, sequence_shards
 
-    curated = curate_documents(df, text_col=text_col, id_col=id_col,
-                               **curation_kwargs)
+    if curated is None:
+        curated = curate_documents(df, text_col=text_col, id_col=id_col,
+                                   **curation_kwargs)
     if merges is None:
         merges = train_bpe_from_corpus(curated, num_merges,
                                        text_col="text_clean",
@@ -225,10 +250,14 @@ def main(argv: list[str] | None = None) -> None:
     print(f"curation: {rep['rows_in']:,} in -> {rep['rows_out']:,} out "
           f"({rep['survival_rate']:.1%} survive)")
     if args.shards_out:
+        # reuse the curated parquet written above: the trainer collect,
+        # the encoder and the packer all read the materialized output
+        # instead of re-running the curation cascade + dedup shuffle
         shards, vocab = curate_to_training_shards(
             raw, budget=args.budget, num_merges=args.num_merges,
             min_count=args.min_count, n_buckets=args.pack_buckets,
-            **cur_kwargs)
+            id_col=args.id_col,
+            curated=spark.read.parquet(args.output))
         shards.write.mode("overwrite").parquet(f"{args.shards_out}/shards")
         vocab.write.mode("overwrite").parquet(f"{args.shards_out}/vocab")
         n_seq = spark.read.parquet(f"{args.shards_out}/shards").count()

@@ -98,3 +98,36 @@ def test_curation_cli_with_shards(tmp_path):
     ids = set(vocab["token_id"])
     assert all(t in ids for row in shards["tokens"] for t in row)
     assert (shards["n_tokens"] == shards["tokens"].map(len)).all()
+
+
+def test_curation_with_span_removal(spark):
+    """span_k wires ExactSubstr removal into the cascade BEFORE exact
+    dedup: shared boilerplate is cut from every survivor (the unique
+    bodies stay intact), and two docs whose texts become identical
+    after removal collapse in the downstream exact dedup."""
+    import pandas as pd
+
+    boiler = ("click here to subscribe to our free newsletter "
+              "and never miss the latest local updates again")
+    body_a = ("the old library on main street reopened this weekend after "
+              "a two year renovation with new reading rooms for everyone")
+    body_b = ("city officials announced a new bike lane network spanning "
+              "twelve miles of downtown streets starting next spring")
+    rows = [
+        (0, f"{body_a} {boiler}"),
+        (1, f"{body_b} {boiler}"),
+        # 2 shares body_a with 0 -> after removal BOTH body_a and boiler
+        # are flagged spans, so 0 and 2 rewrite to the same (empty)
+        # residue and exact dedup collapses them to doc 0
+        (2, f"{body_a} {boiler}"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = curate_documents(docs, span_k=8, min_quality=0.0).toPandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert "subscribe" not in " ".join(out["text_clean"])
+    assert set(out.index) == {0, 1}
+    # doc 1's unique body survives the cut, only the boiler went
+    assert out.loc[1, "text_clean"] == body_b
+    assert (out["tokens_removed"] > 0).all()
+    # audit columns flow through
+    assert {"tokens_removed", "chars_removed"} <= set(out.columns)

@@ -203,3 +203,67 @@ def test_span_dedup_within_doc_repeats(spark):
     }))
     stats = span_dedup_stats(df, k=8).toPandas().set_index("doc_id")
     assert stats.loc[0, "n_dup_windows"] == 0  # repeats, but single doc
+
+
+def test_remove_duplicated_spans(spark):
+    """ExactSubstr REMOVAL semantics (Lee et al. 2022): duplicated
+    k-word windows are cut out of the text; adjacent/overlapping flagged
+    windows merge into one interval; context-crossing windows (present
+    in only one doc) are kept; unique/short/null docs come back
+    byte-identical."""
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "subscribe to our newsletter for all the latest updates and offers today"  # 12 toks
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            f"alpha beta gamma {boiler} delta epsilon zeta eta theta",
+            f"one two three four five six seven eight {boiler} nine ten",
+            "totally unique document with no duplicated spans at all here now then",
+            "short doc",
+            None,
+            f"{boiler} {boiler} tail words here to finish the doc okay",
+        ],
+    }))
+    out = remove_duplicated_spans(df, k=8, min_docs=2).toPandas() \
+        .set_index("doc_id").sort_index()
+    # only windows fully inside the boilerplate are shared -> exactly the
+    # 12 boiler tokens cut from docs 1 and 2, context preserved
+    assert out.loc[1, "text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out.loc[2, "text"] == "one two three four five six seven eight nine ten"
+    assert out.loc[1, "tokens_removed"] == 12 and out.loc[2, "tokens_removed"] == 12
+    # untouched docs: byte-identical text, zero accounting
+    assert out.loc[3, "text"].startswith("totally unique")
+    assert out.loc[4, "text"] == "short doc"
+    assert pd.isna(out.loc[5, "text"])
+    assert list(out.loc[[3, 4, 5], "tokens_removed"]) == [0, 0, 0]
+    assert list(out.loc[[3, 4, 5], "chars_removed"]) == [0, 0, 0]
+    # doc 6: two adjacent boiler copies merge into ONE 24-token interval
+    assert out.loc[6, "text"] == "tail words here to finish the doc okay"
+    assert out.loc[6, "tokens_removed"] == 24
+    # chars_removed is vs the whitespace-normalized form
+    assert out.loc[6, "chars_removed"] == 2 * (len(boiler) + 1)
+
+
+def test_remove_duplicated_spans_external_catalog(spark):
+    """An externally supplied span catalog (e.g. built over a larger
+    corpus) drives removal: docs here that never cross min_docs still
+    get flagged spans cut."""
+    import pandas as pd
+    from osm_poi_cloud_spark.operators.dedup import (duplicated_spans,
+                                                     remove_duplicated_spans)
+
+    span = "q w e r t y u i"
+    big = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [f"{span} filler words", f"other stuff {span}"],
+    }))
+    catalog = duplicated_spans(big, k=8, min_docs=2)
+    small = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": [f"prefix {span} suffix"],
+    }))
+    out = remove_duplicated_spans(small, k=8, spans=catalog).toPandas()
+    assert out.loc[0, "text"] == "prefix suffix"
+    assert out.loc[0, "tokens_removed"] == 8

@@ -787,6 +787,73 @@ def expected_mixture_sample(con) -> pd.DataFrame:
                                        "tokens_kept"])
 
 
+def expected_span_removal(docs: pd.DataFrame, k: int = 8,
+                          min_docs: int = 2) -> pd.DataFrame:
+    """Independent ExactSubstr removal recompute. Deliberately hash-free:
+    duplicated windows are keyed on the lowercased window STRINGS, so
+    agreement with the engine also certifies its xxhash64 fingerprints
+    are collision-free on this corpus. Tokenization restates the
+    engine's split (ASCII \\s+, empties dropped); interval merge is a
+    from-scratch sweep over sorted positions."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def toks_of(t):
+        if t is None or (isinstance(t, float) and math.isnan(t)):
+            return None
+        return [w for w in ws.split(t) if w]
+
+    toks_map: dict[int, list | None] = {}
+    text_map: dict[int, str | None] = {}
+    docs_of: dict[str, set] = defaultdict(set)
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        toks = toks_of(r["text"])
+        toks_map[did] = toks
+        text_map[did] = r["text"] if toks is not None else None
+        if toks is None:
+            continue
+        low = [w.lower() for w in toks]
+        for i in range(len(low) - k + 1):
+            docs_of[" ".join(low[i:i + k])].add(did)
+    dup = {w for w, ds in docs_of.items() if len(ds) >= min_docs}
+
+    rows = []
+    for did in sorted(toks_map):
+        toks = toks_map[did]
+        if toks is None:
+            rows.append((did, 0, 0, 0,
+                         hashlib.md5(b"\x00__NULL_TEXT__").hexdigest()))
+            continue
+        low = [w.lower() for w in toks]
+        pos = [i for i in range(len(low) - k + 1)
+               if " ".join(low[i:i + k]) in dup]
+        if not pos:
+            txt = text_map[did]
+            n_after = len(toks)
+            rows.append((did, n_after, 0, 0,
+                         hashlib.md5(txt.encode()).hexdigest()))
+            continue
+        ivs: list[list[int]] = []
+        for p in pos:
+            if ivs and p <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], p + k)
+            else:
+                ivs.append([p, p + k])
+        kept = [w for i, w in enumerate(toks)
+                if not any(s <= i < e for s, e in ivs)]
+        new_text = " ".join(kept)
+        chars_removed = len(" ".join(toks)) - len(new_text)
+        rows.append((did, len(kept), len(toks) - len(kept), chars_removed,
+                     hashlib.md5(new_text.encode()).hexdigest()))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens_after",
+                                       "tokens_removed", "chars_removed",
+                                       "text_fp"])
+
+
 def check_pagerank(doc_ids: np.ndarray, result: pd.DataFrame,
                    iters: int = 10, d: float = 0.85) -> None:
     """Independent PageRank check: rebuild the synthetic link graph
@@ -955,7 +1022,7 @@ def main() -> None:
                                 "contamination_pairs", "media_features",
                                 "curated_packing", "training_shards",
                                 "link_pagerank", "kmv_quantiles",
-                                "mixture_sample")}
+                                "mixture_sample", "span_removal")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1024,6 +1091,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["mixture_sample"]),
             _norm_sorted(expected_mixture_sample(con)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["span_removal"]),
+            _norm_sorted(expected_span_removal(docs)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1040,7 +1110,8 @@ def main() -> None:
                   "cm_frequencies": "documents", "contamination_pairs": "documents",
                   "media_features": "customer", "curated_packing": "documents",
                   "training_shards": "documents", "link_pagerank": "documents",
-                  "kmv_quantiles": "documents", "mixture_sample": "documents"}
+                  "kmv_quantiles": "documents", "mixture_sample": "documents",
+                  "span_removal": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
