@@ -98,7 +98,9 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
 def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
                          max_iter: int = 20, strict: bool = False,
                          checkpoint_dir: str | None = None,
-                         algorithm: str = "star") -> DataFrame:
+                         algorithm: str = "star",
+                         num_partitions: int | None = None,
+                         rows_per_partition: int = 250_000) -> DataFrame:
     """Undirected edge list -> (node, component), component = min node id.
 
     ``algorithm``:
@@ -130,11 +132,22 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
 
     Hitting ``max_iter`` without a fixpoint raises if ``strict`` else
     emits a loud warning — a silently split cluster would leak
-    near-duplicates downstream."""
+    near-duplicates downstream.
+
+    Per-round shuffle width is derived from the edge count
+    (``ceil(n_edges / rows_per_partition)``, override with
+    ``num_partitions``) instead of inheriting the session's
+    ``spark.sql.shuffle.partitions`` — iterative rounds over small or
+    rapidly-contracting graphs otherwise pay default-width task
+    scheduling for near-empty partitions (r4 verdict; same fix as
+    operators/graph.py pagerank). Session conf restored on exit; the
+    (node, component) output is exact integers, so the result is
+    partitioning-independent."""
     if algorithm not in ("star", "label-prop"):
         raise ValueError(f"algorithm must be 'star' or 'label-prop', got {algorithm!r}")
     edges = edges.persist()  # re-read every iteration; never recompute upstream LSH
-    spark_ctx = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    spark_ctx = spark.sparkContext
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         # unique per-run subdirectory: (a) later .checkpoint() calls in
@@ -154,12 +167,23 @@ def connected_components(edges: DataFrame, id_a: str = "a", id_b: str = "b",
     def _checkpoint(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        if num_partitions is None:
+            import math
+
+            num_partitions = max(1, math.ceil(edges.count() / rows_per_partition))
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
         if algorithm == "star":
             labels, converged = _cc_star(edges, id_a, id_b, max_iter, _checkpoint)
         else:
             labels, converged = _cc_label_prop(edges, id_a, id_b, max_iter, _checkpoint)
+        # the final label mapping is still lazy (one join over the last
+        # checkpoint) — materialize it before the conf is restored so
+        # every shuffle this operator owns runs at the derived width
+        labels = _checkpoint(labels)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         edges.unpersist()
         if checkpoint_dir is not None:
             # restore EXACTLY the prior state: Scala setCheckpointDir

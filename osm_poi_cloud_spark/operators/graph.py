@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             num_partitions: int | None = None,
+             rows_per_partition: int = 250_000) -> DataFrame:
     """(src, dst) directed edge list -> (node, rank), ranks summing to 1.
 
     ``iters`` fixed-count power iterations (deterministic output for a
@@ -45,13 +47,23 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
     ``checkpoint_dir`` as in ``connected_components``: set on a cluster
     for reliable per-round checkpoints (resume after executor loss);
     unset uses ``localCheckpoint``.
+
+    Shuffle partitioning is derived from the EDGE COUNT instead of
+    inheriting ``spark.sql.shuffle.partitions`` (r4 verdict: 5 setup
+    stages x 128 partitions over a 75k-edge graph was ~14 s of pure
+    task-scheduling overhead — and on a real cluster the early rounds
+    of any pruned subgraph hit the same effect, while a 10^10-edge
+    graph needs MORE than the session default). Every per-round shuffle
+    runs at ``ceil(n_edges / rows_per_partition)`` partitions (override
+    with ``num_partitions``); the session conf is restored on exit.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
 
-    spark_ctx = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    spark_ctx = spark.sparkContext
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         import uuid
@@ -65,11 +77,23 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
         return (df.checkpoint(eager=True) if checkpoint_dir is not None
                 else df.localCheckpoint(eager=True))
 
-    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct().persist())
-    nodes = e_deg = dangling_nodes = None
+    e_raw = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             .persist())
+    e = nodes = e_deg = dangling_nodes = None
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # size every shuffle this operator owns — including the edge
+        # distinct() — from a map-only count of the raw edges (no
+        # shuffle happens before the conf is set): tiny graphs stop
+        # paying default-width scheduling, huge graphs get more width
+        # than the session default
+        if num_partitions is None:
+            import math
+
+            num_partitions = max(1, math.ceil(e_raw.count() / rows_per_partition))
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        e = e_raw.distinct().persist()
         nodes = (e.select(F.col("src").alias("node"))
                  .union(e.select(F.col("dst").alias("node")))
                  .distinct().persist())
@@ -117,8 +141,9 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
             ranks = _checkpoint(new_ranks)
         return ranks
     finally:
-        e.unpersist()
-        for cached in (nodes, e_deg, dangling_nodes):
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        e_raw.unpersist()
+        for cached in (e, nodes, e_deg, dangling_nodes):
             if cached is not None:
                 cached.unpersist()
         if checkpoint_dir is not None:
