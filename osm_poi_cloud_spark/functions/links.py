@@ -99,6 +99,49 @@ def extract_links_with_anchors(pages: DataFrame, html_col: str = "html",
     )
 
 
+#: whole-tag scan for image references (group 0 = full <img ...> tag)
+IMG_RE = r'<img\s[^>]*src="[^"]*"[^>]*>'
+#: sub-extracts applied per <img> tag
+IMG_SRC_RE = r'src="([^"]*)"'
+IMG_ALT_RE = r'alt="([^"]*)"'
+
+
+def extract_image_refs(pages: DataFrame, html_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """(src, img_url, alt) — image references from the html column, the
+    text half of CLIP-style (image, alt/caption) pair construction.
+    Same native shape as ``extract_links_with_anchors``: ONE
+    ``regexp_extract_all`` whole-tag scan + per-tag sub-extracts, URL
+    resolution by the identical absolute/root-relative CASE. Tags
+    without a usable src resolve to NULL and are dropped; a missing
+    ``alt`` attribute yields an empty string (kept — the downstream
+    pair builder decides whether an image with no alt text anywhere is
+    usable)."""
+    html_str = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html_str, F.lit(IMG_RE), 0)
+    origin = F.regexp_replace(F.col(url_col), ORIGIN_RE, "$1")
+    exploded = (
+        pages.select(F.col(url_col).alias("src"), origin.alias("_origin"),
+                     F.explode(tags).alias("tag"))
+        .select(
+            "src", "_origin",
+            F.regexp_extract(F.col("tag"), IMG_SRC_RE, 1).alias("href"),
+            F.regexp_extract(F.col("tag"), IMG_ALT_RE, 1).alias("alt"),
+        )
+    )
+    img_url = (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(F.col("href").startswith("//"), F.lit(None))
+        .when(F.col("href").startswith("/"), F.concat(F.col("_origin"), F.col("href")))
+        .otherwise(F.lit(None))
+    )
+    return (
+        exploded.withColumn("img_url", img_url)
+        .filter(F.col("img_url").isNotNull())
+        .select("src", "img_url", F.trim(F.col("alt")).alias("alt"))
+    )
+
+
 def anchor_text_corpus(links_with_anchors: DataFrame,
                        max_anchors: int = 64) -> DataFrame:
     """Per-TARGET anchor aggregation: (dst, n_links, n_sources,

@@ -246,6 +246,49 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def image_text_pairs(image_refs: DataFrame, media_index: DataFrame,
+                     features: DataFrame | None = None,
+                     max_texts: int = 16,
+                     require_text: bool = True) -> DataFrame:
+    """CLIP-style (image, alt/caption) pair table: join ``<img>``
+    references (``functions/links.py extract_image_refs``: src,
+    img_url, alt) against the fetched-media catalog ``media_index``
+    (url, media_id) and optionally against decoded image features
+    (``extract_image_features``: media_id, feature).
+
+    Output one row per IMAGE: (media_id, img_url, n_refs, n_pages,
+    texts[, feature]) with up to ``max_texts`` DISTINCT non-empty alt
+    texts in sorted order — the same bounded-deterministic aggregation
+    as ``anchor_text_corpus`` (a hotlinked logo referenced from 10^7
+    pages must not build a 10^7-element list). ``require_text`` drops
+    images whose every reference had empty alt (no caption signal — the
+    standard CLIP-pair filter); the exploded (media_id, text) training
+    view is ``explode(texts)``.
+
+    Scale shape: the refs side is the 10^12-row one; the join shuffles
+    on img_url/url (AQE broadcasts a small catalog automatically), the
+    aggregate is partial+final on media's cardinality, and the feature
+    join keys on media_id — all native, no Python."""
+    joined = image_refs.join(
+        media_index.select(F.col("url").alias("img_url"), "media_id"),
+        "img_url")
+    agg = (
+        joined.groupBy("media_id", "img_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("src").alias("n_pages"),
+            F.slice(F.sort_array(F.collect_set(
+                F.when(F.col("alt") != "", F.col("alt")))),
+                1, max_texts).alias("texts"),
+        )
+    )
+    if require_text:
+        agg = agg.filter(F.size("texts") > 0)
+    if features is not None:
+        agg = agg.join(features.select("media_id", "feature"), "media_id", "left")
+    return agg
+
+
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media fixture: REAL decodable PNGs, baseline JPEGs
     and PCM WAVs (via the stdlib codecs), valid GIF headers, fake

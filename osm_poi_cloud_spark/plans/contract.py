@@ -1111,6 +1111,103 @@ def _q_anchor_texts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dst")
 
 
+_IMG_HTML_SPARK = (
+    "concat('<html><body><img src=\"https://img.example/m', "
+    "CAST(doc_id % 128 AS STRING), '.png\" alt=\"cap-', "
+    "CAST(doc_id % 9 AS STRING), '\">', "
+    "'<img class=\"w\" src=\"https://img.example/m', CAST(doc_id % 16 AS STRING), "
+    "'.png\" alt=\"\">', "  # matching image, empty alt: counts as ref, no text
+    "'<img src=\"/banner/', CAST(doc_id % 3 AS STRING), '.png\" alt=\"local\">', "
+    "'<img src=\"icon.gif\" alt=\"dropped\">', "  # dotted-relative: dropped
+    "'</body></html>')"
+)
+
+
+def _image_text_pairs_oracle() -> str:
+    from ..functions.links import IMG_ALT_RE, IMG_RE, IMG_SRC_RE, ORIGIN_RE
+
+    html = _IMG_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH pages AS (
+  SELECT concat('https://s', CAST(doc_id % 4 AS VARCHAR),
+                '.example/p/', CAST(doc_id AS VARCHAR)) AS url,
+         {html} AS html
+  FROM documents WHERE doc_id < 2000
+),
+tags AS (
+  SELECT url, u.t AS tag
+  FROM pages, UNNEST(regexp_extract_all(html, '{IMG_RE}', 0)) AS u(t)
+),
+parsed AS (
+  SELECT url AS src,
+         regexp_extract(tag, '{IMG_SRC_RE}', 1) AS href,
+         trim(regexp_extract(tag, '{IMG_ALT_RE}', 1)) AS alt
+  FROM tags
+),
+resolved AS (
+  SELECT src, alt,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN starts_with(href, '//') THEN NULL
+              WHEN starts_with(href, '/')
+                THEN concat(regexp_replace(src, '{ORIGIN_RE}', '\\1'), href)
+              ELSE NULL END AS img_url
+  FROM parsed
+),
+idx AS (
+  SELECT concat('https://img.example/m', CAST(i AS VARCHAR), '.png') AS url,
+         concat('m', CAST(i AS VARCHAR)) AS media_id
+  FROM (SELECT UNNEST(generate_series(0, 127)) AS i) WHERE i % 4 < 2
+),
+agg AS (
+  SELECT i.media_id, r.img_url,
+         COUNT(*) AS n_refs,
+         COUNT(DISTINCT r.src) AS n_pages,
+         list_slice(list_sort(list_distinct(
+             list(r.alt) FILTER (WHERE r.alt <> ''))), 1, 16) AS texts
+  FROM resolved r JOIN idx i ON r.img_url = i.url
+  GROUP BY i.media_id, r.img_url
+)
+SELECT media_id, img_url, CAST(n_refs AS BIGINT) AS n_refs,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       md5(array_to_string(texts, '|')) AS texts_md5
+FROM agg WHERE len(texts) > 0 ORDER BY media_id
+"""
+
+
+def _q_image_text_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style image–text pair construction (functions/links.py
+    extract_image_refs + operators/multimodal.py image_text_pairs):
+    <img src/alt> tags scanned in ONE native regexp pass from HTML
+    synthesized over documents, resolved by the shared CASE rules,
+    joined against a deterministic media index (url -> media_id,
+    image-kind ids only) and aggregated per image with bounded sorted
+    distinct alt texts. Text lists cross the driver hash as md5
+    fingerprints (anchor_texts pattern). Dialect-split oracle: the
+    identical regexps + CASE + list aggregation in DuckDB. The real
+    decoded-feature join (extract_image_features) is pytest-covered —
+    float-array features don't fit the driver hash."""
+    from ..functions.links import extract_image_refs
+    from ..operators.multimodal import image_text_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    pages = spark.sql(
+        "SELECT concat('https://s', CAST(doc_id % 4 AS STRING), "
+        "'.example/p/', CAST(doc_id AS STRING)) AS url, "
+        f"{_IMG_HTML_SPARK} AS html "
+        "FROM documents WHERE doc_id < 2000")
+    index = spark.sql(
+        "SELECT concat('https://img.example/m', CAST(i AS STRING), '.png') AS url, "
+        "concat('m', CAST(i AS STRING)) AS media_id "
+        "FROM (SELECT explode(sequence(0, 127)) AS i) WHERE i % 4 < 2")
+    pairs = image_text_pairs(extract_image_refs(pages), index)
+    return pairs.select(
+        "media_id", "img_url",
+        F.col("n_refs").cast("long").alias("n_refs"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.md5(F.concat_ws("|", F.col("texts"))).alias("texts_md5"),
+    ).orderBy("media_id")
+
+
 _ROBOTS_RULES = [
     # host, prefix, allow
     ("h0.example", "/p/", False),
@@ -1917,6 +2014,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["robots_filter"] = _q_robots_filter_spark
     q["page_links"] = _q_page_links_spark
     q["anchor_texts"] = _q_anchor_texts_spark
+    q["image_text_pairs"] = _q_image_text_pairs_spark
     return q
 
 
@@ -2013,5 +2111,6 @@ def build_oracles() -> dict[str, str]:
     o["robots_filter"] = _robots_filter_oracle()
     o["page_links"] = _page_links_oracle()
     o["anchor_texts"] = _anchor_texts_oracle()
+    o["image_text_pairs"] = _image_text_pairs_oracle()
     o.update(_golden_oracles())
     return o

@@ -51,6 +51,65 @@ def test_host_graph_and_pagerank_composition(spark):
     assert abs(pr.sum() - 1.0) < 1e-9
 
 
+def test_image_refs_extraction(spark):
+    rows = [
+        _page("https://a.example/p/1",
+              '<img src="https://cdn.example/logo.png" alt="The Logo">'
+              '<img class="b" src="/pics/cat.jpg" alt="  a cat  ">'
+              '<img src="//cdn.example/x.png" alt="proto-rel">'
+              '<img src="rel.gif" alt="dotted">'
+              '<img src="https://cdn.example/noalt.png">'),
+        _page("https://b.example/q", "no images"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+    got = L.extract_image_refs(df).toPandas().sort_values("img_url").reset_index(drop=True)
+    assert list(got["img_url"]) == [
+        "https://a.example/pics/cat.jpg",       # root-relative resolved
+        "https://cdn.example/logo.png",
+        "https://cdn.example/noalt.png",
+    ]
+    assert list(got["alt"]) == ["a cat", "The Logo", ""]  # trimmed; missing alt -> ""
+    plan = L.extract_image_refs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_image_text_pairs_with_real_features(spark):
+    """CLIP-pair composition: <img> refs joined to the synthetic media
+    catalog and to REAL decoded pixel features (codec path, not the
+    byte fallback)."""
+    from osm_poi_cloud_spark.operators.multimodal import (
+        extract_image_features, image_text_pairs, make_synthetic_media)
+
+    media = make_synthetic_media(spark, 16)
+    # catalog: every media item hosted at a deterministic URL
+    index = media.select(
+        F.concat(F.lit("https://cdn.example/"), "media_id").alias("url"), "media_id")
+    rows = [
+        _page("https://a.example/1",
+              '<img src="https://cdn.example/m0" alt="a png image">'
+              '<img src="https://cdn.example/m1" alt="a jpeg">'
+              '<img src="https://cdn.example/m2" alt="video thumb">'),
+        _page("https://b.example/2",
+              '<img src="https://cdn.example/m0" alt="same png, other page">'
+              '<img src="https://cdn.example/m4" alt="">'),  # empty alt only
+    ]
+    pages = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+    feats = extract_image_features(media.filter(F.col("kind") == "image"))
+    pairs = image_text_pairs(
+        L.extract_image_refs(pages), index, features=feats).toPandas()
+    by_id = pairs.set_index("media_id")
+    assert "m4" not in by_id.index          # require_text drops no-alt images
+    m0 = by_id.loc["m0"]
+    assert m0["n_refs"] == 2 and m0["n_pages"] == 2
+    assert list(m0["texts"]) == ["a png image", "same png, other page"]
+    # m0 is a real PNG: feature head[2] = channels/4 > 0 proves the
+    # codec decode ran (byte-fallback features have no such structure)
+    assert m0["feature"] is not None and m0["feature"][2] > 0
+    # m2 is video-kind: joined (it's in the catalog) but feature is
+    # NULL (left join against image features only)
+    assert by_id.loc["m2"]["feature"] is None
+
+
 def test_anchor_text_extraction_and_corpus(spark):
     rows = [
         _page("https://a.example/1",
