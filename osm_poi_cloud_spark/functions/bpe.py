@@ -227,33 +227,98 @@ def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
     return df.select(F.col(id_col), tokens_udf(F.col(text_col)).alias("tokens"))
 
 
-def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+#: GPT-2-style byte-fallback alphabet: one reserved token per byte
+#: value, uppercase hex. Corpus tokens are lowercased at word-split
+#: time, so letter-bearing byte tokens can't collide with real text;
+#: digit-only ones (<0x10>..) could only collide with a document that
+#: literally contains that string — union+distinct in build_vocab makes
+#: even that share one id instead of duplicating.
+BYTE_TOKENS = [f"<0x{i:02X}>" for i in range(256)]
+
+
+def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens",
+                byte_fallback: bool = False) -> DataFrame:
     """(token, token_id) — dense ids assigned by lexicographic token
     order. The distinct step is a normal shuffle; the id-assignment
     window runs in ONE task over the DISTINCT vocabulary, which a BPE
     tokenizer bounds by construction (chars + one entry per merge), so
-    the single-partition window is vocabulary-sized, never corpus-sized."""
+    the single-partition window is vocabulary-sized, never corpus-sized.
+
+    ``byte_fallback=True`` reserves the 256 ``BYTE_TOKENS`` in the
+    vocabulary so ``encode_token_ids(fallback="bytes")`` can encode
+    ARBITRARY input losslessly — symbols the training corpus never saw
+    (emoji/CJK over an ASCII corpus) decompose into their UTF-8 bytes
+    instead of being dropped (GPT-2's byte-level alphabet, Radford et
+    al. 2019)."""
     from pyspark.sql import Window
 
     toks = tokens_df.select(F.explode(tokens_col).alias("token")).distinct()
+    if byte_fallback:
+        spark = tokens_df.sparkSession
+        bt = spark.createDataFrame([(t,) for t in BYTE_TOKENS], "token string")
+        toks = toks.union(bt).distinct()
     w = Window.orderBy("token")
     return toks.select("token", (F.row_number().over(w) - 1).cast("long").alias("token_id"))
 
 
 def encode_token_ids(tokens_df: DataFrame, vocab: DataFrame,
                      tokens_col: str = "tokens",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     fallback: str = "error") -> DataFrame:
     """(id, token_ids array<long>) — token strings mapped to dense ids
     via a BROADCAST join against the (bounded) vocabulary: posexplode
     keeps each token's position, the re-collect sorts on it, so the id
     array is exactly the token stream. One shuffle (the per-doc
-    regroup); the vocab side never shuffles."""
+    regroup); the vocab side never shuffles.
+
+    Out-of-vocabulary handling (``fallback``) — an inner join would
+    silently DROP unseen tokens from the id stream (r4 verdict):
+
+    * ``"error"`` (default): any token missing from the vocabulary
+      raises inside the plan with the offending token named — encoding
+      a corpus against its own vocabulary never triggers it, and a
+      vocab/corpus mismatch fails loudly instead of corrupting streams.
+    * ``"bytes"``: unseen tokens decompose into their UTF-8 bytes'
+      reserved ``BYTE_TOKENS`` ids (vocab must be built with
+      ``byte_fallback=True``; checked up front) — lossless on arbitrary
+      input, the GPT-2 byte-level guarantee. The decomposition is all
+      native (``hex(encode(...))`` + regexp pair-split + a 256-entry
+      literal map); only the 256-row byte-id lookup touches the driver,
+      once at plan time."""
+    if fallback not in ("error", "bytes"):
+        raise ValueError(f"fallback must be 'error' or 'bytes', got {fallback!r}")
     pos = tokens_df.select(
         F.col(id_col), F.posexplode(tokens_col).alias("pos", "token"))
-    joined = pos.join(F.broadcast(vocab), "token")
+    joined = pos.join(F.broadcast(vocab), "token", "left")
+    if fallback == "bytes":
+        byte_rows = (vocab.filter(F.col("token").isin(BYTE_TOKENS))
+                     .select("token", "token_id").collect())
+        if len(byte_rows) != 256:
+            raise ValueError(
+                f"fallback='bytes' needs all 256 BYTE_TOKENS in the vocab "
+                f"(found {len(byte_rows)}); build it with build_vocab("
+                f"byte_fallback=True)")
+        byte_map = F.create_map(
+            *[F.lit(x) for r in byte_rows for x in (r["token"], r["token_id"])])
+        hexpairs = F.regexp_extract_all(
+            F.hex(F.encode(F.col("token"), "UTF-8")), F.lit("(..)"), 1)
+        ids = F.when(
+            F.col("token_id").isNotNull(), F.array(F.col("token_id"))
+        ).otherwise(F.transform(
+            hexpairs,
+            lambda h: F.element_at(byte_map, F.concat(F.lit("<0x"), h, F.lit(">")))))
+    else:
+        ids = F.when(
+            F.col("token_id").isNotNull(), F.array(F.col("token_id"))
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("encode_token_ids: token not in vocabulary: '"),
+            F.col("token"),
+            F.lit("' (use fallback='bytes' with a byte_fallback vocab "
+                  "for lossless OOV encoding)"))))
     return (
-        joined.groupBy(id_col)
-        .agg(F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
-            lambda s: s["token_id"]).alias("token_ids"))
+        joined.select(F.col(id_col), F.col("pos"), ids.alias("ids"))
+        .groupBy(id_col)
+        .agg(F.flatten(F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "ids"))),
+            lambda s: s["ids"])).alias("token_ids"))
     )

@@ -123,3 +123,59 @@ def test_token_counts_deterministic_and_match_pure(spark):
     # more than whitespace words
     n_words = pdf["text"].str.lower().str.split().str.len()
     assert (got.loc[pdf["doc_id"]].to_numpy() >= n_words.to_numpy()).all()
+
+
+def test_oov_byte_fallback_lossless_and_error_mode(spark):
+    """r4 verdict #6: unseen codepoints must not be silently dropped.
+    An ASCII-trained vocab encodes emoji/CJK text via the reserved
+    byte alphabet, losslessly; the strict default raises instead."""
+    import pandas as pd
+    from pyspark.sql.utils import AnalysisException
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["the cat sat", "the hat"]}))
+    merges = B.train_bpe_from_corpus(train, 20)
+    toks_train = B.bpe_tokenize(train, merges)
+    vocab = B.build_vocab(toks_train, byte_fallback=True)
+    vp = vocab.toPandas()
+    assert set(B.BYTE_TOKENS) <= set(vp["token"])
+    assert vp["token_id"].is_unique and vp["token_id"].max() == len(vp) - 1
+
+    new_text = "the cat été 世界 \U0001f600"
+    new = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [new_text]}))
+    toks_new = B.bpe_tokenize(new, merges)
+    token_stream = toks_new.toPandas()["tokens"][0]
+
+    ids = (B.encode_token_ids(toks_new, vocab, fallback="bytes")
+           .toPandas()["token_ids"][0])
+    # decode: ids -> tokens; byte tokens -> raw bytes; EOW -> space.
+    # Exact round-trip proves losslessness on arbitrary input.
+    id2tok = dict(zip(vp["token_id"], vp["token"]))
+    buf = bytearray()
+    for i in ids:
+        t = id2tok[int(i)]
+        if t in set(B.BYTE_TOKENS):
+            buf.extend(bytes([int(t[3:5], 16)]))
+        else:
+            buf.extend(t.encode())
+    # byte reconstruction first, EOW detokenization second (an OOV
+    # symbol may carry its EOW through the byte decomposition)
+    assert buf.decode().replace(B.EOW, " ").rstrip(" ") == new_text.lower()
+    # every non-byte id is a real vocab token; stream covers all tokens
+    # (nothing dropped): id count >= token count, equality iff no OOV
+    assert len(ids) >= len(token_stream)
+
+    # known-only input: byte mode and the old inner-join semantics agree
+    ids_train = (B.encode_token_ids(toks_train, vocab, fallback="bytes")
+                 .toPandas().set_index("doc_id")["token_ids"])
+    assert [id2tok[int(i)] for i in ids_train[0]] == \
+        list(B.bpe_tokenize(train, merges).toPandas().set_index("doc_id")["tokens"][0])
+
+    # strict default: loud failure, not silent truncation
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    with _pytest.raises(Exception, match="not in vocabulary"):
+        B.encode_token_ids(toks_new, vocab.filter(~F.col("token").isin(B.BYTE_TOKENS))).collect()
+    # bytes mode without byte tokens in the vocab: caught at plan time
+    with _pytest.raises(ValueError, match="BYTE_TOKENS"):
+        B.encode_token_ids(toks_new, B.build_vocab(toks_train), fallback="bytes")
