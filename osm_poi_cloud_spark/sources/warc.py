@@ -41,6 +41,7 @@ import io
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
 
@@ -291,13 +292,16 @@ class _HttpStream:
     reading and discarding the already-consumed prefix. Forward-only;
     wrap in ``_SniffWrapper`` for the gzip sniff's ``seek(0)``."""
 
-    def __init__(self, url: str, max_retries: int = 5, timeout: float = 60.0):
+    def __init__(self, url: str, max_retries: int = 5, timeout: float = 60.0,
+                 start: int = 0, end: int | None = None):
         self._url = url
         self._retries = max_retries
         self._timeout = timeout
         self._pos = 0  # bytes handed to the caller
+        self._start = start  # absolute archive offset of byte 0 (record fetch)
+        self._end = end  # inclusive absolute end for a bounded Range
         self._resp = None
-        self._open_at(0)
+        self._open_at(start)
 
     def _open_at(self, offset: int) -> None:
         import time
@@ -313,7 +317,9 @@ class _HttpStream:
         for attempt in range(self._retries):
             try:
                 req = urllib.request.Request(self._url)
-                if offset:
+                if self._end is not None:
+                    req.add_header("Range", f"bytes={offset}-{self._end}")
+                elif offset:
                     req.add_header("Range", f"bytes={offset}-")
                 resp = urllib.request.urlopen(req, timeout=self._timeout)
                 skipped = 0
@@ -368,7 +374,7 @@ class _HttpStream:
                     raise IOError(
                         f"no progress resuming {self._url} at "
                         f"{self._pos + len(out)} after {stalls} attempts")
-                self._open_at(self._pos + len(out))
+                self._open_at(self._start + self._pos + len(out))
                 continue
             stalls = 0
             out.extend(chunk)
@@ -550,6 +556,193 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
                         yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
 
     return files.mapInPandas(batches, schema=PAGES_FROM_WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CC-index selective fetch: read ONLY the records an index selects
+# ---------------------------------------------------------------------------
+#
+# Real pipelines never scan whole crawls for a narrow selection: Common
+# Crawl publishes a columnar index (the cc-index table) whose rows carry
+# (url, warc_filename, warc_record_offset, warc_record_length) — and
+# because each WARC record is its OWN gzip member, a record is
+# retrievable with one bounded Range read + gunzip. Filter the index
+# natively (predicate pushdown on the parquet scan), then fetch only
+# the selected records.
+
+#: the cc-index-table column subset this reader consumes (its public
+#: schema names: url, warc_filename, warc_record_offset/_length)
+CC_INDEX_SCHEMA = ("url string, warc_filename string, "
+                   "warc_record_offset long, warc_record_length long")
+
+
+def index_warc_members(path: str, record_types: tuple[str, ...] = ("response",),
+                       ) -> list[tuple[str, str, int, int]]:
+    """Scan ONE per-record-gzip WARC archive and emit cc-index-style
+    rows (url, warc_filename, warc_record_offset, warc_record_length) —
+    one per member whose record matches ``record_types`` (responses,
+    like the real cc-index). Member boundaries come from streaming
+    ``zlib.decompressobj`` walks (``unused_data`` marks each member's
+    end), so offsets are exact archive byte positions. Plain
+    (non-member-gzip) archives are rejected: the offset/length fetch
+    contract is the Common-Crawl layout's."""
+    import zlib
+
+    rows: list[tuple[str, str, int, int]] = []
+    with open_archive_stream(path) as f:
+        buf = f.read(2)
+        if buf != b"\x1f\x8b":
+            raise ValueError(
+                f"{path!r} is not a per-record-gzip WARC (Common Crawl "
+                f"layout) — offset-indexed fetch needs one gzip member "
+                f"per record")
+        offset = 0
+        while True:
+            d = zlib.decompressobj(wbits=31)
+            member = bytearray()
+            consumed = 0
+            while not d.eof:
+                if not buf:
+                    buf = f.read(1 << 16)
+                    if not buf:
+                        break
+                member.extend(d.decompress(buf))
+                consumed += len(buf) - len(d.unused_data)
+                buf = d.unused_data
+            if not member:
+                break
+            for url, _ts, _body in parse_warc_bytes(
+                    bytes(member), content_types=None,
+                    sanitize_utf8=False, record_types=record_types):
+                rows.append((url, path, offset, consumed))
+            offset += consumed
+    return rows
+
+
+def build_warc_index(spark: SparkSession, path_glob: str,
+                     record_types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Distributed index build over archives matching ``path_glob``
+    (``hadoop_glob`` semantics as in ``read_warc_pages``): one task per
+    archive runs ``index_warc_members``. Output has ``CC_INDEX_SCHEMA``
+    — the same column names the public cc-index table uses, so a query
+    written against this index runs unchanged against the real one."""
+    paths = _list_archives(spark, path_glob)
+    files = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(len(paths))
+
+    def batches(it):
+        for pdf in it:
+            for path in pdf["path"]:
+                rows = index_warc_members(path, record_types=record_types)
+                if rows:
+                    yield pd.DataFrame(
+                        {"url": [r[0] for r in rows],
+                         "warc_filename": [r[1] for r in rows],
+                         "warc_record_offset": [r[2] for r in rows],
+                         "warc_record_length": [r[3] for r in rows]})
+
+    return files.mapInPandas(batches, schema=CC_INDEX_SCHEMA)
+
+
+def fetch_archive_range(path: str, offset: int, length: int,
+                        fp_cache: dict | None = None) -> bytes:
+    """Read exactly ``[offset, offset+length)`` from one archive.
+    Local/``file:`` paths seek a (cached, reusable) file handle;
+    ``http(s)://`` and public ``s3://`` issue a BOUNDED Range request
+    (``bytes=offset-(offset+length-1)``) with the same resume/backoff
+    machinery as full-archive streaming. Schemes only the JVM client
+    can reach raise, pointing at ``read_warc_pages_jvm_bytes``."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = unquote(u.path) if u.scheme == "file" else path
+        fp = None if fp_cache is None else fp_cache.get(local)
+        if fp is None:
+            fp = open(local, "rb")
+            if fp_cache is not None:
+                fp_cache[local] = fp
+        try:
+            fp.seek(offset)
+            return fp.read(length)
+        finally:
+            if fp_cache is None:
+                fp.close()
+    elif u.scheme in ("http", "https", "s3", "s3a", "s3n"):
+        url = path if u.scheme in ("http", "https") else _s3_https_url(path)
+        s = _HttpStream(url, start=offset, end=offset + length - 1)
+        try:
+            return s.read(length)
+        finally:
+            s.close()
+    raise ValueError(
+        f"no range fetcher for scheme {u.scheme!r} ({path!r}) — use "
+        f"read_warc_pages_jvm_bytes for JVM-only schemes")
+
+
+def read_warc_records_by_index(spark: SparkSession, index: DataFrame,
+                               base_uri: str | None = None,
+                               file_col: str = "warc_filename",
+                               offset_col: str = "warc_record_offset",
+                               length_col: str = "warc_record_length",
+                               content_types: tuple[str, ...] | None = ("text/html",),
+                               sanitize_utf8: bool = True,
+                               record_types: tuple[str, ...] = ("response",),
+                               chunk_rows: int = 2000) -> DataFrame:
+    """Fetch ONLY the WARC records an index selects -> (url, warc_ts,
+    html), same schema/semantics as ``read_warc_pages`` (shared
+    ``iter_warc_records`` parse, so byte parity with a full scan of the
+    same selection holds by construction).
+
+    ``index`` is any DataFrame carrying (warc_filename,
+    warc_record_offset, warc_record_length) — the filtered cc-index
+    parquet in production (filter it BEFORE calling: predicates prune
+    at the parquet scan), or ``build_warc_index`` output in tests.
+    ``base_uri`` prefixes relative filenames (Common Crawl's index
+    stores paths relative to ``https://data.commoncrawl.org/``).
+
+    Scale shape: the selection is repartitioned BY ARCHIVE FILE and
+    sorted by offset within each partition — local fetches reuse one
+    seeking handle per file in ascending-offset (sequential) order,
+    remote fetches issue one bounded Range request per record (the
+    standard CDX-fetch pattern; each request is independent, so
+    executor count scales fetch throughput). Per-task memory is one
+    record + one output chunk."""
+    base = base_uri.rstrip("/") + "/" if base_uri else ""
+    sel = (
+        index.select(
+            F.concat(F.lit(base), F.col(file_col)).alias("f"),
+            F.col(offset_col).cast("long").alias("o"),
+            F.col(length_col).cast("long").alias("l"))
+        .repartition(F.col("f"))
+        .sortWithinPartitions("f", "o")
+    )
+
+    def batches(it):
+        fp_cache: dict = {}
+        try:
+            for pdf in it:
+                urls, tss, htmls = [], [], []
+                for f_, o, ln in zip(pdf["f"], pdf["o"], pdf["l"]):
+                    data = fetch_archive_range(f_, int(o), int(ln), fp_cache)
+                    for url, ts, body in parse_warc_bytes(
+                            data, content_types=content_types,
+                            sanitize_utf8=sanitize_utf8,
+                            record_types=record_types):
+                        urls.append(url)
+                        tss.append(ts)
+                        htmls.append(body)
+                    if len(urls) >= chunk_rows:
+                        yield pd.DataFrame(
+                            {"url": urls, "warc_ts": tss, "html": htmls})
+                        urls, tss, htmls = [], [], []
+                if urls:
+                    yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+        finally:
+            for fp in fp_cache.values():
+                fp.close()
+
+    return sel.mapInPandas(batches, schema=PAGES_FROM_WARC_SCHEMA)
 
 
 def read_warc_pages_jvm_bytes(spark: SparkSession, path_glob: str,

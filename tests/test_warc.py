@@ -336,3 +336,87 @@ def test_wet_conversion_records(spark, tmp_path):
     gz_path.write_bytes(gz.compress(warcinfo) + gz.compress(wet_rec))
     df2 = W.read_wet_pages(spark, str(gz_path)).toPandas()
     assert len(df2) == 1 and bytes(df2.loc[0, "html"]).decode() == text
+
+
+def test_index_selective_fetch_parity(spark, tmp_path):
+    """CC-index selective fetch (r4 verdict #4): build a cc-index-style
+    table over local per-record-gzip archives, filter it NATIVELY, and
+    fetch only the selected records — exact (url, ts, html) parity with
+    a full scan filtered to the same urls."""
+    from pyspark.sql import functions as F
+
+    all_recs = []
+    for tag, n in (("ia", 30), ("ib", 25), ("ic", 20)):
+        recs = _records(n, tag)
+        W.write_warc(str(tmp_path / f"{tag}.warc.gz"), recs, gzip_members=True)
+        all_recs += recs
+    glob = str(tmp_path / "i?.warc.gz")
+
+    idx = W.build_warc_index(spark, glob)
+    ipd = idx.toPandas()
+    assert len(ipd) == 75 and set(ipd.columns) == {
+        "url", "warc_filename", "warc_record_offset", "warc_record_length"}
+    # offsets are exact member boundaries: ascending, non-overlapping,
+    # summing to the file size per archive
+    for f, grp in ipd.groupby("warc_filename"):
+        grp = grp.sort_values("warc_record_offset")
+        assert (grp["warc_record_offset"].to_numpy()[1:] ==
+                (grp["warc_record_offset"] + grp["warc_record_length"])
+                .to_numpy()[:-1]).all()
+        from urllib.parse import urlparse, unquote
+        assert (grp["warc_record_offset"].iloc[-1]
+                + grp["warc_record_length"].iloc[-1]
+                == os.path.getsize(unquote(urlparse(f).path)))
+
+    # native filter on the index (this is the point: predicate pushdown
+    # selects records; only those are fetched)
+    sel = idx.filter(F.col("url").rlike("/p/1?[02468]$"))
+    got = (W.read_warc_records_by_index(spark, sel)
+           .toPandas().sort_values("url").reset_index(drop=True))
+    want_urls = sorted(u for u, _, _ in all_recs
+                       if __import__("re").search(r"/p/1?[02468]$", u))
+    assert list(got["url"]) == want_urls and len(got) > 20
+    by_url = {u: h for u, _, h in all_recs}
+    for _, r in got.iterrows():
+        assert bytes(r["html"]) == by_url[r["url"]]
+
+    # single mid-file record fetch: offset/length alone suffice
+    one = ipd[ipd["url"] == "https://ib.example.org/p/13"].iloc[0]
+    data = W.fetch_archive_range(
+        one["warc_filename"], int(one["warc_record_offset"]),
+        int(one["warc_record_length"]))
+    rows = W.parse_warc_bytes(data)
+    assert len(rows) == 1 and rows[0][0] == "https://ib.example.org/p/13"
+
+    # non-member-gzip archives are rejected up front
+    W.write_warc(str(tmp_path / "plain.warc"), _records(3, "pl"))
+    with pytest.raises(ValueError, match="gzip member"):
+        W.index_warc_members(str(tmp_path / "plain.warc"))
+
+
+def test_index_fetch_http_range(spark, tmp_path):
+    """Remote selective fetch: bounded Range requests against the test
+    HTTP server retrieve exactly the indexed records."""
+    recs = _records(24, "hr")
+    W.write_warc(str(tmp_path / "hr.warc.gz"), recs, gzip_members=True)
+    blob = (tmp_path / "hr.warc.gz").read_bytes()
+    srv, url = _serve(blob)
+    try:
+        local_rows = W.index_warc_members(str(tmp_path / "hr.warc.gz"))
+        import pandas as pd
+        idx = spark.createDataFrame(pd.DataFrame(
+            {"url": [r[0] for r in local_rows],
+             "warc_filename": [url] * len(local_rows),
+             "warc_record_offset": [r[2] for r in local_rows],
+             "warc_record_length": [r[3] for r in local_rows]}))
+        from pyspark.sql import functions as F
+        sel = idx.filter(F.col("url").endswith("3"))
+        got = (W.read_warc_records_by_index(spark, sel)
+               .toPandas().sort_values("url").reset_index(drop=True))
+        want = sorted(u for u, _, _ in recs if u.endswith("3"))
+        assert list(got["url"]) == want
+        by_url = {u: h for u, _, h in recs}
+        for _, r in got.iterrows():
+            assert bytes(r["html"]) == by_url[r["url"]]
+    finally:
+        srv.shutdown()
