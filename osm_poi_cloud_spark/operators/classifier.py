@@ -55,6 +55,105 @@ def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return repetition_features(quality_features(df, text_col), text_col)
 
 
+#: extended basis (r4 verdict #7): text-surface features + the engine's
+#: corpus-level signals — bigram-LM fluency, cross-document span
+#: duplication, link in-degree. Every derivation is exact-IEEE-safe
+#: (integer counts -> one divide; no transcendentals), so the logit
+#: chain stays bit-reproducible in an oracle engine.
+EXT_FEATURES = FEATURES + ("lm_ppm_norm", "dup_span_frac", "indeg_sat")
+
+#: extended-model defaults: distilled by tools/train_default_quality_lr.py
+#: --extended on sf0.01 clean documents vs junk families that the
+#: text-surface basis alone cannot fully separate (cross-doc boilerplate
+#: with no within-doc repetition, fluent-looking low-LM salad), with a
+#: link graph where junk is never cited. Regenerate alongside
+#: DEFAULT_QUALITY_WEIGHTS when either basis changes.
+#: (train accuracy 1.0 on the combined corpus; the 6-feature basis
+#: caps at 0.947 there — the salad_x family is only LM-separable and
+#: boiler_x only span/link-separable)
+DEFAULT_QUALITY_WEIGHTS_EXT: tuple[float, ...] = (
+    2.5851397137114196,    # alpha_ratio
+    -0.9298601669080626,   # punct_ratio
+    -7.934768262676515,    # stopword_ratio
+    -0.07255161079616151,  # mean_word_len
+    4.839170308806051,     # dup_word_frac
+    -5.334391445674364,    # dup_line_frac
+    -2.094078136525362,    # lm_ppm_norm   (self-trained LM rates mass-
+                           #  duplicated boilerplate as hyper-fluent)
+    -0.20124233677876177,  # dup_span_frac
+    16.304615374856855,    # indeg_sat     (junk is never cited)
+)
+DEFAULT_QUALITY_BIAS_EXT: float = -4.389176703821991
+
+
+def ext_signal_features(df: DataFrame) -> DataFrame:
+    """Derive the three extended feature columns from attached signal
+    columns (``mean_p_ppm`` from ``functions.lm.score_bigram_lm``,
+    ``n_windows``/``n_dup_windows`` from ``operators.dedup
+    .span_dedup_stats``, ``indegree`` — each zero when absent for a
+    document):
+
+    * ``lm_ppm_norm``  = mean_p_ppm / 1e6 (the quantized mean bigram
+      probability back on [0, 1] — integer over power-of-ten literal,
+      one exact divide);
+    * ``dup_span_frac`` = n_dup_windows / max(n_windows, 1);
+    * ``indeg_sat``     = indegree / (indegree + 10) — a saturating
+      rational in [0, 1) (log would be transcendental and engine-
+      specific; the hyperbola keeps single-link noise small and
+      saturates for heavily-cited pages the same way)."""
+    return (
+        df.withColumn("lm_ppm_norm",
+                      F.col("mean_p_ppm").cast("double") / F.lit(1000000.0))
+        .withColumn("dup_span_frac",
+                    F.col("n_dup_windows").cast("double")
+                    / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"))
+        .withColumn("indeg_sat",
+                    F.col("indegree").cast("double")
+                    / (F.col("indegree").cast("double") + F.lit(10.0)))
+    )
+
+
+def featurize_extended(docs: DataFrame, edges: DataFrame | None = None,
+                       span_k: int = 8, span_fingerprint: str = "xxhash64",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One-call EXT_FEATURES composition: base text features + a
+    self-trained bigram LM score + cross-doc span-duplication stats +
+    link in-degree (``edges`` as (src, dst) document ids; ``None`` -> 0
+    in-degree everywhere, the no-graph degenerate).
+
+    Scale shape: three count shuffles (LM bigrams/unigrams, span
+    fingerprints, in-degree) + three left joins back on the doc id —
+    each independently the shape its standalone operator ships; nothing
+    new materializes on the driver beyond the LM's vocab scalar."""
+    from ..functions.lm import score_bigram_lm, train_bigram_lm
+    from .dedup import span_dedup_stats
+
+    base = featurize(docs, text_col)
+    bc, uc, v = train_bigram_lm(docs, text_col, id_col)
+    lm = score_bigram_lm(docs, bc, uc, v, text_col, id_col,
+                         broadcast_counts=True) \
+        .select(id_col, "mean_p_ppm")
+    spans = span_dedup_stats(docs, k=span_k, text_col=text_col,
+                             id_col=id_col, fingerprint=span_fingerprint) \
+        .select(id_col, "n_windows", "n_dup_windows")
+    out = (
+        base.join(lm, id_col, "left")
+        .join(spans, id_col, "left")
+        .withColumn("mean_p_ppm", F.coalesce("mean_p_ppm", F.lit(0)))
+        .withColumn("n_windows", F.coalesce("n_windows", F.lit(0)))
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+    )
+    if edges is not None:
+        indeg = edges.groupBy(F.col("dst").alias(id_col)) \
+            .agg(F.count(F.lit(1)).alias("indegree"))
+        out = out.join(indeg, id_col, "left")
+        out = out.withColumn("indegree", F.coalesce("indegree", F.lit(0)))
+    else:
+        out = out.withColumn("indegree", F.lit(0))
+    return ext_signal_features(out)
+
+
 def train_quality_lr(df: DataFrame, label_col: str,
                      feature_cols: tuple[str, ...] = FEATURES,
                      lr: float = 0.5, iters: int = 300, l2: float = 0.0,

@@ -1434,6 +1434,168 @@ def _q_quality_classifier_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "logit", "keep").orderBy("doc_id")
 
 
+def _quality_classifier_ext_oracle() -> str:
+    """Extended-basis classifier oracle: the three signal pipelines
+    (bigram LM, span windows, link in-degree) restated CTE-for-CTE from
+    their individually-proven oracles, the three extended features as
+    the identical exact-IEEE derivations, and the 9-term logit chain."""
+    from ..functions.text_analysis import STOPWORDS
+    from ..operators.classifier import (DEFAULT_QUALITY_BIAS_EXT,
+                                        DEFAULT_QUALITY_WEIGHTS_EXT,
+                                        EXT_FEATURES)
+
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    terms = [f"CAST({DEFAULT_QUALITY_BIAS_EXT!r} AS DOUBLE)"]
+    for w, f in zip(DEFAULT_QUALITY_WEIGHTS_EXT, EXT_FEATURES):
+        terms.append(f"CAST({w!r} AS DOUBLE) * {f}")
+    logit = " + ".join(terms)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+),
+tok6 AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM raw
+),
+feat6 AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(list_filter(toks, t -> list_contains({en}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stopword_ratio,
+         n_chars / greatest(len(toks), 1) AS mean_word_len,
+         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+           / greatest(len(toks), 1) AS dup_word_frac,
+         CAST(len(regexp_split_to_array(text, '\\n'))
+              - len(list_distinct(regexp_split_to_array(text, '\\n'))) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(text, '\\n')), 1) AS dup_line_frac
+  FROM tok6
+),
+tokf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM raw
+),
+bg AS (
+  SELECT doc_id, toks[j.g] AS prev, toks[j.g + 1] AS w
+  FROM tokf, UNNEST(CASE WHEN len(toks) >= 2
+                         THEN generate_series(1, len(toks) - 1)
+                         ELSE [] END) AS j(g)
+),
+uni AS (
+  SELECT u.t AS prev, COUNT(*) AS c1
+  FROM tokf, UNNEST(toks) AS u(t) GROUP BY u.t
+),
+big AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+vs AS (SELECT COUNT(*) AS v FROM uni),
+q AS (
+  SELECT bg.doc_id,
+         CAST(floor(CAST(COALESCE(big.c2, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(uni.c1, 0) + vs.v AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qp
+  FROM bg LEFT JOIN big USING (prev, w) LEFT JOIN uni USING (prev), vs
+),
+lmdoc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS sum_p_ppm
+  FROM q GROUP BY doc_id
+),
+lm AS (
+  SELECT r.doc_id,
+         CASE WHEN COALESCE(l.n_bigrams, 0) > 0
+              THEN CAST(floor(l.sum_p_ppm / l.n_bigrams) AS BIGINT)
+              ELSE 0 END AS mean_p_ppm
+  FROM raw r LEFT JOIN lmdoc l USING (doc_id)
+),
+wins AS (
+  SELECT doc_id, u.fp
+  FROM tokf, UNNEST(
+    CASE WHEN len(toks) >= 8 THEN
+      list_transform(generate_series(1, len(toks) - 7),
+                     j -> md5(array_to_string(list_slice(toks, j, j + 7), ' ')))
+    ELSE [] END) AS u(fp)
+),
+dupw AS (
+  SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+spandoc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM wins w LEFT JOIN dupw d USING (fp)
+  GROUP BY w.doc_id
+),
+spans AS (
+  SELECT r.doc_id,
+         CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+         CAST(COALESCE(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+  FROM raw r LEFT JOIN spandoc s USING (doc_id)
+),
+nn AS (SELECT COUNT(*) AS n FROM raw),
+edges AS (
+  SELECT r.doc_id AS src, (r.doc_id * 31 + j.j * 977) % nn.n AS dst
+  FROM raw r, nn, UNNEST([1, 2, 3]) AS j(j)
+  WHERE r.doc_id <> (r.doc_id * 31 + j.j * 977) % nn.n
+),
+indeg AS (
+  SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS indegree
+  FROM edges GROUP BY dst
+),
+feat AS (
+  SELECT f.doc_id,
+         f.alpha_ratio, f.punct_ratio, f.stopword_ratio, f.mean_word_len,
+         f.dup_word_frac, f.dup_line_frac,
+         CAST(l.mean_p_ppm AS DOUBLE) / 1000000.0 AS lm_ppm_norm,
+         CAST(s.n_dup_windows AS DOUBLE)
+           / CAST(greatest(s.n_windows, 1) AS DOUBLE) AS dup_span_frac,
+         CAST(COALESCE(i.indegree, 0) AS DOUBLE)
+           / (CAST(COALESCE(i.indegree, 0) AS DOUBLE) + 10.0) AS indeg_sat
+  FROM feat6 f JOIN lm l USING (doc_id) JOIN spans s USING (doc_id)
+  LEFT JOIN indeg i USING (doc_id)
+)
+SELECT doc_id, {logit} AS logit, ({logit}) > 0 AS keep
+FROM feat ORDER BY doc_id
+"""
+
+
+def _q_quality_classifier_ext_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended quality classifier (operators/classifier.py
+    EXT_FEATURES, r4 verdict #7): text-surface features + self-trained
+    bigram-LM fluency + cross-doc span duplication + link in-degree
+    over a deterministic SQL-expressible link graph (dst =
+    (doc_id*31 + j*977) mod N — integer arithmetic, unlike
+    link_pagerank's xxhash graph, so DuckDB rebuilds it natively).
+    Dialect-split oracle: each signal pipeline restated from its
+    individually-proven oracle, features derived with identical
+    exact-IEEE expressions, 9-term left-to-right logit chain — logits
+    bit-exact."""
+    from ..operators.classifier import (DEFAULT_QUALITY_BIAS_EXT,
+                                        DEFAULT_QUALITY_WEIGHTS_EXT,
+                                        EXT_FEATURES, featurize_extended,
+                                        score_quality_lr)
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    n = docs.count()
+    edges = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+        .select(F.col("doc_id").alias("src"),
+                F.pmod(F.col("doc_id") * 31 + F.col("j") * 977,
+                       F.lit(n)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    feat = featurize_extended(docs, edges=edges, span_fingerprint="md5")
+    scored = score_quality_lr(feat, DEFAULT_QUALITY_WEIGHTS_EXT,
+                              DEFAULT_QUALITY_BIAS_EXT, EXT_FEATURES)
+    return scored.select("doc_id", "logit", "keep").orderBy("doc_id")
+
+
 _Q_RADIUS_PAIRS_ORACLE = f"""
 WITH pts AS ({PTS_SQL})
 SELECT a.poi_id AS query_id, b.poi_id AS poi_id,
@@ -2009,6 +2171,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mixture_sample"] = _q_mixture_sample_spark
     q["radius_pairs"] = _q_radius_pairs_spark
     q["quality_classifier"] = _q_quality_classifier_spark
+    q["quality_classifier_ext"] = _q_quality_classifier_ext_spark
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
     q["bigram_lm_scores"] = _q_bigram_lm_spark
     q["robots_filter"] = _q_robots_filter_spark
@@ -2106,6 +2269,7 @@ def build_oracles() -> dict[str, str]:
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
     o["quality_classifier"] = _quality_classifier_oracle()
+    o["quality_classifier_ext"] = _quality_classifier_ext_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
     o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
     o["robots_filter"] = _robots_filter_oracle()

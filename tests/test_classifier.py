@@ -76,3 +76,69 @@ def test_validation(spark):
         C.train_quality_lr(feat.filter("1=0"), "label")
     with pytest.raises(ValueError):
         C.lr_logit_col([1.0], ("a", "b"))
+
+
+def _ext_corpus(spark):
+    """Clean docs + the two families ONLY the extended signals separate:
+    cross-doc boilerplate (fluent, zero within-doc repetition) and
+    real-word salad (clean surface stats, incoherent bigrams)."""
+    vocab = ("the of and to in that it was for on are with as his they at be "
+             "this have from or had by hot word but what some we can out other "
+             "were all there when up use your how said an each she which do").split()
+    varr = "array(" + ", ".join(f"'{w}'" for w in vocab) + ")"
+    clean = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .select("doc_id", "text").withColumn("label", F.lit(1)))
+    base = spark.range(120).select((F.col("id") + 2_000_000).alias("doc_id"))
+    boiler = base.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("the committee agreed to publish the quarterly report and "
+              "invited all members to review the findings before the next "
+              "meeting of the board in the spring session").alias("text"))
+    salad = base.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', transform(sequence(1, 60), "
+               f"i -> element_at({varr}, 1 + CAST(pmod(xxhash64(doc_id, i), "
+               f"{len(vocab)}) AS INT))))").alias("text"))
+    junk = boiler.unionByName(salad).withColumn("label", F.lit(0))
+    return clean.unionByName(junk)
+
+
+def test_extended_features_improve_separation(spark):
+    """r4 verdict #7: the widened basis (LM fluency, cross-doc span
+    duplication, link in-degree) separates junk families the
+    text-surface basis cannot."""
+    corpus = _ext_corpus(spark)
+    n_clean = corpus.filter("label = 1").count()
+    edges = (corpus.filter("label = 1")
+             .select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+             .select(F.col("doc_id").alias("src"),
+                     F.pmod(F.col("doc_id") * 31 + F.col("j") * 977,
+                            F.lit(n_clean)).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    feat = C.featurize_extended(corpus, edges=edges).persist()
+    try:
+        w6, b6 = C.train_quality_lr(feat, "label", lr=1.0, iters=1500)
+        we, be = C.train_quality_lr(feat, "label", feature_cols=C.EXT_FEATURES,
+                                    lr=1.0, iters=1500)
+        s6 = C.score_quality_lr(feat, w6, b6).select("label", "keep").toPandas()
+        se = C.score_quality_lr(feat, we, be, feature_cols=C.EXT_FEATURES) \
+            .select("label", "keep").toPandas()
+        acc6 = (s6["keep"] == (s6["label"] == 1)).mean()
+        acce = (se["keep"] == (se["label"] == 1)).mean()
+        # the extended basis closes the residual errors the
+        # text-surface basis leaves on the planted families
+        # (deterministic corpus: acc6 0.9968, acce 1.0)
+        assert acce > acc6, (acce, acc6)
+        assert acce == 1.0
+    finally:
+        feat.unpersist()
+
+
+def test_extended_scoring_is_native(spark):
+    corpus = _ext_corpus(spark)
+    feat = C.featurize_extended(corpus)  # no edges: indegree 0 path
+    scored = C.score_quality_lr(feat, C.DEFAULT_QUALITY_WEIGHTS_EXT,
+                                C.DEFAULT_QUALITY_BIAS_EXT,
+                                feature_cols=C.EXT_FEATURES)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # LM/span/indegree joins all native

@@ -54,7 +54,8 @@ MIN_ROWS = {
     "training_shards": 4, "span_dedup": 400, "span_removal": 400,
     "link_pagerank": 400,
     "kmv_quantiles": 8, "mixture_sample": 4, "radius_pairs": 100,
-    "quality_classifier": 400, "snapshot_upsert": 400, "bigram_lm_scores": 400,
+    "quality_classifier": 400, "quality_classifier_ext": 400,
+    "snapshot_upsert": 400, "bigram_lm_scores": 400,
     "robots_filter": 400, "page_links": 800, "anchor_texts": 25,
     "image_text_pairs": 60,
     "union_merge": 3, "topk_event_types": 5, "pip_bbox_join": 10,
