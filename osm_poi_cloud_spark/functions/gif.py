@@ -286,7 +286,11 @@ def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                     frame = np.dstack([rgb, alpha])
                     canvas[iy:iy + ch, ix:ix + cw] = frame[:ch, :cw]
                     return canvas
-                bg_rgb = pal[bg] if bg < len(pal) else np.zeros(3, np.uint8)
+                # the logical-screen background index refers to the
+                # GLOBAL color table (GIF89a spec §18), not the active
+                # frame's local palette; black when no global table
+                bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+                          else np.zeros(3, np.uint8))
                 canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
                 canvas[iy:iy + ch, ix:ix + cw] = rgb[:ch, :cw]
                 return canvas

@@ -35,9 +35,13 @@ PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*).*$"
 def parse_robots(content: str, agent: str = "spark-graft") -> list[tuple[str, bool]]:
     """robots.txt text -> [(path_prefix, allowed)] for ``agent``.
 
-    Group selection per RFC 9309: the group whose user-agent token is
-    the LONGEST prefix match of ``agent`` (case-insensitive) wins;
-    ``*`` is the fallback group. Empty-path rules are ignored (an
+    Group selection per RFC 9309 §2.2.1: case-insensitive EXACT match
+    of the crawler's product token (``agent`` with any ``/version``
+    suffix stripped) against the group's user-agent token; groups
+    sharing the token are merged; ``*`` is the fallback group. A group
+    token that is merely a prefix of the agent does NOT match (the
+    spec rejects partial product-token matches). Empty-path rules are
+    ignored (an
     empty Disallow traditionally means allow-all). Wildcards beyond
     the trailing-prefix semantics are out of scope (documented)."""
     groups: dict[str, list[tuple[str, bool]]] = {}
@@ -67,13 +71,10 @@ def parse_robots(content: str, agent: str = "spark-graft") -> list[tuple[str, bo
                 continue
             for t in current:
                 groups.setdefault(t, []).append((val, key == "allow"))
-    best = None
-    for token, rules in groups.items():
-        if token != "*" and agent_l.startswith(token):
-            if best is None or len(token) > len(best):
-                best = token
-    if best is not None:
-        return groups[best]
+    product_token = agent_l.split("/", 1)[0].strip()
+    exact = groups.get(product_token)
+    if exact is not None:
+        return exact
     return groups.get("*", [])
 
 

@@ -200,11 +200,25 @@ def cm_query(candidates: DataFrame, sketch: DataFrame, key_col: str,
 _SIGN = -0x8000000000000000
 
 
+def _dedup_on_hash(df: DataFrame) -> DataFrame:
+    """Collapse duplicate hashes DETERMINISTICALLY: the minimum
+    (id[, val]) struct wins, so merging sketches that carry the same id
+    with different payloads (e.g. sketches of two versions of a table)
+    yields a partitioning-independent result — ``dropDuplicates``
+    would keep whichever row a partition delivered first."""
+    payload = [c for c in df.columns if c != "h"]
+    return (
+        df.groupBy("h").agg(F.min(F.struct(*payload)).alias("_s"))
+        .select("h", *[F.col(f"_s.{c}").alias(c) for c in payload])
+    )
+
+
 def kmv_build(df: DataFrame, id_col: str, value_col: str | None = None,
               k: int = 1024, seed: int = 11) -> DataFrame:
     """Bottom-k sketch rows ``(h, id[, val])``, smallest unsigned
     seeded hashes first. Distinct ids only (KMV's order statistics
-    need distinct hash draws; duplicate ids collapse by definition)."""
+    need distinct hash draws; duplicate ids collapse by definition,
+    min-struct tie-break when their values differ)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     cols = [F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
@@ -212,7 +226,7 @@ def kmv_build(df: DataFrame, id_col: str, value_col: str | None = None,
     if value_col is not None:
         cols.append(F.col(value_col).alias("val"))
     return (
-        df.select(*cols).dropDuplicates(["h"])
+        _dedup_on_hash(df.select(*cols))
         .orderBy(F.expr(f"h ^ {_SIGN}"))
         .limit(k)
     )
@@ -220,11 +234,13 @@ def kmv_build(df: DataFrame, id_col: str, value_col: str | None = None,
 
 def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
     """Union + re-take-k: EXACTLY the sketch of the concatenated
-    inputs (duplicates collapse on the hash)."""
+    inputs (duplicates collapse on the hash; min-struct tie-break keeps
+    the merge deterministic when the same id carries different values
+    across input sketches)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.dropDuplicates(["h"]).orderBy(F.expr(f"h ^ {_SIGN}")).limit(k)
+    return _dedup_on_hash(out).orderBy(F.expr(f"h ^ {_SIGN}")).limit(k)
 
 
 def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:

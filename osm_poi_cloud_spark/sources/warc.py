@@ -483,13 +483,20 @@ def _list_archives(spark: SparkSession, path_glob: str) -> list[str]:
     if scheme in ("http", "https"):
         # no listing service over plain HTTP: explicit comma-separated URLs
         return [p.strip() for p in path_glob.split(",") if p.strip()]
-    if scheme in ("s3", "s3n"):
-        # the pure-HTTPS route has no LIST either; accept explicit keys
+    if scheme in ("s3", "s3a", "s3n"):
+        # streaming tasks fetch S3 over ANONYMOUS virtual-hosted HTTPS
+        # (open_archive_stream) for every s3* spelling, so listing via
+        # the credentialed Hadoop client would let a private-but-
+        # configured s3a bucket list fine and then 403 inside tasks
+        # mid-job — the opposite of fail-fast. All s3* schemes take
+        # explicit public keys here; credentialed buckets go through
+        # read_warc_pages_jvm_bytes (JVM client end to end).
         if any(ch in path_glob for ch in "*?[]"):
             raise ValueError(
                 f"cannot glob {path_glob!r} over anonymous HTTPS — pass "
-                f"explicit comma-separated object URLs, or use s3a:// with "
-                f"the cluster's Hadoop S3 client configured")
+                f"explicit comma-separated PUBLIC object URLs, or use "
+                f"read_warc_pages_jvm_bytes for credentialed buckets "
+                f"(the cluster's Hadoop S3 client end to end)")
         return [p.strip() for p in path_glob.split(",") if p.strip()]
     paths = hadoop_glob(spark, path_glob)
     if not paths:

@@ -119,3 +119,29 @@ def test_guards():
         G.decode_gif(bytes(blob))
     with pytest.raises(ValueError, match="no image frame"):
         G.decode_gif(b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0, 0, 0]) + b"\x3b")
+
+
+def test_subframe_background_uses_global_table():
+    """The logical-screen background index refers to the GLOBAL color
+    table even when the frame carries a LOCAL one (GIF89a spec §18) —
+    built by grafting a local table onto the encoder's output under a
+    different global table."""
+    import struct
+    L = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    GT = np.array([[1, 2, 3], [200, 100, 50], [4, 5, 6], [7, 8, 9]], np.uint8)
+    idx = (np.arange(12, dtype=np.uint8) % 4).reshape(4, 3)
+    blob = bytearray(G.encode_gif(idx, L))
+    desc = 13 + 3 * 4
+    assert blob[desc] == 0x2C
+    new = bytearray()
+    new += blob[:6] + struct.pack("<HH", 10, 8)          # screen 10x8
+    new += bytes([blob[10], 1, blob[12]])                # bg index 1 (global)
+    new += GT.tobytes()                                  # GLOBAL table
+    d = bytearray(blob[desc:desc + 10])
+    d[1:5] = struct.pack("<HH", 2, 3)                    # ix=2, iy=3
+    d[9] |= 0x80 | 0x01                                  # LOCAL table, 4 entries
+    new += d + L.tobytes() + blob[desc + 10:]
+    arr = G.decode_gif(bytes(new))
+    assert arr.shape == (8, 10, 3)
+    assert (arr[0, 0] == GT[1]).all()                    # fill from GLOBAL
+    assert (arr[3:7, 2:5] == L[idx]).all()               # pixels from LOCAL

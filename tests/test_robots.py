@@ -1,6 +1,6 @@
-"""robots.txt: RFC 9309 parsing (groups, longest agent match, empty
-disallow), longest-prefix-match filtering with allow-wins ties,
-unknown-host default allow."""
+"""robots.txt: RFC 9309 parsing (groups, exact product-token agent
+match, empty disallow), longest-prefix-match filtering with allow-wins
+ties, unknown-host default allow."""
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -34,8 +34,13 @@ def test_parse_groups_and_agent_selection():
     star = R.parse_robots(ROBOTS, agent="somebody-else")
     assert ("/private/", False) in star and ("/private/ok/", True) in star
     assert ("/tmp", False) in star
-    # longest agent-prefix match: 'megacrawler-v2' matches 'megacrawler'
-    assert R.parse_robots(ROBOTS, agent="megacrawler-v2") == [("/", False)]
+    # RFC 9309 exact product-token match: version suffix stripped,
+    # case-insensitive
+    assert R.parse_robots(ROBOTS, agent="MegaCrawler/2.1") == [("/", False)]
+    # ...but a group token that is only a PREFIX of the agent's product
+    # token does NOT match (the spec rejects partial matches) -> *
+    v2 = R.parse_robots(ROBOTS, agent="megacrawler-v2")
+    assert ("/private/", False) in v2 and ("/", False) not in v2
     # empty Allow line is ignored (no empty-prefix rules)
     assert all(p for p, _ in R.parse_robots(ROBOTS, agent="spark-graft"))
     # no robots -> no rules

@@ -211,3 +211,23 @@ def test_kmv_deterministic_and_takeordered_plan(spark):
     plan = SK.kmv_build(docs, "doc_id", k=32) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
+
+
+def test_kmv_merge_value_conflict_deterministic(spark):
+    """Merging sketches where the same id carries DIFFERENT values
+    (table versions) must pick a deterministic winner (min struct),
+    independent of partitioning / input order."""
+    import pandas as pd
+    a = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(100), "v": [10] * 100}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(100), "v": [20] * 100}))
+    sa = SK.kmv_build(a, "doc_id", value_col="v", k=64)
+    sb = SK.kmv_build(b, "doc_id", value_col="v", k=64)
+    m1 = SK.kmv_merge(sa, sb, k=64).toPandas().sort_values("h").reset_index(drop=True)
+    m2 = SK.kmv_merge(sb.repartition(7), sa.repartition(3), k=64) \
+        .toPandas().sort_values("h").reset_index(drop=True)
+    assert m1.equals(m2)
+    # min-struct rule: same id on both sides -> the smaller (id, val)
+    # struct wins, i.e. val 10 everywhere
+    assert (m1["val"] == 10).all()

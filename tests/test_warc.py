@@ -142,8 +142,10 @@ def test_scheme_errors_fail_fast(spark):
     # schemes with no streaming opener point at the JVM-bytes route
     with pytest.raises(ValueError, match="jvm"):
         W.open_archive_stream("hdfs://nn/crawl/a.warc.gz")
-    # an unresolvable-at-driver scheme errors at listing, not in a task
-    with pytest.raises(Exception):
+    # s3a takes the SAME anonymous-HTTPS route as s3 (tasks stream the
+    # public endpoint, so listing via the credentialed Hadoop client
+    # would defeat fail-fast): globs rejected with the JVM pointer
+    with pytest.raises(ValueError, match="read_warc_pages_jvm_bytes"):
         W.read_warc_pages(spark, "s3a://bucket/segment/*.warc.gz")
 
 
