@@ -181,6 +181,7 @@ def main() -> None:
     timed("dedup_minhash", lambda: force(
         dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
     timed("span_dedup", lambda: force(dd.span_dedup_stats(docs, k=8)))
+    timed("span_removal", lambda: force(dd.remove_duplicated_spans(docs, k=8)))
 
     # ---- 6b. link-graph pagerank (3 checkpointed power iterations over a
     # deterministic 3-out-degree graph on the fat doc ids). Like
@@ -283,6 +284,24 @@ def main() -> None:
     timed("kmv_sketch", lambda: force(sk_op.kmv_build(
         docs.selectExpr("doc_id", "n_chars"), "doc_id",
         value_col="n_chars", k=4096)))
+
+    # ---- 7c3. image-text pair construction (img-tag extract + catalog
+    # join + bounded text agg; the refs side is the fat corpus) ----
+    from osm_poi_cloud_spark.functions import links as links_fn
+    from osm_poi_cloud_spark.operators.multimodal import image_text_pairs
+    it_pages = docs.selectExpr(
+        "concat('https://s', CAST(doc_id % 100 AS STRING), '.example/p/', "
+        "CAST(doc_id AS STRING)) AS url",
+        "concat('<html><body><img src=\"https://img.example/m', "
+        "CAST(doc_id % 4096 AS STRING), '.png\" alt=\"cap-', "
+        "CAST(doc_id % 97 AS STRING), '\">', "
+        "'<img class=\"b\" src=\"/l/', CAST(doc_id % 7 AS STRING), "
+        "'.png\" alt=\"local\">', text, '</body></html>') AS html")
+    it_index = spark.range(4096).selectExpr(
+        "concat('https://img.example/m', CAST(id AS STRING), '.png') AS url",
+        "concat('m', CAST(id AS STRING)) AS media_id")
+    timed("image_text_pairs", lambda: force(
+        image_text_pairs(links_fn.extract_image_refs(it_pages), it_index)))
 
     # ---- 7d. radius join over the POI table ----
     from osm_poi_cloud_spark.operators.knn import radius_join

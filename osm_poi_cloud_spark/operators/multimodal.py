@@ -246,6 +246,136 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+DHASH_SCHEMA = "media_id string, dhash long, ok boolean"
+
+
+def dhash_from_array(arr: np.ndarray, hash_size: int = 8) -> int | None:
+    """Difference hash (dHash) of one decoded image: channel-mean
+    grayscale -> deterministic integer-boundary block-mean downsample
+    to (hash_size, hash_size+1) -> horizontal gradient sign bits packed
+    row-major MSB-first into a signed 64-bit int. Every step is plain
+    float64 numpy with fixed boundaries (``(k * dim) // n``) — no
+    interpolation library, so an independent recompute from the source
+    arrays reproduces it bit-for-bit (the golden-oracle route). Images
+    smaller than the block grid return None."""
+    h, w = arr.shape[:2]
+    rows, cols = hash_size, hash_size + 1
+    if h < rows or w < cols:
+        return None
+    gray = arr.astype(np.float64).mean(axis=2)
+    re_ = (np.arange(rows + 1) * h) // rows
+    ce_ = (np.arange(cols + 1) * w) // cols
+    block = np.empty((rows, cols))
+    for r in range(rows):
+        for c in range(cols):
+            block[r, c] = gray[re_[r]:re_[r + 1], ce_[c]:ce_[c + 1]].mean()
+    bits = block[:, :-1] > block[:, 1:]
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(media_id, dhash, ok) — perceptual difference-hash per image via
+    the real codec decode (PNG/JPEG/GIF); undecodable or sub-grid
+    payloads come back ok=false. The standard cheap image near-dup
+    signature: a re-encode, small overlay or mild crop moves only a few
+    gradient-sign bits, so Hamming distance ranks near-duplicates."""
+    if not 2 <= hash_size <= 8:
+        raise ValueError(f"hash_size must be in [2, 8] (64-bit budget), got {hash_size}")
+
+    def batches(it):
+        for pdf in it:
+            ids, hs, oks = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                arr = _decode_raster(b)
+                v = dhash_from_array(arr, hash_size) if arr is not None else None
+                ids.append(mid)
+                hs.append(0 if v is None else v)
+                oks.append(v is not None)
+            yield pd.DataFrame({"media_id": ids, "dhash": hs, "ok": oks})
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
+                         bands: int = 8, id_col: str = "media_id",
+                         hash_col: str = "dhash") -> DataFrame:
+    """(a, b, hamming) image near-dup pairs with Hamming(dhash) <=
+    ``max_hamming`` via band blocking (the simhash_pairs pattern): the
+    64-bit hash splits into ``bands`` equal bands; pigeonhole requires
+    ``max_hamming < bands`` so a qualifying pair collides on at least
+    one whole band. One self-join on (band, bucket) + a native
+    ``bit_count(xor)`` verify — no all-pairs anywhere."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands (got {max_hamming} >= {bands})")
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hs = hashes.select(F.col(id_col), F.col(hash_col).alias("dh"))
+    banded = hs.select(
+        id_col, "dh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("dh"), bi * width)
+                .bitwiseAND(F.lit(mask)).alias("bucket"))
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "dh", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, on=["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                F.col("l.dh").alias("dh_a"), F.col("r.dh").alias("dh_b"))
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+def make_near_dup_media(spark, n_base: int = 48) -> DataFrame:
+    """Deterministic image fixture with PLANTED near-duplicates: base
+    gradient PNGs ``b{i}``; every even ``i`` also gets two perturbed
+    copies ``b{i}c{0,1}`` (a 3x3 inverted patch at a deterministic
+    position — a tiny fraction of the 32x24 canvas, so dHash moves only
+    a few bits). Formulas are closed over (i, c) so the golden oracle
+    re-derives every array independently:
+
+        base:  arr[y, x, k] = (x*(3 + i%5) + y*(5 + 2*(i%7)) + i*17 + k*31) % 256
+        copy:  patch [r0:r0+3, c0:c0+3] -> 255 - value,
+               r0 = (i*7 + c*3) % (24-3), c0 = (i*11 + c*5) % (32-3)
+    """
+    from ..functions import png as png_codec
+
+    rows = []
+    for i in range(n_base):
+        h, w = 24, 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack([(xx * (3 + i % 5) + yy * (5 + 2 * (i % 7))
+                         + i * 17 + k * 31) % 256
+                        for k in range(3)], axis=2).astype(np.uint8)
+        rows.append((f"b{i}", "image", png_codec.encode_png(arr),
+                     "image/png", w, h, 0, 0))
+        if i % 2 == 0:
+            for c in range(2):
+                pert = arr.copy()
+                r0 = (i * 7 + c * 3) % (h - 3)
+                c0 = (i * 11 + c * 5) % (w - 3)
+                pert[r0:r0 + 3, c0:c0 + 3] = 255 - pert[r0:r0 + 3, c0:c0 + 3]
+                rows.append((f"b{i}c{c}", "image", png_codec.encode_png(pert),
+                             "image/png", w, h, 0, 0))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def image_text_pairs(image_refs: DataFrame, media_index: DataFrame,
                      features: DataFrame | None = None,
                      max_texts: int = 16,

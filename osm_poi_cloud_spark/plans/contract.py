@@ -2088,6 +2088,25 @@ def _q_media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.py
+    image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
+    fixture decoded through the real codec, dHashed (deterministic
+    block-mean gradient-sign bits), paired by 8x8-bit band blocking
+    with native bit_count Hamming verify. Golden oracle: make_goldens
+    re-derives every source array from its closed formula (PNG is
+    lossless — no decoder needed), restates the dHash math
+    independently, and brute-forces ALL O(n^2) Hamming pairs — so both
+    the hash values and the banding's completeness are pinned."""
+    from ..operators.multimodal import (dhash_near_dup_pairs, image_dhash,
+                                        make_near_dup_media)
+
+    media = make_near_dup_media(spark, 48)
+    pairs = dhash_near_dup_pairs(image_dhash(media), max_hamming=6)
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming")) \
+        .orderBy("a", "b")
+
+
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
     hierarchy + per-cell count. No offline DuckDB S2/H3 oracle exists;
@@ -2178,6 +2197,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["page_links"] = _q_page_links_spark
     q["anchor_texts"] = _q_anchor_texts_spark
     q["image_text_pairs"] = _q_image_text_pairs_spark
+    q["image_near_dup"] = _q_image_near_dup_spark
     return q
 
 
@@ -2232,6 +2252,7 @@ _GOLDEN_SPECS = {
     "bpe_token_count": ("doc_id, bpe_tokens", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "span_removal": ("doc_id, n_tokens_after, tokens_removed, chars_removed, "
                      "text_fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "image_near_dup": ("a, b, hamming", "SELECT COUNT(*) FROM customer"),
 }
 
 

@@ -341,3 +341,43 @@ def test_media_near_dup_composition(spark):
         assert (f"img{i}", f"img{i}_copy") in got, i
     # no spurious pairs between unrelated random images
     assert all("copy" in a or "copy" in b for a, b in got)
+
+
+def test_image_dhash_near_dup(spark):
+    """Perceptual-hash near-dup: banded pairs == brute force (no
+    pigeonhole misses), every planted base/copy pair found, guards."""
+    import itertools
+
+    import pytest as _pytest
+    from osm_poi_cloud_spark.operators import multimodal as mm
+
+    media = mm.make_near_dup_media(spark, 32)
+    hp = mm.image_dhash(media).toPandas()
+    assert hp["ok"].all()
+    pairs = mm.dhash_near_dup_pairs(
+        mm.image_dhash(media), max_hamming=6).toPandas()
+    hv = dict(zip(hp["media_id"], hp["dhash"]))
+    bf = set()
+    for a, b in itertools.combinations(sorted(hv), 2):
+        d = bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 6:
+            bf.add((a, b, d))
+    assert set(map(tuple, pairs[["a", "b", "hamming"]]
+                   .itertuples(index=False))) == bf
+    got_ab = {(a, b) for a, b, _ in bf}
+    for i in range(0, 32, 2):  # planted copies all surface
+        assert (f"b{i}", f"b{i}c0") in got_ab and (f"b{i}", f"b{i}c1") in got_ab
+    # restated-hash parity: dhash_from_array on the formula array
+    import numpy as np
+    yy, xx = np.mgrid[0:24, 0:32]
+    arr5 = np.stack([(xx * (3 + 5 % 5) + yy * (5 + 2 * (5 % 7))
+                      + 5 * 17 + k * 31) % 256 for k in range(3)],
+                    axis=2).astype(np.uint8)
+    assert mm.dhash_from_array(arr5) == hv["b5"]
+    # sub-grid images come back ok=false
+    tiny = mm.dhash_from_array(np.zeros((4, 4, 3), np.uint8))
+    assert tiny is None
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        mm.dhash_near_dup_pairs(mm.image_dhash(media), max_hamming=8, bands=8)
+    with _pytest.raises(ValueError, match="divide"):
+        mm.dhash_near_dup_pairs(mm.image_dhash(media), max_hamming=3, bands=7)

@@ -992,6 +992,54 @@ def expected_media_features(spark) -> pd.DataFrame:
         "sample_rate", "payload_crc", "content_crc", "ok"])
 
 
+def expected_image_near_dup() -> pd.DataFrame:
+    """Independent recompute of the image_near_dup contract rows: the
+    fixture arrays re-derived from make_near_dup_media's closed
+    formulas (PNG is lossless, so no decoder is involved), the dHash
+    math restated from scratch (channel-mean gray, integer-boundary
+    block means, horizontal gradient-sign bits, MSB-first pack), and
+    ALL pairs brute-forced O(n^2) — pinning both hash values and the
+    band blocking's completeness."""
+    import itertools
+
+    hashes: dict[str, int] = {}
+
+    def dhash(arr: np.ndarray) -> int:
+        g = arr.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        re_ = [(k * h) // 8 for k in range(9)]
+        ce_ = [(k * w) // 9 for k in range(10)]
+        v = 0
+        for r in range(8):
+            means = [g[re_[r]:re_[r + 1], ce_[c]:ce_[c + 1]].mean()
+                     for c in range(9)]
+            for c in range(8):
+                v = (v << 1) | int(means[c] > means[c + 1])
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for i in range(48):
+        h, w = 24, 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack([(xx * (3 + i % 5) + yy * (5 + 2 * (i % 7))
+                         + i * 17 + k * 31) % 256
+                        for k in range(3)], axis=2).astype(np.uint8)
+        hashes[f"b{i}"] = dhash(arr)
+        if i % 2 == 0:
+            for c in range(2):
+                pert = arr.copy()
+                r0 = (i * 7 + c * 3) % (h - 3)
+                c0 = (i * 11 + c * 5) % (w - 3)
+                pert[r0:r0 + 3, c0:c0 + 3] = 255 - pert[r0:r0 + 3, c0:c0 + 3]
+                hashes[f"b{i}c{c}"] = dhash(pert)
+
+    rows = []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 6:
+            rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+
 def main() -> None:
     from osm_poi_cloud_spark.config import get_spark
     from osm_poi_cloud_spark.plans import contract as C
@@ -1022,7 +1070,8 @@ def main() -> None:
                                 "contamination_pairs", "media_features",
                                 "curated_packing", "training_shards",
                                 "link_pagerank", "kmv_quantiles",
-                                "mixture_sample", "span_removal")}
+                                "mixture_sample", "span_removal",
+                                "image_near_dup")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1094,6 +1143,10 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["span_removal"]),
             _norm_sorted(expected_span_removal(docs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["image_near_dup"].astype(
+                {"hamming": "int64"})),
+            _norm_sorted(expected_image_near_dup()), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1111,7 +1164,7 @@ def main() -> None:
                   "media_features": "customer", "curated_packing": "documents",
                   "training_shards": "documents", "link_pagerank": "documents",
                   "kmv_quantiles": "documents", "mixture_sample": "documents",
-                  "span_removal": "documents"}
+                  "span_removal": "documents", "image_near_dup": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
