@@ -232,6 +232,10 @@ def main() -> None:
         books = pq_op.train_pq_codebooks(emb, m=16, k=32, max_sample=400)
         force(pq_op.pq_ann(pq_op.pq_encode(emb, books), books, ann_q, topk=10))
     timed("ann_pq", run_pq)
+    # SemDeDup over the fat gaussians: measures the cluster shuffle +
+    # per-cluster greedy (no dups exist — the cost profile is the point)
+    timed("semantic_dedup", lambda: force(
+        sim.semantic_dedup(emb, tau=0.95, n_centroids=64, sample="hash")))
 
     # ---- 7b. text/URL/geometry ops over the testdata tables ----
     from osm_poi_cloud_spark.functions.url import dedup_by_canonical_url

@@ -318,6 +318,89 @@ def embedding_cosine_dedup_pairs(df: DataFrame, threshold: float = 0.98,
     )
 
 
+def semantic_dedup(corpus: DataFrame, tau: float = 0.95,
+                   n_centroids: int = 16, seed: int = 19,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   sample: str = "id-prefix",
+                   max_cluster_rows: int = 200_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then WITHIN
+    each cluster greedily drop every vector whose cosine similarity to
+    an already-kept vector reaches ``tau``. Clustering makes the
+    quadratic step local: cross-cluster pairs are never compared (the
+    paper's approximation), so total work is sum(c_i^2) over cluster
+    sizes instead of n^2.
+
+    Output: one row per input vector — (id, centroid_id, keep, dup_of,
+    max_cos) where ``dup_of`` is the kept representative a dropped
+    vector matched (NULL for kept rows) and ``max_cos`` is its cosine
+    to ``dup_of`` (for kept rows: the max cosine against the vectors
+    kept before it; -1 for a cluster's first vector). Training-corpus
+    filter = ``filter(keep)`` + semi-join back on the id.
+
+    Determinism: centroids from the seeded-sample Lloyd's
+    (``train_ivf_centroids`` — bit-reproducible, partitioning-
+    independent), greedy order = ascending id inside each cluster,
+    cosines in float64 with a fixed contraction order — the whole
+    decision surface replays exactly in an independent numpy
+    restatement (the golden-oracle route).
+
+    Scale shape: ONE shuffle (the groupBy on centroid_id); the
+    per-cluster greedy is an Arrow batch per cluster. Size
+    ``n_centroids`` ~ n / desired_cluster_size (the paper uses ~10k
+    clusters for 10^8 embeddings); a cluster over ``max_cluster_rows``
+    raises loudly rather than quietly materializing an O(c^2) task."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    centroids = train_ivf_centroids(corpus, n_centroids, seed,
+                                    vec_col=vec_col, id_col=id_col, sample=sample)
+    indexed = ivf_assign(corpus, centroids, vec_col, id_col)
+    out_schema = (f"{id_col} long, centroid_id int, keep boolean, "
+                  f"dup_of long, max_cos double")
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"cluster {int(pdf['centroid_id'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}; "
+                f"raise n_centroids (target cluster size ~ n/k)")
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        kept_rows: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        max_cos = np.full(len(pdf), -1.0)
+        ids = pdf[id_col].to_numpy()
+        for i in range(len(pdf)):
+            if kept_rows:
+                # no-optimize einsum: fixed single-threaded reduction
+                # order (the make_lsh_bucket_udf determinism idiom) —
+                # a BLAS matvec could flip a boundary decision between
+                # thread counts
+                cos = np.einsum("kj,j->k", xn[kept_rows], xn[i], optimize=False)
+                j = int(np.argmax(cos))  # first max: deterministic
+                max_cos[i] = float(cos[j])
+                if cos[j] >= tau:
+                    dup_of[i] = ids[kept_rows[j]]
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame({
+            id_col: ids, "centroid_id": pdf["centroid_id"].to_numpy(),
+            "keep": keep,
+            "dup_of": pd.array([None if d < 0 else int(d) for d in dup_of],
+                               dtype="Int64"),
+            "max_cos": max_cos,
+        })
+
+    return (indexed.select(id_col, vec_col, "centroid_id")
+            .groupBy("centroid_id")
+            .applyInPandas(dedup_cluster, schema=out_schema))
+
+
 # ---------------------------------------------------------------------------
 # IVF index persistence (serving lifecycle)
 # ---------------------------------------------------------------------------

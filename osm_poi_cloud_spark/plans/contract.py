@@ -2088,6 +2088,35 @@ def _q_media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/similarity.py
+    semantic_dedup): the embeddings table augmented with planted
+    near-duplicates (every vec_id % 4 == 0 gets a copy at id + 10^6,
+    perturbed by the exact-IEEE rule x_i + 0.01 * ((vec_id + i) % 5 -
+    2)), clustered by the deterministic seeded Lloyd's, greedily pruned
+    within clusters at tau = 0.95. Golden oracle: make_goldens
+    re-derives the augmentation, the centroids (restated Lloyd's), the
+    assignments and the greedy keep/dup_of decisions independently in
+    numpy — keep flags and dup links compared exactly, cosines to
+    1e-9."""
+    from ..operators.similarity import semantic_dedup
+
+    _register(spark, sf_dir, ["embeddings"])
+    base = spark.sql(
+        "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS embedding "
+        "FROM embeddings")
+    copies = spark.sql(
+        "SELECT vec_id + 1000000 AS vec_id, "
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "(x, i) -> x + 0.01 * CAST((vec_id + i) % 5 - 2 AS DOUBLE)) AS embedding "
+        "FROM embeddings WHERE vec_id % 4 = 0")
+    out = semantic_dedup(base.unionByName(copies), tau=0.95, n_centroids=8)
+    return out.select(
+        "vec_id", "centroid_id", "keep", "dup_of",
+        F.round("max_cos", 7).alias("max_cos7"),
+    ).orderBy("vec_id")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -2198,6 +2227,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["anchor_texts"] = _q_anchor_texts_spark
     q["image_text_pairs"] = _q_image_text_pairs_spark
     q["image_near_dup"] = _q_image_near_dup_spark
+    q["semantic_dedup"] = _q_semantic_dedup_spark
     return q
 
 
@@ -2253,6 +2283,8 @@ _GOLDEN_SPECS = {
     "span_removal": ("doc_id, n_tokens_after, tokens_removed, chars_removed, "
                      "text_fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "image_near_dup": ("a, b, hamming", "SELECT COUNT(*) FROM customer"),
+    "semantic_dedup": ("vec_id, centroid_id, keep, dup_of, max_cos7",
+                       "SELECT SUM(vec_id * label) FROM embeddings"),
 }
 
 

@@ -381,3 +381,42 @@ def test_image_dhash_near_dup(spark):
         mm.dhash_near_dup_pairs(mm.image_dhash(media), max_hamming=8, bands=8)
     with _pytest.raises(ValueError, match="divide"):
         mm.dhash_near_dup_pairs(mm.image_dhash(media), max_hamming=3, bands=7)
+
+
+def test_semantic_dedup_planted_copies(spark):
+    """SemDeDup: planted perturbed copies are dropped with dup_of
+    pointing at their source; unrelated gaussians survive; result is
+    partitioning-independent; oversized clusters raise."""
+    import numpy as np
+    import pytest as _pytest
+    from osm_poi_cloud_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(300, 32).astype(np.float64)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    # every 5th vector gets a near-copy (tiny deterministic nudge)
+    for i in range(0, 300, 5):
+        rows.append((1000 + i, [float(v) for v in base[i] + 0.01 * np.arange(32) / 32]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, tau=0.95, n_centroids=4).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 360
+    by_id = out.set_index("vec_id")
+    # copies dropped, linked to their source (same cluster: the nudge
+    # is far smaller than the inter-cluster spacing)
+    dropped = out[~out["keep"]]
+    assert len(dropped) >= 55  # 60 planted, allow a couple straddling clusters
+    for vid in dropped["vec_id"]:
+        assert by_id.loc[vid, "dup_of"] == vid - 1000 or vid < 1000
+    # base vectors (random gaussians, cos ~ N(0, 1/32)) all kept
+    assert out[out["vec_id"] < 1000]["keep"].all()
+    # partitioning independence
+    out2 = semantic_dedup(emb.repartition(13), tau=0.95, n_centroids=4) \
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert out[["vec_id", "keep"]].equals(out2[["vec_id", "keep"]])
+    assert (out["dup_of"].fillna(-1) == out2["dup_of"].fillna(-1)).all()
+    # guards
+    with _pytest.raises(ValueError, match="tau"):
+        semantic_dedup(emb, tau=1.5)
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(emb, n_centroids=2, max_cluster_rows=50).collect()

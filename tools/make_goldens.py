@@ -992,6 +992,64 @@ def expected_media_features(spark) -> pd.DataFrame:
         "sample_rate", "payload_crc", "content_crc", "ok"])
 
 
+def check_semantic_dedup(emb: pd.DataFrame, got: pd.DataFrame,
+                         tau=0.95, n_centroids=8, seed=19) -> None:
+    """Independent SemDeDup recompute: augmentation rule, Lloyd's
+    (restated), nearest-centroid assignment and the ascending-id greedy
+    replayed in numpy; keep/dup_of compared EXACTLY (the decision
+    surface), cosines to 1e-9."""
+    ids0 = emb["vec_id"].to_numpy()
+    base = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    all_ids = list(ids0.astype(np.int64))
+    vecs = list(base)
+    for pos in np.flatnonzero(ids0 % 4 == 0):
+        vid = int(ids0[pos])
+        pert = base[pos] + 0.01 * (((vid + np.arange(base.shape[1])) % 5) - 2)
+        all_ids.append(vid + 1_000_000)
+        vecs.append(pert)
+    x = np.stack(vecs)
+    ids = np.array(all_ids, dtype=np.int64)
+    aug = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    cent = lloyd_centroids(aug, n_centroids, seed)
+    assign = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    norms = np.sqrt((x * x).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    xn = x / norms[:, None]
+    keep = {}
+    dup_of = {}
+    max_cos = {}
+    for c in range(len(cent)):
+        members = np.flatnonzero(assign == c)
+        members = members[np.argsort(ids[members], kind="stable")]
+        kept: list[int] = []
+        for p in members:
+            vid = int(ids[p])
+            if kept:
+                cos = np.einsum("kj,j->k", xn[kept], xn[p], optimize=False)
+                j = int(np.argmax(cos))
+                max_cos[vid] = float(cos[j])
+                if cos[j] >= tau:
+                    keep[vid] = False
+                    dup_of[vid] = int(ids[kept[j]])
+                    continue
+            else:
+                max_cos[vid] = -1.0
+            keep[vid] = True
+            dup_of[vid] = None
+            kept.append(p)
+    g = got.sort_values("vec_id").reset_index(drop=True)
+    assert len(g) == len(ids), (len(g), len(ids))
+    for _, r in g.iterrows():
+        vid = int(r["vec_id"])
+        assert bool(r["keep"]) == keep[vid], f"keep mismatch at {vid}"
+        gd = None if pd.isna(r["dup_of"]) else int(r["dup_of"])
+        assert gd == dup_of[vid], f"dup_of mismatch at {vid}"
+        assert abs(float(r["max_cos7"]) - round(max_cos[vid], 7)) <= 1e-9, vid
+    n_dropped = sum(1 for v in keep.values() if not v)
+    assert n_dropped >= (ids0 % 4 == 0).sum() * 0.9, \
+        "planted copies mostly undetected — augmentation or tau broken"
+
+
 def expected_image_near_dup() -> pd.DataFrame:
     """Independent recompute of the image_near_dup contract rows: the
     fixture arrays re-derived from make_near_dup_media's closed
@@ -1071,7 +1129,7 @@ def main() -> None:
                                 "curated_packing", "training_shards",
                                 "link_pagerank", "kmv_quantiles",
                                 "mixture_sample", "span_removal",
-                                "image_near_dup")}
+                                "image_near_dup", "semantic_dedup")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1147,6 +1205,7 @@ def main() -> None:
             _norm_sorted(results["image_near_dup"].astype(
                 {"hamming": "int64"})),
             _norm_sorted(expected_image_near_dup()), check_dtype=False)
+        check_semantic_dedup(emb, results["semantic_dedup"])
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1164,7 +1223,8 @@ def main() -> None:
                   "media_features": "customer", "curated_packing": "documents",
                   "training_shards": "documents", "link_pagerank": "documents",
                   "kmv_quantiles": "documents", "mixture_sample": "documents",
-                  "span_removal": "documents", "image_near_dup": "customer"}
+                  "span_removal": "documents", "image_near_dup": "customer",
+                  "semantic_dedup": "embeddings"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
