@@ -2088,6 +2088,29 @@ def _q_media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hashed_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text embeddings (functions/embed.py): tokens
+    bucketed by native xxhash64 mod 256, per-doc tf, per-bucket df over
+    the FULL corpus, rational IDF surrogate weight = tf * (N+1) /
+    (df+1) (one exact-IEEE divide — the r3 rational-surrogate rule).
+    Output: the sparse entries for doc_id < 100 (bounded, transparent —
+    the dense-array form is fingerprint-hostile). Golden oracle:
+    make_goldens re-derives buckets via the from-spec chained XXH64,
+    counts in pure Python, and the identical IEEE weight expression."""
+    from ..functions.embed import hashed_tfidf_entries
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    entries = hashed_tfidf_entries(docs, dim=256)
+    return entries.filter(F.col("doc_id") < 100).select(
+        "doc_id", "bucket",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_bucket").cast("long").alias("df_bucket"),
+        "weight",
+    ).orderBy("doc_id", "bucket")
+
+
 def _q_semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (operators/similarity.py
     semantic_dedup): the embeddings table augmented with planted
@@ -2228,6 +2251,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_text_pairs"] = _q_image_text_pairs_spark
     q["image_near_dup"] = _q_image_near_dup_spark
     q["semantic_dedup"] = _q_semantic_dedup_spark
+    q["hashed_embedding"] = _q_hashed_embedding_spark
     return q
 
 
@@ -2285,6 +2309,8 @@ _GOLDEN_SPECS = {
     "image_near_dup": ("a, b, hamming", "SELECT COUNT(*) FROM customer"),
     "semantic_dedup": ("vec_id, centroid_id, keep, dup_of, max_cos7",
                        "SELECT SUM(vec_id * label) FROM embeddings"),
+    "hashed_embedding": ("doc_id, bucket, tf, df_bucket, weight",
+                         "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

@@ -420,3 +420,43 @@ def test_semantic_dedup_planted_copies(spark):
         semantic_dedup(emb, tau=1.5)
     with _pytest.raises(Exception, match="max_cluster_rows"):
         semantic_dedup(emb, n_centroids=2, max_cluster_rows=50).collect()
+
+
+def test_hashed_embedding_to_semantic_dedup_composition(spark):
+    """Text -> hashed-TF-IDF vectors -> SemDeDup, end to end with no
+    external model: planted duplicate documents collapse; the dense
+    assembly is native (no Python besides the clustering UDFs)."""
+    import pandas as pd
+    from osm_poi_cloud_spark.functions.embed import (hashed_tfidf_embed,
+                                                     hashed_tfidf_entries)
+    from osm_poi_cloud_spark.operators.similarity import semantic_dedup
+
+    base_docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .select("doc_id", "text").filter(F.col("doc_id") < 200))
+    copies = base_docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")  # exact text dups
+    corpus = base_docs.unionByName(copies)
+    emb = hashed_tfidf_embed(corpus, dim=128)
+    ep = emb.toPandas()
+    assert len(ep) == 220 and all(len(v) == 128 for v in ep["embedding"])
+    # the dense assembly stays JVM-side
+    plan = hashed_tfidf_embed(corpus, dim=128)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    out = semantic_dedup(emb.withColumnRenamed("doc_id", "vec_id"),
+                         tau=0.999, n_centroids=4).toPandas()
+    dropped = out[~out["keep"]].set_index("vec_id")
+    # every planted copy collapses (identical text -> identical vector
+    # -> cosine exactly 1); the corpus itself also contains genuine
+    # near-dups (synthetic template texts), so dropped is a superset
+    for i in range(0, 200, 10):
+        assert 10_000 + i in dropped.index
+        src = dropped.loc[10_000 + i, "dup_of"]
+        # dup_of is the greedy representative: the source doc itself,
+        # or an earlier doc the source had already collapsed onto
+        assert src == i or src in dropped.index or src < 200
+    # entries table: weight is the exact rational tf*(N+1)/(df+1)
+    ent = hashed_tfidf_entries(corpus, dim=128).limit(50).toPandas()
+    n = 220
+    for _, r in ent.iterrows():
+        assert r["weight"] == (float(r["tf"]) * float(n + 1)) / float(r["df_bucket"] + 1)

@@ -992,6 +992,39 @@ def expected_media_features(spark) -> pd.DataFrame:
         "sample_rate", "payload_crc", "content_crc", "ok"])
 
 
+def expected_hashed_embedding(docs: pd.DataFrame, dim=256) -> pd.DataFrame:
+    """Independent hashing-trick recompute: buckets via the from-spec
+    chained XXH64 (seed literal as 4-byte LE seeding the token hash —
+    the test_bloom-pinned identity), tf/df counted in pure Python over
+    the FULL corpus, weight as the identical IEEE expression
+    (tf * (N+1)) / (df+1); rows restricted to doc_id < 100 as in the
+    engine query."""
+    import re
+
+    seed_h = xxh64(int(42).to_bytes(4, "little"), 42)
+    tf: dict[tuple[int, int], int] = {}
+    dfreq: dict[int, set[int]] = {}
+    n_docs = 0
+    for _, r in docs.iterrows():
+        n_docs += 1
+        did = int(r["doc_id"])
+        for tok in re.split(r"\s+", str(r["text"]).lower().strip()):
+            if not tok:
+                continue
+            b = _signed(xxh64(tok.encode(), seed_h)) % dim
+            tf[(did, b)] = tf.get((did, b), 0) + 1
+            dfreq.setdefault(b, set()).add(did)
+    rows = []
+    for (did, b), t in tf.items():
+        if did >= 100:
+            continue
+        dfb = len(dfreq[b])
+        rows.append((did, b, t, dfb,
+                     (float(t) * float(n_docs + 1)) / float(dfb + 1)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "bucket", "tf", "df_bucket", "weight"])
+
+
 def check_semantic_dedup(emb: pd.DataFrame, got: pd.DataFrame,
                          tau=0.95, n_centroids=8, seed=19) -> None:
     """Independent SemDeDup recompute: augmentation rule, Lloyd's
@@ -1129,7 +1162,8 @@ def main() -> None:
                                 "curated_packing", "training_shards",
                                 "link_pagerank", "kmv_quantiles",
                                 "mixture_sample", "span_removal",
-                                "image_near_dup", "semantic_dedup")}
+                                "image_near_dup", "semantic_dedup",
+                                "hashed_embedding")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1206,6 +1240,9 @@ def main() -> None:
                 {"hamming": "int64"})),
             _norm_sorted(expected_image_near_dup()), check_dtype=False)
         check_semantic_dedup(emb, results["semantic_dedup"])
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["hashed_embedding"]),
+            _norm_sorted(expected_hashed_embedding(docs)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1224,7 +1261,8 @@ def main() -> None:
                   "training_shards": "documents", "link_pagerank": "documents",
                   "kmv_quantiles": "documents", "mixture_sample": "documents",
                   "span_removal": "documents", "image_near_dup": "customer",
-                  "semantic_dedup": "embeddings"}
+                  "semantic_dedup": "embeddings",
+                  "hashed_embedding": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
