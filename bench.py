@@ -236,6 +236,11 @@ def main() -> None:
     # per-cluster greedy (no dups exist — the cost profile is the point)
     timed("semantic_dedup", lambda: force(
         sim.semantic_dedup(emb, tau=0.95, n_centroids=64, sample="hash")))
+    # hashing-trick embeddings over the fat doc corpus (explode + one
+    # count shuffle + native dense assembly)
+    from osm_poi_cloud_spark.functions.embed import hashed_tfidf_embed
+    timed("hashed_embedding", lambda: force(
+        hashed_tfidf_embed(docs.select("doc_id", "text"), dim=256)))
 
     # ---- 7b. text/URL/geometry ops over the testdata tables ----
     from osm_poi_cloud_spark.functions.url import dedup_by_canonical_url

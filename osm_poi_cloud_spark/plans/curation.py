@@ -44,6 +44,8 @@ def curate_documents(
     scrub: bool = True,
     span_k: int | None = None,
     span_min_docs: int = 2,
+    classifier_weights=None,
+    classifier_bias: float | None = None,
 ) -> DataFrame:
     """Curate a raw document table for pretraining.
 
@@ -62,6 +64,15 @@ def curate_documents(
     the dedup. Adds ``tokens_removed``/``chars_removed`` audit columns.
     Cost: two extra shuffles (span groupBy + per-doc regroup); default
     off, and the default path's plan is unchanged.
+
+    ``classifier_weights``/``classifier_bias``: when set, the learned
+    quality filter (``operators.classifier``, e.g.
+    ``DEFAULT_QUALITY_WEIGHTS``/``DEFAULT_QUALITY_BIAS``) runs NEXT TO
+    the heuristic thresholds — rows must clear both. Scoring is the
+    pure-Catalyst left-to-right logit chain over features this cascade
+    already computes, so the addition folds into the same
+    WholeStageCodegen pass (zero extra shuffles, zero Python); the
+    ``logit`` audit column is kept on survivors.
     """
     out = df.filter(F.length(text_col) > 0)
     out = quality_features(out, text_col)
@@ -74,6 +85,14 @@ def curate_documents(
         & (F.col("dup_word_frac") <= max_dup_word_frac)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
     )
+    if classifier_weights is not None:
+        from ..operators.classifier import lr_logit_col
+
+        if classifier_bias is None:
+            raise ValueError("classifier_weights requires classifier_bias")
+        out = out.withColumn(
+            "logit", lr_logit_col(classifier_weights, classifier_bias))
+        out = out.filter(F.col("logit") > 0)
     clean = scrub_pii_col(F.col(text_col)) if scrub else F.col(text_col)
     out = out.withColumn("text_clean", clean)
     if span_k is not None:

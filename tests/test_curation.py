@@ -131,3 +131,28 @@ def test_curation_with_span_removal(spark):
     assert (out["tokens_removed"] > 0).all()
     # audit columns flow through
     assert {"tokens_removed", "chars_removed"} <= set(out.columns)
+
+
+def test_learned_classifier_leg(spark):
+    """classifier_weights folds the learned filter into the cascade:
+    survivors of the default path that the model rejects are dropped,
+    the plan stays UDF-free, and default behavior is unchanged."""
+    from osm_poi_cloud_spark.operators.classifier import (
+        DEFAULT_QUALITY_BIAS, DEFAULT_QUALITY_WEIGHTS)
+    from osm_poi_cloud_spark.plans.curation import curate_documents
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    base = curate_documents(docs)
+    withc = curate_documents(docs, classifier_weights=DEFAULT_QUALITY_WEIGHTS,
+                             classifier_bias=DEFAULT_QUALITY_BIAS)
+    b_ids = set(base.select("doc_id").toPandas()["doc_id"])
+    c = withc.select("doc_id", "logit").toPandas()
+    assert set(c["doc_id"]) <= b_ids          # strictly a further filter
+    assert (c["logit"] > 0).all()             # audit column kept + gated
+    plan = withc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # whole cascade incl. logit is native
+    # misuse guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="classifier_bias"):
+        curate_documents(docs, classifier_weights=DEFAULT_QUALITY_WEIGHTS)
