@@ -142,6 +142,57 @@ def extract_image_refs(pages: DataFrame, html_col: str = "html",
     )
 
 
+#: figure-with-caption scan: an <img> inside <figure> followed by its
+#: <figcaption> (flat inner text; nested markup out of regexp scope)
+FIGCAP_RE = (r'<figure[^>]*>\s*<img\s[^>]*src="[^"]*"[^>]*>\s*'
+             r'<figcaption>([^<]*)</figcaption>')
+
+
+def extract_figure_captions(pages: DataFrame, html_col: str = "html",
+                            url_col: str = "url") -> DataFrame:
+    """(src, img_url, alt) — ``<figure><img ...><figcaption>`` caption
+    text attached to the figure's image (the strongest caption signal
+    after alt text for CLIP-style pairs). Same native one-pass shape
+    and URL-resolution CASE as ``extract_image_refs``; the caption is
+    emitted in the ``alt`` column so the two extractors union directly
+    (``extract_image_texts``)."""
+    html_str = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html_str, F.lit(FIGCAP_RE), 0)
+    origin = F.regexp_replace(F.col(url_col), ORIGIN_RE, "$1")
+    exploded = (
+        pages.select(F.col(url_col).alias("src"), origin.alias("_origin"),
+                     F.explode(tags).alias("tag"))
+        .select(
+            "src", "_origin",
+            F.regexp_extract(F.col("tag"), IMG_SRC_RE, 1).alias("href"),
+            F.regexp_extract(F.col("tag"), FIGCAP_RE, 1).alias("caption"),
+        )
+    )
+    img_url = (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(F.col("href").startswith("//"), F.lit(None))
+        .when(F.col("href").startswith("/"), F.concat(F.col("_origin"), F.col("href")))
+        .otherwise(F.lit(None))
+    )
+    return (
+        exploded.withColumn("img_url", img_url)
+        .filter(F.col("img_url").isNotNull())
+        .select("src", "img_url", F.trim(F.col("caption")).alias("alt"))
+    )
+
+
+def extract_image_texts(pages: DataFrame, html_col: str = "html",
+                        url_col: str = "url") -> DataFrame:
+    """(src, img_url, alt) — union of alt-text references and
+    figcaption references: the full text side for
+    ``operators.multimodal.image_text_pairs``. An image inside a
+    captioned figure contributes BOTH rows (its alt, possibly empty,
+    and its caption) — the pair builder's distinct-text aggregation
+    collapses duplicates."""
+    return (extract_image_refs(pages, html_col, url_col)
+            .unionByName(extract_figure_captions(pages, html_col, url_col)))
+
+
 def anchor_text_corpus(links_with_anchors: DataFrame,
                        max_anchors: int = 64) -> DataFrame:
     """Per-TARGET anchor aggregation: (dst, n_links, n_sources,

@@ -1119,12 +1119,16 @@ _IMG_HTML_SPARK = (
     "'.png\" alt=\"\">', "  # matching image, empty alt: counts as ref, no text
     "'<img src=\"/banner/', CAST(doc_id % 3 AS STRING), '.png\" alt=\"local\">', "
     "'<img src=\"icon.gif\" alt=\"dropped\">', "  # dotted-relative: dropped
+    "'<figure><img src=\"https://img.example/m', CAST(doc_id % 32 AS STRING), "
+    "'.png\"><figcaption> fig-', CAST(doc_id % 11 AS STRING), "
+    "' </figcaption></figure>', "  # captioned figure (trimmed text)
     "'</body></html>')"
 )
 
 
 def _image_text_pairs_oracle() -> str:
-    from ..functions.links import IMG_ALT_RE, IMG_RE, IMG_SRC_RE, ORIGIN_RE
+    from ..functions.links import (FIGCAP_RE, IMG_ALT_RE, IMG_RE, IMG_SRC_RE,
+                                   ORIGIN_RE)
 
     html = _IMG_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
     return f"""
@@ -1138,11 +1142,20 @@ tags AS (
   SELECT url, u.t AS tag
   FROM pages, UNNEST(regexp_extract_all(html, '{IMG_RE}', 0)) AS u(t)
 ),
+figtags AS (
+  SELECT url, u.t AS tag
+  FROM pages, UNNEST(regexp_extract_all(html, '{FIGCAP_RE}', 0)) AS u(t)
+),
 parsed AS (
   SELECT url AS src,
          regexp_extract(tag, '{IMG_SRC_RE}', 1) AS href,
          trim(regexp_extract(tag, '{IMG_ALT_RE}', 1)) AS alt
   FROM tags
+  UNION ALL
+  SELECT url AS src,
+         regexp_extract(tag, '{IMG_SRC_RE}', 1) AS href,
+         trim(regexp_extract(tag, '{FIGCAP_RE}', 1)) AS alt
+  FROM figtags
 ),
 resolved AS (
   SELECT src, alt,
@@ -1181,12 +1194,15 @@ def _q_image_text_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized over documents, resolved by the shared CASE rules,
     joined against a deterministic media index (url -> media_id,
     image-kind ids only) and aggregated per image with bounded sorted
-    distinct alt texts. Text lists cross the driver hash as md5
-    fingerprints (anchor_texts pattern). Dialect-split oracle: the
-    identical regexps + CASE + list aggregation in DuckDB. The real
-    decoded-feature join (extract_image_features) is pytest-covered —
-    float-array features don't fit the driver hash."""
-    from ..functions.links import extract_image_refs
+    distinct texts; captioned ``<figure>`` images contribute their
+    ``<figcaption>`` text via the same one-pass pattern
+    (extract_image_texts = alt-refs UNION caption-refs). Text lists
+    cross the driver hash as md5 fingerprints (anchor_texts pattern).
+    Dialect-split oracle: the identical regexps + CASE + union + list
+    aggregation in DuckDB. The real decoded-feature join
+    (extract_image_features) is pytest-covered — float-array features
+    don't fit the driver hash."""
+    from ..functions.links import extract_image_texts
     from ..operators.multimodal import image_text_pairs
 
     _register(spark, sf_dir, ["documents"])
@@ -1199,7 +1215,7 @@ def _q_image_text_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT concat('https://img.example/m', CAST(i AS STRING), '.png') AS url, "
         "concat('m', CAST(i AS STRING)) AS media_id "
         "FROM (SELECT explode(sequence(0, 127)) AS i) WHERE i % 4 < 2")
-    pairs = image_text_pairs(extract_image_refs(pages), index)
+    pairs = image_text_pairs(extract_image_texts(pages), index)
     return pairs.select(
         "media_id", "img_url",
         F.col("n_refs").cast("long").alias("n_refs"),

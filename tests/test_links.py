@@ -132,3 +132,26 @@ def test_anchor_text_extraction_and_corpus(spark):
     assert list(t["anchors"]) == ["Great Resource", "great resource"]
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_figure_caption_extraction(spark):
+    rows = [
+        _page("https://a.example/p",
+              '<figure class="f"><img src="https://cdn.example/fig.png">'
+              '<figcaption>  A Nice Figure  </figcaption></figure>'
+              '<figure><img src="/rel.png"><figcaption>rel fig</figcaption></figure>'
+              '<img src="https://cdn.example/plain.png" alt="plain alt">'
+              '<figure><img src="https://cdn.example/nocap.png"></figure>'),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+    caps = L.extract_figure_captions(df).toPandas().sort_values("img_url").reset_index(drop=True)
+    assert list(caps["img_url"]) == ["https://a.example/rel.png",
+                                     "https://cdn.example/fig.png"]
+    assert list(caps["alt"]) == ["rel fig", "A Nice Figure"]  # trimmed
+    # union view: captions + alt refs together; captionless figure img
+    # still surfaces once via the alt scan (alt "")
+    allrefs = L.extract_image_texts(df).toPandas()
+    assert len(allrefs) == 6  # 4 img-tag rows + 2 caption rows
+    assert "plain alt" in set(allrefs["alt"])
+    plan = L.extract_figure_captions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
