@@ -422,3 +422,35 @@ def test_index_fetch_http_range(spark, tmp_path):
             assert bytes(r["html"]) == by_url[r["url"]]
     finally:
         srv.shutdown()
+
+
+def test_index_fetch_to_extraction_pipeline(spark, tmp_path):
+    """The real CC workflow end to end: index the crawl, select records
+    NATIVELY, fetch only those, run the frozen extraction pipeline —
+    byte parity with extracting the same selection from a full scan."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_cloud_spark.plans import pipeline as pl
+
+    pages = pg.pages_df(spark, 80, partitions=2).toPandas()
+    recs = [(r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+            for _, r in pages.iterrows()]
+    W.write_warc(str(tmp_path / "seg.warc.gz"), recs, gzip_members=True)
+    glob = str(tmp_path / "seg.warc.gz")
+
+    idx = W.build_warc_index(spark, glob)
+    sel = idx.filter(F.col("url").rlike("/[0-9]*[02468]$"))  # even page ids
+    fetched = W.read_warc_records_by_index(spark, sel)
+    pois = pl.build_pois(fetched, lang=None, cell_levels=(12,)).toPandas()
+
+    want_urls = set(sel.select("url").toPandas()["url"])
+    assert len(want_urls) > 10
+    full = pl.build_pois(W.read_warc_pages(spark, glob),
+                         lang=None, cell_levels=(12,)).toPandas()
+    exp = full[full["url"].isin(want_urls)]
+    key = ["url", "entity_idx"]
+    got = pois.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in ("url", "name", "lat", "lon", "class"):
+        assert (got[col].fillna("?") == exp[col].fillna("?")).all(), col
