@@ -2104,6 +2104,55 @@ def _q_media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_ASOF_JOIN_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, event_id AS snap_id, value
+  FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS snap_ts,
+       r.snap_id, r.value AS snap_value
+FROM l ASOF LEFT JOIN r0 r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def _q_asof_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py asof_join): every click event
+    matched to the user's latest view event at or before it — the
+    union + running-last-value native form (one shuffle, no range
+    explosion). Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` — a
+    different algorithm for the same definition, so every match
+    (including <= boundary ties) is cross-verified. The view side is
+    deduped per (user_id, ts) on both engines (max event_id) so the
+    as-of winner is unambiguous."""
+    from ..operators.temporal import asof_join
+
+    _register(spark, sf_dir, ["events"])
+    clicks = spark.sql(
+        "SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'")
+    views = spark.sql(
+        "SELECT user_id, ts, snap_id, value FROM ("
+        "  SELECT user_id, ts, event_id AS snap_id, value, "
+        "         row_number() OVER (PARTITION BY user_id, ts "
+        "                            ORDER BY event_id DESC) AS rn "
+        "  FROM events WHERE event_type = 'view') WHERE rn = 1")
+    out = asof_join(clicks, views, "user_id", right_prefix="snap_")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("snap_ts", _TS_FMT_SPARK).alias("snap_ts"),
+        F.col("snap_snap_id").alias("snap_id"),
+        F.col("snap_value").alias("snap_value"),
+    ).orderBy("event_id")
+
+
 def _q_hashed_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text embeddings (functions/embed.py): tokens
     bucketed by native xxhash64 mod 256, per-doc tf, per-bucket df over
@@ -2268,6 +2317,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_near_dup"] = _q_image_near_dup_spark
     q["semantic_dedup"] = _q_semantic_dedup_spark
     q["hashed_embedding"] = _q_hashed_embedding_spark
+    q["asof_join"] = _q_asof_join_spark
     return q
 
 
@@ -2371,5 +2421,6 @@ def build_oracles() -> dict[str, str]:
     o["page_links"] = _page_links_oracle()
     o["anchor_texts"] = _anchor_texts_oracle()
     o["image_text_pairs"] = _image_text_pairs_oracle()
+    o["asof_join"] = _Q_ASOF_JOIN_ORACLE
     o.update(_golden_oracles())
     return o
