@@ -26,6 +26,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_start: str, left_end: str,
+                  right_start: str, right_end: str,
+                  on: str | None = None,
+                  bin_width: float = 3600.0,
+                  left_id: str = "a", right_id: str = "b") -> DataFrame:
+    """Interval-overlap (range) join: pairs (a, b) whose
+    ``[start, end]`` intervals overlap (``l.start <= r.end AND
+    r.start <= l.end``), optionally also matching an equality key
+    ``on``.
+
+    Naively this is a non-equi join Spark plans as a broadcast
+    nested loop — quadratic at scale. The scale form here is BIN
+    BLOCKING: each interval explodes into the ``bin_width``-sized bins
+    it covers (``sequence(floor(start/w), floor(end/w))``), candidates
+    join on (key, bin) as a plain HASH join, duplicates collapse, and
+    the EXACT overlap predicate filters — the bin width tunes candidate
+    count vs explode factor and never changes the result (asserted in
+    tests). Same architecture as the spatial grid join
+    (operators/knn.py radius_join), one dimension down.
+
+    Inputs carry an id column named ``left_id`` / ``right_id``; output
+    is (a, b[, key]) distinct overlapping pairs. Times may be numeric
+    or timestamps (cast to double seconds internally)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    w = float(bin_width)
+
+    def prep(df, sc, ec, idc, side):
+        s = F.col(sc).cast("double")
+        e = F.col(ec).cast("double")
+        cols = [F.col(idc).alias(side), s.alias(f"{side}_s"), e.alias(f"{side}_e"),
+                F.explode(F.sequence(
+                    F.floor(s / F.lit(w)).cast("long"),
+                    F.floor(e / F.lit(w)).cast("long"))).alias("_bin")]
+        if on is not None:
+            cols.insert(0, F.col(on).alias("_key"))
+        return df.filter(s <= e).select(*cols)
+
+    l = prep(left, left_start, left_end, left_id, "a")
+    r = prep(right, right_start, right_end, right_id, "b")
+    keys = ["_bin"] + (["_key"] if on is not None else [])
+    cand = (
+        l.join(r, keys)
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select(*(["_key"] if on is not None else []), "a", "b")
+        .distinct()
+    )
+    if on is not None:
+        cand = cand.withColumnRenamed("_key", on)
+    return cand
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_time: str = "ts", right_time: str = "ts",
               direction: str = "backward",

@@ -2153,6 +2153,56 @@ def _q_asof_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+_Q_INTERVAL_JOIN_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id AS a, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 2000000000) AS BIGINT) AS e
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, event_id AS b, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000000) AS BIGINT) AS e
+  FROM events WHERE event_type = 'view'
+)
+SELECT l.user_id, l.a, r.b
+FROM l JOIN r ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+ORDER BY l.user_id, l.a, r.b
+"""
+
+
+def _q_interval_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.py interval_join):
+    click activity windows x view activity windows per user, paired by
+    bin blocking (hash join on (user, bin)) + the exact overlap filter
+    — the scale form of a range join Spark would otherwise plan as a
+    nested loop. Endpoints are EXACT-INTEGER microseconds
+    (unix_micros == DuckDB epoch_us under the UTC session; durations
+    floor-cast, never bare-cast — DuckDB rounds, Spark truncates).
+    Dialect-split oracle: DuckDB runs the labeled brute-force non-equi
+    join over the identical integers, so the blocked join must
+    reproduce the exact pair set; bin width provably cannot change it
+    (pytest-asserted invariance). Micros up to ~1.7e15 < 2^53 stay
+    exact through the operator's internal double cast."""
+    from ..operators.temporal import interval_join
+
+    _register(spark, sf_dir, ["events"])
+    clicks = spark.sql(
+        "SELECT user_id, event_id AS a, "
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS s, "
+        "unix_micros(CAST(ts AS TIMESTAMP)) + "
+        "CAST(floor(value * 2000000000) AS BIGINT) AS e "
+        "FROM events WHERE event_type = 'click'")
+    views = spark.sql(
+        "SELECT user_id, event_id AS b, "
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS s, "
+        "unix_micros(CAST(ts AS TIMESTAMP)) + "
+        "CAST(floor(value * 1000000000) AS BIGINT) AS e "
+        "FROM events WHERE event_type = 'view'")
+    out = interval_join(clicks, views, "s", "e", "s", "e", on="user_id",
+                        bin_width=3600e6, left_id="a", right_id="b")
+    return out.select("user_id", "a", "b").orderBy("user_id", "a", "b")
+
+
 def _q_hashed_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text embeddings (functions/embed.py): tokens
     bucketed by native xxhash64 mod 256, per-doc tf, per-bucket df over
@@ -2318,6 +2368,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_dedup"] = _q_semantic_dedup_spark
     q["hashed_embedding"] = _q_hashed_embedding_spark
     q["asof_join"] = _q_asof_join_spark
+    q["interval_join"] = _q_interval_join_spark
     return q
 
 
@@ -2422,5 +2473,6 @@ def build_oracles() -> dict[str, str]:
     o["anchor_texts"] = _anchor_texts_oracle()
     o["image_text_pairs"] = _image_text_pairs_oracle()
     o["asof_join"] = _Q_ASOF_JOIN_ORACLE
+    o["interval_join"] = _Q_INTERVAL_JOIN_ORACLE
     o.update(_golden_oracles())
     return o

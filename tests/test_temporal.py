@@ -71,3 +71,40 @@ def test_validation(spark):
         asof_join(trades, quotes, "sym", direction="nearest")
     with pytest.raises(ValueError, match="differ"):
         asof_join(trades, quotes, "ts")
+
+
+def test_interval_join_semantics_and_bin_invariance(spark):
+    from osm_poi_cloud_spark.operators.temporal import interval_join
+
+    la = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2, 3, 4],
+        "s": [0.0, 100.0, 250.0, 400.0],
+        "e": [50.0, 200.0, 300.0, 400.0],  # 4 is a point interval
+    }))
+    rb = spark.createDataFrame(pd.DataFrame({
+        "b": [10, 11, 12, 13],
+        "s": [40.0, 199.0, 301.0, 400.0],
+        "e": [60.0, 260.0, 350.0, 500.0],
+    }))
+    got = interval_join(la, rb, "s", "e", "s", "e", left_id="a", right_id="b",
+                        bin_width=30).toPandas()
+    pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    # brute force truth: touch counts as overlap (<=)
+    lp = la.toPandas(); rp = rb.toPandas()
+    want = {(int(x["a"]), int(y["b"]))
+            for _, x in lp.iterrows() for _, y in rp.iterrows()
+            if x["s"] <= y["e"] and y["s"] <= x["e"]}
+    assert pairs == want and (1, 10) in pairs and (4, 13) in pairs
+    # bin width is candidate-generation only: result invariant
+    for bw in (7, 100, 1000):
+        g2 = interval_join(la, rb, "s", "e", "s", "e", bin_width=bw).toPandas()
+        assert set(map(tuple, g2[["a", "b"]].itertuples(index=False))) == want
+    # equality key restricts pairs
+    la2 = la.withColumn("k", F.col("a") % 2)
+    rb2 = rb.withColumn("k", F.col("b") % 2)
+    gk = interval_join(la2, rb2, "s", "e", "s", "e", on="k", bin_width=30).toPandas()
+    for _, r in gk.iterrows():
+        assert r["a"] % 2 == r["b"] % 2 == r["k"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bin_width"):
+        interval_join(la, rb, "s", "e", "s", "e", bin_width=0)
