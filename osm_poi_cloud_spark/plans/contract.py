@@ -2255,6 +2255,42 @@ def _q_semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _q_polygon_intersection_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon intersection join (operators/spatial_join.py
+    polygon_intersection_join): axis-aligned squares (even poi_ids,
+    half-width 2 + (id%5)) x diamonds (ids divisible by 3, radius
+    2.5 + 0.8*(id%7)) around the deterministic PTS points — grid
+    blocking + exact proper-crossing/containment refine. Golden oracle:
+    make_goldens re-derives every ring from the closed formulas and
+    brute-forces ALL pairs with a NAIVE scalar restatement of the
+    segment-crossing + even-odd tests (different algorithm shape from
+    the vectorized engine kernel), pinning both the geometry and the
+    blocking's completeness."""
+    from ..operators.spatial_join import polygon_intersection_join
+
+    _register(spark, sf_dir, ["customer"])
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW _pts AS {PTS_SQL}")
+    left = spark.sql(
+        "SELECT poi_id AS polygon_id, array(array("
+        "array(lon - w, lat - w), array(lon + w, lat - w), "
+        "array(lon + w, lat + w), array(lon - w, lat + w), "
+        "array(lon - w, lat - w))) AS rings FROM ("
+        "  SELECT poi_id, lon, lat, "
+        "         2.0 + CAST(poi_id % 5 AS DOUBLE) * 1.0 AS w "
+        "  FROM _pts WHERE poi_id % 2 = 0)")
+    right = spark.sql(
+        "SELECT poi_id AS polygon_id, array(array("
+        "array(lon + r, lat), array(lon, lat + r), "
+        "array(lon - r, lat), array(lon, lat - r), "
+        "array(lon + r, lat))) AS rings FROM ("
+        "  SELECT poi_id, lon, lat, "
+        "         2.5 + CAST(poi_id % 7 AS DOUBLE) * 0.8 AS r "
+        "  FROM _pts WHERE poi_id % 3 = 0)")
+    out = polygon_intersection_join(left, right, cover_zoom=6)
+    return out.select(F.col("a").cast("long").alias("a"),
+                      F.col("b").cast("long").alias("b")).orderBy("a", "b")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -2369,6 +2405,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hashed_embedding"] = _q_hashed_embedding_spark
     q["asof_join"] = _q_asof_join_spark
     q["interval_join"] = _q_interval_join_spark
+    q["polygon_intersection"] = _q_polygon_intersection_spark
     return q
 
 
@@ -2428,6 +2465,7 @@ _GOLDEN_SPECS = {
                        "SELECT SUM(vec_id * label) FROM embeddings"),
     "hashed_embedding": ("doc_id, bucket, tf, df_bucket, weight",
                          "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "polygon_intersection": ("a, b", "SELECT COUNT(*) FROM customer"),
 }
 
 

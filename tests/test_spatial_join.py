@@ -448,3 +448,57 @@ def test_salted_key_deterministic(spark):
     assert set(hot.unique()) <= {0, 1, 2, 3} and hot.nunique() > 1
     cold = salted1[salted1["shard_id"] == "cold"]["shard_salt"]
     assert (cold == 0).all()
+
+
+def test_polygon_intersection_join(spark):
+    """Polygon x polygon: crossing, containment (both directions),
+    hole-island separation, bbox-overlap-but-disjoint, touch-only
+    excluded; cover_zoom invariance."""
+    import numpy as np
+    from osm_poi_cloud_spark.operators.spatial_join import (
+        polygon_intersection_join, rings_intersect)
+
+    def sq(cx, cy, w):
+        pts = [[cx - w, cy - w], [cx + w, cy - w], [cx + w, cy + w],
+               [cx - w, cy + w], [cx - w, cy - w]]
+        return [[float(x), float(y)] for x, y in pts]
+
+    left = spark.createDataFrame(
+        [("L_cross", [sq(0, 0, 5)]),
+         ("L_contains", [sq(40, 0, 10)]),
+         ("L_inside", [sq(-40, 0, 1)]),
+         ("L_donut", [sq(0, 40, 10), sq(0, 40, 4)]),   # shell + hole
+         ("L_far", [sq(120, 40, 2)]),
+         ("L_touch", [sq(-120, 0, 2)])],
+        "polygon_id string, rings array<array<array<double>>>")
+    right = spark.createDataFrame(
+        [("R_cross", [sq(4, 4, 5)]),            # crosses L_cross
+         ("R_small", [sq(40, 0, 2)]),           # inside L_contains
+         ("R_big", [sq(-40, 0, 8)]),            # contains L_inside
+         ("R_in_hole", [sq(0, 40, 2)]),         # inside L_donut's hole: disjoint
+         ("R_on_ring", [sq(0, 45, 3)]),         # straddles L_donut's shell edge
+         ("R_corner", [sq(121, 43, 2)]),        # overlaps L_far's corner
+         ("R_diamond", [[[121.0, 44.0], [124.0, 47.0], [127.0, 44.0],
+                         [124.0, 41.0], [121.0, 44.0]]]),  # bbox overlaps
+                                                 # L_far, geometry disjoint
+         ("R_touch", [sq(-116, 0, 2)])],        # shares edge x=-118 with L_touch: touch only
+        "polygon_id string, rings array<array<array<double>>>")
+    got = polygon_intersection_join(left, right, cover_zoom=4).toPandas()
+    pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    assert ("L_cross", "R_cross") in pairs
+    assert ("L_contains", "R_small") in pairs
+    assert ("L_inside", "R_big") in pairs
+    assert ("L_donut", "R_in_hole") not in pairs      # hole separates
+    assert ("L_donut", "R_on_ring") in pairs          # straddles shell
+    assert ("L_touch", "R_touch") not in pairs        # touch-only excluded
+    assert ("L_far", "R_corner") in pairs             # corner overlap
+    assert ("L_far", "R_diamond") not in pairs        # bbox candidate, exact reject
+    # cover_zoom is candidate generation only
+    for z in (2, 7):
+        g2 = polygon_intersection_join(left, right, cover_zoom=z).toPandas()
+        assert set(map(tuple, g2[["a", "b"]].itertuples(index=False))) == pairs
+    # primitive sanity: rotated diamond crossing a square (no vertex of
+    # either inside the other is impossible here, but crossing fires)
+    diamond = np.array([[2.0, 0.0], [0.0, 2.0], [-2.0, 0.0], [0.0, -2.0], [2.0, 0.0]])
+    square = np.array(sq(0, 0, 1.5), dtype=np.float64)
+    assert rings_intersect([diamond], [square])

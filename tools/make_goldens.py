@@ -1083,6 +1083,66 @@ def check_semantic_dedup(emb: pd.DataFrame, got: pd.DataFrame,
         "planted copies mostly undetected — augmentation or tau broken"
 
 
+def expected_polygon_intersection(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent polygon-intersection recompute: rings re-derived
+    from the closed PTS/size formulas, then a NAIVE scalar brute force
+    over ALL left x right pairs — per-pair bbox reject, scalar
+    segment-crossing orientation tests, scalar even-odd containment.
+    Different algorithm shape from the engine's vectorized kernel and
+    no blocking at all, so it pins both geometry and completeness."""
+    lon = (custkeys * 7919 % 36000).astype(np.float64) / 100.0 - 180.0
+    lat = (custkeys * 104729 % 17000).astype(np.float64) / 100.0 - 85.0
+
+    lefts, rights = [], []
+    for k, x, y in zip(custkeys, lon, lat):
+        k = int(k)
+        if k % 2 == 0:
+            w = 2.0 + np.float64(k % 5) * 1.0
+            lefts.append((k, [(x - w, y - w), (x + w, y - w), (x + w, y + w),
+                              (x - w, y + w), (x - w, y - w)]))
+        if k % 3 == 0:
+            r = 2.5 + np.float64(k % 7) * 0.8
+            rights.append((k, [(x + r, y), (x, y + r), (x - r, y),
+                               (x, y - r), (x + r, y)]))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def seg_cross(p1, p2, q1, q2):
+        d1 = cross(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+        d2 = cross(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+        d3 = cross(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+        d4 = cross(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+        return (d1 != 0 and d2 != 0 and (d1 > 0) != (d2 > 0)
+                and d3 != 0 and d4 != 0 and (d3 > 0) != (d4 > 0))
+
+    def pip(px, py, ring):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if (y1 > py) != (y2 > py):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                if px < xint:
+                    inside = not inside
+        return inside
+
+    rows = []
+    for a, ra in lefts:
+        aw = min(p[0] for p in ra); ae = max(p[0] for p in ra)
+        as_ = min(p[1] for p in ra); an = max(p[1] for p in ra)
+        for b, rb in rights:
+            bw = min(p[0] for p in rb); be = max(p[0] for p in rb)
+            bs = min(p[1] for p in rb); bn = max(p[1] for p in rb)
+            if aw > be or bw > ae or as_ > bn or bs > an:
+                continue
+            hit = any(seg_cross(ra[i], ra[i + 1], rb[j], rb[j + 1])
+                      for i in range(len(ra) - 1) for j in range(len(rb) - 1))
+            if not hit:
+                hit = pip(rb[0][0], rb[0][1], ra) or pip(ra[0][0], ra[0][1], rb)
+            if hit:
+                rows.append((a, b))
+    return pd.DataFrame(sorted(rows), columns=["a", "b"])
+
+
 def expected_image_near_dup() -> pd.DataFrame:
     """Independent recompute of the image_near_dup contract rows: the
     fixture arrays re-derived from make_near_dup_media's closed
@@ -1163,7 +1223,7 @@ def main() -> None:
                                 "link_pagerank", "kmv_quantiles",
                                 "mixture_sample", "span_removal",
                                 "image_near_dup", "semantic_dedup",
-                                "hashed_embedding")}
+                                "hashed_embedding", "polygon_intersection")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1243,6 +1303,10 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["hashed_embedding"]),
             _norm_sorted(expected_hashed_embedding(docs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["polygon_intersection"].astype("int64")),
+            _norm_sorted(expected_polygon_intersection(custkeys)),
+            check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1262,7 +1326,8 @@ def main() -> None:
                   "kmv_quantiles": "documents", "mixture_sample": "documents",
                   "span_removal": "documents", "image_near_dup": "customer",
                   "semantic_dedup": "embeddings",
-                  "hashed_embedding": "documents"}
+                  "hashed_embedding": "documents",
+                  "polygon_intersection": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
