@@ -328,6 +328,12 @@ def main() -> None:
     )
     timed("centroid_collapse", lambda: force(geo.collapse_polygons_to_points(rings)))
 
+    # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
+    timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))
+    timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))
+    timed("polygon_intersection", lambda: force(
+        C._q_polygon_intersection_spark(spark, SF_DIR)))
+
     # ---- 8. representative SQL contract queries ----
     C._register(spark, SF_DIR)
     shared = C._shared_sql_queries()
