@@ -668,19 +668,109 @@ def polygon_intersection_join(left: DataFrame, right: DataFrame,
     )
     la = left.select(F.col("polygon_id").alias("_ia"), F.col("rings").alias("_ra"))
     rb = right.select(F.col("polygon_id").alias("_ib"), F.col("rings").alias("_rb"))
-    paired = cand.join(la, "_ia").join(rb, "_ib")
+    # explicit width before the refine: candidate-pair rows are BYTES-
+    # small but the exact test is CPU-bound Python — AQE's byte-based
+    # coalescing would funnel the whole refine into one task (measured:
+    # 1-task refine at 166k pairs). A numbered repartition is exempt
+    # from AQE coalescing and spreads pairs round-robin.
+    width = cand.sparkSession.sparkContext.defaultParallelism
+    paired = cand.repartition(width).join(la, "_ia").join(rb, "_ib")
 
     @F.pandas_udf(T.BooleanType())
     def hit(ra: pd.Series, rb_s: pd.Series) -> pd.Series:
-        out = []
-        for rings_a, rings_b in zip(ra, rb_s):
-            ka = [_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings_a]
-            kb = [_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings_b]
-            out.append(rings_intersect(ka, kb))
-        return pd.Series(out)
+        ka = [[_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings]
+              for rings in ra]
+        kb = [[_close_ring(np.asarray(list(r), dtype=np.float64)) for r in rings]
+              for rings in rb_s]
+        return pd.Series(batch_rings_intersect(ka, kb))
 
     return (
         paired.withColumn("_hit", hit(F.col("_ra"), F.col("_rb")))
         .filter(F.col("_hit"))
         .select(F.col("_ia").alias(left_id), F.col("_ib").alias(right_id))
     )
+
+
+def batch_rings_intersect(list_a, list_b) -> np.ndarray:
+    """Vectorized-across-PAIRS ``rings_intersect``: same decision rule,
+    computed for a whole Arrow batch at once. Segments pad to the batch
+    max with degenerate zero-length edges (cross products exactly 0 —
+    they can never register a PROPER crossing, so padding is
+    semantics-free); the containment leg tests each side's ALL-ring
+    lead vertices against the other's padded edge set with the same
+    even-odd ray count as ``point_in_rings`` (horizontal degenerate
+    pad edges count 0 crossings). Per-pair work collapses into a few
+    (P, Sa, Sb) einsum-free broadcasts, chunked to bound memory.
+    Equality with the per-pair kernel is property-tested."""
+    n = len(list_a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+
+    def pack_segs(ring_lists, width):
+        p1 = np.zeros((n, width, 2))
+        p2 = np.zeros((n, width, 2))
+        for i, rings in enumerate(ring_lists):
+            o = 0
+            for r in rings:
+                m = len(r) - 1
+                p1[i, o:o + m] = r[:-1]
+                p2[i, o:o + m] = r[1:]
+                o += m
+        return p1, p2
+
+    seg_count = lambda rings: sum(len(r) - 1 for r in rings)
+    sa = max(seg_count(r) for r in list_a)
+    sb = max(seg_count(r) for r in list_b)
+    a1, a2 = pack_segs(list_a, sa)
+    b1, b2 = pack_segs(list_b, sb)
+
+    out = np.zeros(n, dtype=bool)
+    # (P, Sa, Sb) crossing tensor in memory-bounded pair chunks
+    chunk = max(1, int(2e7 / max(sa * sb, 1)))
+    for s in range(0, n, chunk):
+        e = s + chunk
+        A1 = a1[s:e, :, None, :]
+        A2 = a2[s:e, :, None, :]
+        B1 = b1[s:e, None, :, :]
+        B2 = b2[s:e, None, :, :]
+        bv = B2 - B1
+        av = A2 - A1
+        d1 = bv[..., 0] * (A1[..., 1] - B1[..., 1]) - bv[..., 1] * (A1[..., 0] - B1[..., 0])
+        d2 = bv[..., 0] * (A2[..., 1] - B1[..., 1]) - bv[..., 1] * (A2[..., 0] - B1[..., 0])
+        d3 = av[..., 0] * (B1[..., 1] - A1[..., 1]) - av[..., 1] * (B1[..., 0] - A1[..., 0])
+        d4 = av[..., 0] * (B2[..., 1] - A1[..., 1]) - av[..., 1] * (B2[..., 0] - A1[..., 0])
+        out[s:e] = ((((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+                     & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0))
+                    .any(axis=(1, 2)))
+
+    def contain_any(lead_lists, e1, e2):
+        """For pairs not yet decided: any lead vertex (one per ring of
+        one side) strictly inside the other's padded edge set."""
+        res = np.zeros(n, dtype=bool)
+        max_rings = max(len(r) for r in lead_lists)
+        for ri in range(max_rings):
+            px = np.zeros(n)
+            py = np.zeros(n)
+            has = np.zeros(n, dtype=bool)
+            for i, rings in enumerate(lead_lists):
+                if ri < len(rings):
+                    px[i], py[i] = rings[ri][0]
+                    has[i] = True
+            y1 = e1[..., 1]
+            y2 = e2[..., 1]
+            x1 = e1[..., 0]
+            x2 = e2[..., 0]
+            crosses = (y1 > py[:, None]) != (y2 > py[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (py[:, None] - y1) / (y2 - y1) + x1
+            cnt = (crosses & (px[:, None] < xint)).sum(axis=1)
+            res |= has & (cnt % 2 == 1)
+        return res
+
+    todo = ~out
+    if todo.any():
+        out |= contain_any(list_b, a1, a2)   # B's lead vertices in A
+    todo = ~out
+    if todo.any():
+        out |= contain_any(list_a, b1, b2)   # A's lead vertices in B
+    return out

@@ -502,3 +502,41 @@ def test_polygon_intersection_join(spark):
     diamond = np.array([[2.0, 0.0], [0.0, 2.0], [-2.0, 0.0], [0.0, -2.0], [2.0, 0.0]])
     square = np.array(sq(0, 0, 1.5), dtype=np.float64)
     assert rings_intersect([diamond], [square])
+
+
+def test_batch_rings_intersect_matches_scalar_kernel():
+    """The across-pairs vectorized kernel must agree with the per-pair
+    kernel on random polygon soup (incl. donuts and multipolygons)."""
+    rng = np.random.RandomState(11)
+
+    def rand_poly(cx, cy):
+        kind = rng.randint(3)
+        if kind == 0:  # convex-ish star
+            nn = rng.randint(4, 9)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nn))
+            rad = rng.uniform(1, 4, nn)
+            ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+            return [sj._close_ring(ring)]
+        if kind == 1:  # donut
+            w = rng.uniform(2, 5)
+            shell = np.array([[cx - w, cy - w], [cx + w, cy - w], [cx + w, cy + w],
+                              [cx - w, cy + w], [cx - w, cy - w]])
+            h = w * 0.4
+            hole = np.array([[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+                             [cx - h, cy + h], [cx - h, cy - h]])
+            return [shell, hole]
+        # two-shell multipolygon
+        w = rng.uniform(1, 2.5)
+        s1 = np.array([[cx - 4 - w, cy - w], [cx - 4 + w, cy - w],
+                       [cx - 4 + w, cy + w], [cx - 4 - w, cy + w], [cx - 4 - w, cy - w]])
+        s2 = s1 + np.array([8.0, 0.0])
+        return [s1, s2]
+
+    pairs_a, pairs_b = [], []
+    for _ in range(400):
+        pairs_a.append(rand_poly(rng.uniform(-10, 10), rng.uniform(-10, 10)))
+        pairs_b.append(rand_poly(rng.uniform(-10, 10), rng.uniform(-10, 10)))
+    got = sj.batch_rings_intersect(pairs_a, pairs_b)
+    exp = np.array([sj.rings_intersect(a, b) for a, b in zip(pairs_a, pairs_b)])
+    assert (got == exp).all()
+    assert 0.05 < exp.mean() < 0.95  # the soup exercises both outcomes
