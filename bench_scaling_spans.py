@@ -85,8 +85,38 @@ def job_span():
 def job_pagerank():
     noop(pagerank(edges, iters=3))
 
+# polygon x polygon: squares vs diamonds around hash-scattered centers
+# derived from a doc-id slice (10% of the corpus per side) — the grid
+# blocking + vectorized refine path
+from osm_poi_cloud_spark.operators.spatial_join import polygon_intersection_join
+_ids = docs.select("doc_id").filter(F.col("doc_id") % 10 == 0)
+_pts = _ids.select(
+    "doc_id",
+    (F.pmod(F.xxhash64("doc_id"), F.lit(34000)).cast("double") / 100.0 - 170.0).alias("lon"),
+    (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(16000)).cast("double") / 100.0 - 80.0).alias("lat"),
+)
+_sq = _pts.selectExpr(
+    "doc_id AS polygon_id",
+    "2.0 + CAST(doc_id % 5 AS DOUBLE) AS w", "lon", "lat").selectExpr(
+    "polygon_id",
+    "array(array(array(lon - w, lat - w), array(lon + w, lat - w), "
+    "array(lon + w, lat + w), array(lon - w, lat + w), "
+    "array(lon - w, lat - w))) AS rings")
+_di = _pts.selectExpr(
+    "doc_id + 1000000000 AS polygon_id",
+    "2.5 + CAST(doc_id % 7 AS DOUBLE) * 0.8 AS r", "lon", "lat").selectExpr(
+    "polygon_id",
+    "array(array(array(lon + r, lat), array(lon, lat + r), "
+    "array(lon - r, lat), array(lon, lat - r), array(lon + r, lat))) AS rings")
+_sq = _sq.persist(); _di = _di.persist()
+_sq.count(); _di.count()
+
+def job_polyx():
+    noop(polygon_intersection_join(_sq, _di, cover_zoom=6))
+
 out = {{"cpus": cpus, "docs_n": n}}
-for name, job in (("span", job_span), ("pagerank", job_pagerank)):
+for name, job in (("span", job_span), ("pagerank", job_pagerank),
+                  ("polyx", job_polyx)):
     job()  # warmup
     best = None
     for _ in range(repeats):
@@ -136,7 +166,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     args = ap.parse_args()
 
-    JOBS = ("span_sec", "pagerank_sec")
+    JOBS = ("span_sec", "pagerank_sec", "polyx_sec")
     lo = hi = None
     probe_lo = probe_hi = 0.0
     for _ in range(args.rounds):
@@ -158,7 +188,7 @@ def main() -> None:
         return round(speedup, 3), round(speedup / 4.0, 3), round(speedup / 4.0 / envelope, 3)
 
     result = {"docs_n": lo["docs_n"], "low": lo, "high": hi, "envelope": envelope}
-    for j in ("span", "pagerank"):
+    for j in ("span", "pagerank", "polyx"):
         s, e, n_ = eff(j + "_sec")
         result[j] = {"speedup": s, "efficiency": e, "normalized": n_}
     print(json.dumps(result), flush=True)
