@@ -260,6 +260,53 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
     return stats.select("n_kept", est.alias("estimate"))
 
 
+def kmv_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame,
+                      k: int = 1024) -> DataFrame:
+    """Set-operation estimates from two KMV sketches WITHOUT touching
+    the underlying tables — the classic bottom-k trick (Beyer et al.
+    2007, "On Synopses for Distinct-Value Estimation"): take the k
+    smallest hashes of the UNION of the sketches; the fraction of
+    those present in BOTH inputs estimates the Jaccard similarity, and
+    scaling the union-cardinality estimate gives intersection size.
+
+    One row: (k_used, n_shared, jaccard_est, union_est,
+    intersection_est). Everything is exact integer/rational arithmetic
+    over the deterministic hash sample, so the whole row replays
+    bit-identically from the sketch contents (golden-friendly).
+    ``k_used`` = min(k, |merged|); when both inputs were below
+    capacity the union/Jaccard values are EXACT (the sketches hold
+    every distinct id)."""
+    a = sketch_a.select("h").withColumn("_in_a", F.lit(1))
+    b = sketch_b.select("h").withColumn("_in_b", F.lit(1))
+    merged = (
+        a.join(b, "h", "full_outer")
+        .select("h",
+                F.coalesce("_in_a", F.lit(0)).alias("ia"),
+                F.coalesce("_in_b", F.lit(0)).alias("ib"))
+        .orderBy(F.expr(f"h ^ {_SIGN}"))
+        .limit(k)
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_shared"),
+        F.max(F.expr(f"h ^ {_SIGN}")).alias("max_flipped"),
+    )
+    jac = F.col("n_shared").cast("double") / F.col("k_used").cast("double")
+    u = (F.col("max_flipped").cast("double") + F.lit(float(1 << 63)))
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used").cast("double") - F.lit(1.0))
+        / (u / F.lit(float(1 << 64))))
+    return stats.select(
+        F.col("k_used").cast("long").alias("k_used"),
+        "n_shared",
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersection_est"),
+    )
+
+
 def kmv_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
     """Exact lower-index quantiles of the sketch's value column — the
     sample quantile q_p = val at sorted index ceil(p*n)-1 (clamped at

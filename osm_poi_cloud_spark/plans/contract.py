@@ -2255,6 +2255,26 @@ def _q_semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _q_kmv_setops_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (operators/sketch.py
+    kmv_set_estimates): Jaccard/union/intersection of two overlapping
+    doc-id slices FROM THEIR SKETCHES ALONE (Beyer et al. 2007 bottom-k
+    trick). One row, every value an exact integer/rational over the
+    deterministic hash sample. Golden oracle: make_goldens re-derives
+    both bottom-k sketches with from-spec chained XXH64, merges,
+    counts shared hashes and replays the identical estimator
+    arithmetic."""
+    from ..operators.sketch import kmv_build, kmv_set_estimates
+
+    _register(spark, sf_dir, ["documents"])
+    a = spark.sql("SELECT doc_id FROM documents WHERE doc_id < 1500")
+    b = spark.sql("SELECT doc_id FROM documents "
+                  "WHERE doc_id >= 250 AND doc_id < 2000")
+    sa = kmv_build(a, "doc_id", k=256)
+    sb = kmv_build(b, "doc_id", k=256)
+    return kmv_set_estimates(sa, sb, k=256)
+
+
 def _q_polygon_intersection_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon x polygon intersection join (operators/spatial_join.py
     polygon_intersection_join): axis-aligned squares (even poi_ids,
@@ -2406,6 +2426,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = _q_asof_join_spark
     q["interval_join"] = _q_interval_join_spark
     q["polygon_intersection"] = _q_polygon_intersection_spark
+    q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
 
@@ -2466,6 +2487,8 @@ _GOLDEN_SPECS = {
     "hashed_embedding": ("doc_id, bucket, tf, df_bucket, weight",
                          "SELECT SUM(doc_id * n_chars) FROM documents"),
     "polygon_intersection": ("a, b", "SELECT COUNT(*) FROM customer"),
+    "kmv_setops": ("k_used, n_shared, jaccard_est, union_est, intersection_est",
+                   "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

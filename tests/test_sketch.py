@@ -231,3 +231,31 @@ def test_kmv_merge_value_conflict_deterministic(spark):
     # min-struct rule: same id on both sides -> the smaller (id, val)
     # struct wins, i.e. val 10 everywhere
     assert (m1["val"] == 10).all()
+
+
+def test_kmv_set_estimates(spark):
+    """Bottom-k set operations: exact below capacity, bounded error at
+    capacity, partitioning-independent."""
+    a = spark.range(0, 1000).selectExpr("id AS doc_id")
+    b = spark.range(500, 1500).selectExpr("id AS doc_id")
+    # below capacity: EXACT (sketches hold every id)
+    sa = SK.kmv_build(a, "doc_id", k=4096)
+    sb = SK.kmv_build(b, "doc_id", k=4096)
+    row = SK.kmv_set_estimates(sa, sb, k=4096).first()
+    assert row["k_used"] == 1500 and row["n_shared"] == 500
+    assert row["jaccard_est"] == 500 / 1500
+    assert row["union_est"] == 1500.0
+    assert row["intersection_est"] == 500.0
+    # at capacity: estimates within the k^-1/2 error regime
+    sa2 = SK.kmv_build(a, "doc_id", k=256)
+    sb2 = SK.kmv_build(b, "doc_id", k=256)
+    est = SK.kmv_set_estimates(sa2, sb2, k=256).first()
+    assert est["k_used"] == 256
+    assert abs(est["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(est["union_est"] - 1500) / 1500 < 0.25
+    assert abs(est["intersection_est"] - 500) / 500 < 0.45
+    # deterministic under any partitioning
+    est2 = SK.kmv_set_estimates(
+        SK.kmv_build(a.repartition(7), "doc_id", k=256),
+        SK.kmv_build(b.repartition(3), "doc_id", k=256), k=256).first()
+    assert est2 == est

@@ -1083,6 +1083,40 @@ def check_semantic_dedup(emb: pd.DataFrame, got: pd.DataFrame,
         "planted copies mostly undetected — augmentation or tau broken"
 
 
+def expected_kmv_setops(doc_ids: np.ndarray, k: int = 256,
+                        seed: int = 11) -> pd.DataFrame:
+    """Independent KMV set-ops recompute: both slices' bottom-k via
+    from-spec chained XXH64, merged bottom-k of the union, shared-hash
+    count, and the identical estimator arithmetic
+    ((k-1) / (U_(k)/2^64), jaccard * union)."""
+    seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+
+    def hashes(ids):
+        return sorted(xxh64(int(d).to_bytes(8, "little", signed=True), seed_h)
+                      for d in ids)
+
+    ha = hashes([d for d in doc_ids if d < 1500])[:k]
+    hb = hashes([d for d in doc_ids if 250 <= d < 2000])[:k]
+    sa, sb = set(ha), set(hb)
+    merged = sorted(sa | sb)[:k]
+    k_used = len(merged)
+    n_shared = sum(1 for h in merged if h in sa and h in sb)
+    jac = float(n_shared) / float(k_used)
+    if k_used < k:
+        union_est = float(k_used)
+    else:
+        # engine: max(h ^ SIGN).cast(double) + 2^63 — and h ^ SIGN as a
+        # signed int64 is exactly u - 2^63 for every unsigned u, so the
+        # double rounds in the same two steps
+        u = np.float64(merged[-1] - (1 << 63)) + np.float64(1 << 63)
+        union_est = float((np.float64(k_used) - 1.0)
+                          / (u / np.float64(1 << 64)))
+    return pd.DataFrame(
+        [(k_used, n_shared, jac, union_est, jac * union_est)],
+        columns=["k_used", "n_shared", "jaccard_est", "union_est",
+                 "intersection_est"])
+
+
 def expected_polygon_intersection(custkeys: np.ndarray) -> pd.DataFrame:
     """Independent polygon-intersection recompute: rings re-derived
     from the closed PTS/size formulas, then a NAIVE scalar brute force
@@ -1223,7 +1257,8 @@ def main() -> None:
                                 "link_pagerank", "kmv_quantiles",
                                 "mixture_sample", "span_removal",
                                 "image_near_dup", "semantic_dedup",
-                                "hashed_embedding", "polygon_intersection")}
+                                "hashed_embedding", "polygon_intersection",
+                                "kmv_setops")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1307,6 +1342,11 @@ def main() -> None:
             _norm_sorted(results["polygon_intersection"].astype("int64")),
             _norm_sorted(expected_polygon_intersection(custkeys)),
             check_dtype=False)
+        all_doc_ids = con.execute(
+            "SELECT doc_id FROM documents ORDER BY doc_id").df()["doc_id"].to_numpy()
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["kmv_setops"]),
+            _norm_sorted(expected_kmv_setops(all_doc_ids)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1327,7 +1367,8 @@ def main() -> None:
                   "span_removal": "documents", "image_near_dup": "customer",
                   "semantic_dedup": "embeddings",
                   "hashed_embedding": "documents",
-                  "polygon_intersection": "customer"}
+                  "polygon_intersection": "customer",
+                  "kmv_setops": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
