@@ -101,6 +101,35 @@ def main() -> None:
          "canonical key feeding the row_number window.",
          fmt(url_fns.dedup_by_canonical_url(
              pages.select("url", "warc_ts", "text"), order_col="warc_ts"))),
+        ("as-of join (union + running last-value, one shuffle, zero Python)",
+         "One `Exchange hashpartitioning(_k)` feeding the running-window "
+         "`last(ignorenulls)`; no range explosion, no BroadcastNestedLoopJoin, "
+         "no ArrowEvalPython anywhere.",
+         fmt(__import__("osm_poi_cloud_spark.operators.temporal",
+                        fromlist=["asof_join"]).asof_join(
+             pois.select(F.col("poi_id").alias("k2"), F.col("lat").alias("ts"),
+                         "lon").withColumnRenamed("k2", "sym"),
+             pois.select(F.col("poi_id").alias("sym"), F.col("lat").alias("ts"),
+                         F.col("lon").alias("price")),
+             "sym"))),
+        ("interval join (bin blocking: hash join, not nested loop)",
+         "The non-equi overlap predicate rides a plain `SortMergeJoin`/hash join "
+         "on the exploded bin key — Spark's default plan for this query shape is "
+         "BroadcastNestedLoopJoin (quadratic); here no nested loop appears.",
+         fmt(__import__("osm_poi_cloud_spark.operators.temporal",
+                        fromlist=["interval_join"]).interval_join(
+             pois.select(F.col("poi_id").alias("a"), F.col("lat").alias("s"),
+                         (F.col("lat") + 1.0).alias("e")),
+             pois.select(F.col("poi_id").alias("b"), F.col("lat").alias("s"),
+                         (F.col("lat") + 0.5).alias("e")),
+             "s", "e", "s", "e", bin_width=2.0))),
+        ("hashed text embeddings (one count shuffle + native dense assembly)",
+         "Token explode + ONE partial/final count aggregation; the df table joins "
+         "by `BroadcastHashJoin`; the dense array assembles inside codegen "
+         "(map_from_entries + transform) — zero ArrowEvalPython.",
+         fmt(__import__("osm_poi_cloud_spark.functions.embed",
+                        fromlist=["hashed_tfidf_embed"]).hashed_tfidf_embed(
+             pages.select(F.col("url").alias("doc_id"), "text"), dim=64))),
     ]
 
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
