@@ -118,3 +118,41 @@ def sequence_shards(packed: DataFrame, token_ids_col: str = "token_ids",
         F.size("tokens").alias("n_tokens"),
         "tokens",
     )
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking: every document splits into
+    (id, chunk_idx, n_tokens, chunk_text) windows of up to
+    ``max_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between consecutive chunks — the retrieval/embedding preprocessing
+    step (RAG chunkers, long-doc encoders) and the long-document
+    counterpart of ``pack_sequences``.
+
+    100% native and map-only (zero shuffle, zero Python): token split,
+    window starts via ``sequence(1, greatest(n - overlap, 1), stride)``
+    (ascending by construction — the upper bound is always >= 1, and
+    Spark's sequence would DESCEND on an inverted range), per-window
+    ``slice`` + ``concat_ws``. The final chunk keeps the tail (shorter
+    than ``max_tokens`` is fine); empty documents yield no rows.
+    Tokenization preserves case — chunking must not mutate content."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got overlap={overlap}, "
+            f"max_tokens={max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks")) \
+        .filter(F.size("_toks") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks") - F.lit(overlap), F.lit(1)),
+        F.lit(stride))
+    exploded = base.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "_start"))
+    piece = F.slice(F.col("_toks"), F.col("_start"), max_tokens)
+    return exploded.select(
+        F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -1909,6 +1909,43 @@ def _q_pack_sequences_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, budget=2048).orderBy("lang", "doc_id")
 
 
+def _q_doc_chunks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/packing.py
+    chunk_documents): RAG/long-doc preprocessing — every document splits
+    into overlapping windows of up to 16 whitespace tokens, overlap 4
+    (stride 12). DIALECT-SPLIT oracle: DuckDB replays the window rule
+    with generate_series (inclusive list scalar) + 1-based-inclusive
+    list_slice; chunk_idx = (start-1)//stride; both sides join chunk
+    text with single spaces (exact strings — content-pinned)."""
+    from ..operators.packing import chunk_documents
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter("length(text) > 0") \
+        .select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
+_Q_DOC_CHUNKS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+  FROM documents WHERE length(text) > 0
+),
+nz AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+st AS (
+  SELECT doc_id, tk, u.s AS s
+  FROM nz, UNNEST(generate_series(1, greatest(n - 4, 1), 12)) AS u(s)
+)
+SELECT doc_id,
+       CAST((s - 1) // 12 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tk, s, s + 15)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, s, s + 15), ' ') AS chunk_text
+FROM st
+"""
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2399,6 +2436,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hll_registers"] = _q_hll_registers_spark
     q["cm_frequencies"] = _q_cm_frequencies_spark
     q["pack_sequences"] = _q_pack_sequences_spark
+    q["doc_chunks"] = _q_doc_chunks_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2522,6 +2560,7 @@ def build_oracles() -> dict[str, str]:
     o["corpus_curation"] = _corpus_curation_oracle()
     o["script_fractions"] = _script_fractions_oracle()
     o["pack_sequences"] = _Q_PACK_SEQUENCES
+    o["doc_chunks"] = _Q_DOC_CHUNKS_ORACLE
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE

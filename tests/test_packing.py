@@ -114,6 +114,65 @@ def test_validation(spark):
         PK.pack_sequences(df, budget=0)
 
 
+def test_chunk_documents_hand_computed(spark):
+    """10 tokens, max=4, overlap=2 -> stride 2, starts 1,3,5,7 (upper =
+    max(10-2,1)=8): windows [1..4],[3..6],[5..8],[7..10]. Exact-boundary
+    doc (4 tokens) is one chunk; empty/whitespace docs vanish."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9",
+                 "a  b\tc \n d",   # messy whitespace, 4 tokens
+                 "", "   "],
+    }))
+    out = PK.chunk_documents(df, max_tokens=4, overlap=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["chunk_text"]) == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"]
+    assert list(d0["n_tokens"]) == [4, 4, 4, 4]
+    d1 = out[out.doc_id == 1]
+    assert list(d1["chunk_text"]) == ["a b c d"]
+    assert set(out.doc_id) == {0, 1}  # empty docs dropped
+
+
+def test_chunk_documents_tail_and_coverage(spark):
+    """Tail chunk is short but present; every token index is covered;
+    consecutive chunks share exactly `overlap` tokens (except the tail,
+    which may restart earlier only via the greatest() clamp)."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    texts = [" ".join(f"w{i}_{j}" for j in range(n))
+             for i, n in enumerate(rng.randint(1, 40, 60))]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(60), "text": texts}))
+    out = PK.chunk_documents(df, max_tokens=8, overlap=3).toPandas()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        got = out[out.doc_id == i].sort_values("chunk_idx")
+        # reconstruct coverage: chunk j starts at j*stride (0-based)
+        rebuilt = []
+        for _, r in got.iterrows():
+            start = int(r["chunk_idx"]) * 5
+            expect = toks[start:start + 8]
+            assert r["chunk_text"].split() == expect
+            assert r["n_tokens"] == len(expect)
+            rebuilt.extend(expect)
+        assert set(rebuilt) == set(toks)  # full coverage
+        # tail rule: last start <= max(n - overlap, 1) - 1 (0-based)
+        n = len(toks)
+        n_chunks = len(got)
+        exp_chunks = len(range(0, max(n - 3, 1), 5))
+        assert n_chunks == exp_chunks
+
+
+def test_chunk_documents_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        PK.chunk_documents(df, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        PK.chunk_documents(df, max_tokens=8, overlap=-1)
+
+
 def test_packing_invariants_property(spark):
     """Property sweep (single Spark job over many random corpora):
     offsets are exact prefix sums per pack key, seq ids are monotone
