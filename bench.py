@@ -182,6 +182,12 @@ def main() -> None:
         dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
     timed("span_dedup", lambda: force(dd.span_dedup_stats(docs, k=8)))
     timed("span_removal", lambda: force(dd.remove_duplicated_spans(docs, k=8)))
+    # sliding-window chunking (map-only: split + slice windows, no shuffle)
+    from osm_poi_cloud_spark.operators.packing import chunk_documents
+    timed("doc_chunks", lambda: force(chunk_documents(docs, max_tokens=64, overlap=16)))
+    # corpus trigram counts (explode + one count shuffle, map-side combine)
+    from osm_poi_cloud_spark.functions.text_analysis import ngram_counts
+    timed("ngram_counts", lambda: force(ngram_counts(docs, n=3)))
 
     # ---- 6b. link-graph pagerank (3 checkpointed power iterations over a
     # deterministic 3-out-degree graph on the fat doc ids). Like

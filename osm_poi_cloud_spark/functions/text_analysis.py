@@ -249,3 +249,38 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def ngram_counts(df: DataFrame, n: int = 3,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-wide word n-gram counts — the corpus-statistics pass
+    behind contamination screens, boilerplate detection and LM
+    training-data reports.
+
+    100% native: per-doc window enumeration is transform(sequence) +
+    slice + concat_ws inside codegen (the size >= n filter guards
+    Spark's descending-sequence edge on short docs), then ONE count
+    shuffle. Catalyst's partial aggregation does the map-side combine,
+    so the shuffle carries at most |distinct grams per partition| rows
+    — the canonical word-count shape that survives any corpus size.
+    Tokens preserve case (corpus statistics must not mutate content);
+    lowercase upstream if case-folded counts are wanted."""
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(toks.alias("_tk")).filter(F.size("_tk") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n)))
+    return (base.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ngram_topk(df: DataFrame, n: int = 3, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Top-k corpus n-grams by count, deterministic tie-break (count
+    desc, gram asc). orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, only k rows ever reach the driver side."""
+    return (ngram_counts(df, n, text_col)
+            .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+            .limit(k))

@@ -1946,6 +1946,37 @@ FROM st
 """
 
 
+def _q_ngram_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (functions/text_analysis.py
+    ngram_topk): top-200 trigrams by exact count, deterministic
+    (count desc, gram asc) tie-break. DIALECT-SPLIT oracle: DuckDB
+    enumerates the same windows with generate_series + 1-based
+    list_slice; counts are exact integers."""
+    from ..functions.text_analysis import ngram_topk
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter("length(text) > 0") \
+        .select("text")
+    out = ngram_topk(docs, n=3, k=200)
+    return out.select("gram", F.col("cnt").cast("long").alias("cnt"))
+
+
+_Q_NGRAM_TOPK_ORACLE = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+  FROM documents WHERE length(text) > 0
+),
+grams AS (
+  SELECT array_to_string(list_slice(tk, s, s + 2), ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2, 1)) AS u(s)
+  WHERE len(tk) >= 3
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM grams GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT 200
+"""
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2437,6 +2468,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cm_frequencies"] = _q_cm_frequencies_spark
     q["pack_sequences"] = _q_pack_sequences_spark
     q["doc_chunks"] = _q_doc_chunks_spark
+    q["ngram_topk"] = _q_ngram_topk_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2561,6 +2593,7 @@ def build_oracles() -> dict[str, str]:
     o["script_fractions"] = _script_fractions_oracle()
     o["pack_sequences"] = _Q_PACK_SEQUENCES
     o["doc_chunks"] = _Q_DOC_CHUNKS_ORACLE
+    o["ngram_topk"] = _Q_NGRAM_TOPK_ORACLE
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE

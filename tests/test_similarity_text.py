@@ -460,3 +460,35 @@ def test_hashed_embedding_to_semantic_dedup_composition(spark):
     n = 220
     for _, r in ent.iterrows():
         assert r["weight"] == (float(r["tf"]) * float(n + 1)) / float(r["df_bucket"] + 1)
+
+
+def test_ngram_counts_hand_computed(spark):
+    """Trigram counts over a 3-doc corpus recomputed by hand; short
+    docs (< n tokens) contribute nothing; case preserved; top-k
+    tie-break is (count desc, gram asc) and the plan is
+    TakeOrderedAndProject (no global sort)."""
+    import pandas as pd
+    from collections import Counter
+    from osm_poi_cloud_spark.functions.text_analysis import (
+        ngram_counts, ngram_topk)
+
+    texts = ["a b c a b c", "b c a b", "x y", "A b c"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    exp = Counter()
+    for t in texts:
+        tk = t.split()
+        for i in range(len(tk) - 2):
+            exp[" ".join(tk[i:i + 3])] += 1
+    got = ngram_counts(df, n=3).toPandas().set_index("gram")["cnt"].to_dict()
+    assert got == dict(exp)
+
+    top = ngram_topk(df, n=3, k=3)
+    rows = top.toPandas()
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(map(tuple, rows[["gram", "cnt"]].values)) == ranked
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest
+    with pytest.raises(ValueError):
+        ngram_counts(df, n=0)
