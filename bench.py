@@ -189,6 +189,17 @@ def main() -> None:
     from osm_poi_cloud_spark.functions.text_analysis import ngram_counts
     timed("ngram_counts", lambda: force(ngram_counts(docs, n=3)))
 
+    # skew-salted join: 70% of POIs behind one hot key, 32-way salted
+    from osm_poi_cloud_spark.operators import skew as sk_skew
+    sk_facts = pois.selectExpr(
+        "poi_id",
+        "CAST(CASE WHEN poi_id % 10 < 7 THEN 0 ELSE poi_id % 1000 END "
+        "AS BIGINT) AS hot_k")
+    sk_dims = spark.range(1000).selectExpr(
+        "id AS hot_k", "concat('d', CAST(id AS STRING)) AS label")
+    timed("salted_join", lambda: force(sk_skew.salted_join(
+        sk_facts, sk_dims, "hot_k", [0], "poi_id", n_salts=32)))
+
     # ---- 6b. link-graph pagerank (3 checkpointed power iterations over a
     # deterministic 3-out-degree graph on the fat doc ids). Like
     # connected components, per-round checkpoint latency dominates at

@@ -1977,6 +1977,32 @@ ORDER BY cnt DESC, gram ASC LIMIT 200
 """
 
 
+def _q_salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): heavy o_custkeys
+    detected from the data (count > 12), their fact rows spread over 8
+    deterministic xxhash64 salts with the dim side's heavy slice
+    replicated to match, light keys joined untouched. Salting is a
+    PHYSICAL rewrite — the oracle is the plain inner-join SQL, so the
+    driver hash proves result identity."""
+    from ..operators.skew import detect_heavy_keys, salted_join
+
+    _register(spark, sf_dir, ["orders", "customer"])
+    orders = spark.table("orders")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment")
+    heavy = detect_heavy_keys(orders, "o_custkey", threshold=12)
+    out = salted_join(orders, cust, "o_custkey", heavy, "o_orderkey",
+                      n_salts=8)
+    return out.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+                      "o_totalprice")
+
+
+_Q_SALTED_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2469,6 +2495,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences_spark
     q["doc_chunks"] = _q_doc_chunks_spark
     q["ngram_topk"] = _q_ngram_topk_spark
+    q["salted_join"] = _q_salted_join_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2594,6 +2621,7 @@ def build_oracles() -> dict[str, str]:
     o["pack_sequences"] = _Q_PACK_SEQUENCES
     o["doc_chunks"] = _Q_DOC_CHUNKS_ORACLE
     o["ngram_topk"] = _Q_NGRAM_TOPK_ORACLE
+    o["salted_join"] = _Q_SALTED_JOIN_ORACLE
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
