@@ -350,6 +350,9 @@ def main() -> None:
     timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))
     timed("polygon_intersection", lambda: force(
         C._q_polygon_intersection_spark(spark, SF_DIR)))
+    from osm_poi_cloud_spark.operators.temporal import time_rollup
+    timed("time_rollup", lambda: force(
+        time_rollup(spark.read.parquet(f"{SF_DIR}/events.parquet"))))
 
     # ---- 8. representative SQL contract queries ----
     C._register(spark, SF_DIR)

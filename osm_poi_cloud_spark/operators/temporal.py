@@ -150,3 +150,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col("_match._rt").alias(f"{right_prefix}{right_time}"),
         *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in r_payload],
     )
+
+
+def time_rollup(df: DataFrame, ts_col: str = "ts",
+                dim_col: str = "event_type",
+                value_col: str = "value") -> DataFrame:
+    """Hierarchical time rollup — the hypertable "continuous
+    aggregate" shape: ONE pass producing every grain of
+    (grand total) -> (dim) -> (dim, day) -> (dim, day, hour) via
+    Spark's native ROLLUP grouping sets. Catalyst expands the sets
+    inside a single partial+final aggregation, so the multi-grain
+    report costs one shuffle, not four jobs — the property that
+    matters when the events table is the 100 TB side.
+
+    Cross-engine exactness: bucket labels are formatted strings (UTC
+    session tz; raw timestamp dtypes differ ns-vs-us across engines),
+    rolled-up labels coalesce to 'ALL', the grain id is
+    grouping(dim)*4 + grouping(day)*2 + grouping(hour) spelled out
+    (portable, unlike engine-specific grouping_id()), and the value
+    aggregate sums the exact integer floor(value * 1000) — identical
+    IEEE multiply+floor on both engines, then a BIGINT sum with no
+    float reduction-order hazard."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    hour = F.date_format(F.col(ts_col), "yyyy-MM-dd HH")
+    base = df.select(
+        F.col(dim_col).alias("dim"), day.alias("day"), hour.alias("hour"),
+        F.floor(F.col(value_col) * F.lit(1000.0)).cast("long").alias("_vmilli"))
+    out = (
+        base.rollup("dim", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_vmilli").alias("value_milli_sum"),
+             (F.grouping("dim") * F.lit(4) + F.grouping("day") * F.lit(2)
+              + F.grouping("hour")).cast("long").alias("grain"))
+    )
+    return out.select(
+        F.coalesce("dim", F.lit("ALL")).alias("dim"),
+        F.coalesce("day", F.lit("ALL")).alias("day"),
+        F.coalesce("hour", F.lit("ALL")).alias("hour"),
+        "grain", "n_events",
+        F.col("value_milli_sum").cast("long").alias("value_milli_sum"),
+    )

@@ -2003,6 +2003,39 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def _q_time_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (operators/temporal.py time_rollup):
+    one ROLLUP pass over events producing total -> type -> day -> hour
+    grains in a single shuffle (Expand + one HashAggregate pair,
+    plan-asserted in test_temporal). DIALECT-SPLIT oracle: DuckDB
+    GROUP BY ROLLUP with the same explicit GROUPING() grain id; value
+    aggregate is the exact-integer floor(value*1000) milli-sum (the
+    identical IEEE multiply+floor on both engines, BIGINT sum)."""
+    from ..operators.temporal import time_rollup
+
+    _register(spark, sf_dir, ["events"])
+    return time_rollup(spark.table("events"))
+
+
+_Q_TIME_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT event_type AS dim,
+         strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%Y-%m-%d %H') AS hour,
+         CAST(floor(value * 1000) AS BIGINT) AS vmilli
+  FROM events
+)
+SELECT coalesce(dim, 'ALL') AS dim,
+       coalesce(day, 'ALL') AS day,
+       coalesce(hour, 'ALL') AS hour,
+       CAST(GROUPING(dim)*4 + GROUPING(day)*2 + GROUPING(hour) AS BIGINT) AS grain,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vmilli) AS BIGINT) AS value_milli_sum
+FROM base
+GROUP BY ROLLUP (dim, day, hour)
+"""
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2496,6 +2529,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = _q_doc_chunks_spark
     q["ngram_topk"] = _q_ngram_topk_spark
     q["salted_join"] = _q_salted_join_spark
+    q["time_rollup"] = _q_time_rollup_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2622,6 +2656,7 @@ def build_oracles() -> dict[str, str]:
     o["doc_chunks"] = _Q_DOC_CHUNKS_ORACLE
     o["ngram_topk"] = _Q_NGRAM_TOPK_ORACLE
     o["salted_join"] = _Q_SALTED_JOIN_ORACLE
+    o["time_rollup"] = _Q_TIME_ROLLUP_ORACLE
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE

@@ -108,3 +108,47 @@ def test_interval_join_semantics_and_bin_invariance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bin_width"):
         interval_join(la, rb, "s", "e", "s", "e", bin_width=0)
+
+
+def test_time_rollup_hand_computed(spark):
+    """4 events, 2 types, 2 hours: every grain recomputed by hand.
+    The plan must be ONE aggregation over expanded grouping sets
+    (an Expand node), not a union of four aggs."""
+    import pandas as pd
+    from datetime import datetime
+    from osm_poi_cloud_spark.operators.temporal import time_rollup
+
+    rows = pd.DataFrame({
+        "ts": [datetime(2024, 1, 1, 10, 5), datetime(2024, 1, 1, 10, 50),
+               datetime(2024, 1, 1, 11, 5), datetime(2024, 1, 2, 10, 5)],
+        "event_type": ["a", "a", "b", "a"],
+        "value": [1.25, 2.0, 0.5, -1.75],
+    })
+    out = time_rollup(spark.createDataFrame(rows)).toPandas()
+    idx = out.set_index(["dim", "day", "hour"])
+
+    def row(dim, day, hour):
+        return idx.loc[(dim, day, hour)]
+
+    # leaf grain (0): per (type, day, hour)
+    r = row("a", "2024-01-01", "2024-01-01 10")
+    assert r["n_events"] == 2 and r["value_milli_sum"] == 1250 + 2000
+    assert r["grain"] == 0
+    r = row("a", "2024-01-02", "2024-01-02 10")
+    assert r["n_events"] == 1 and r["value_milli_sum"] == -1750
+    # day grain (1)
+    r = row("a", "2024-01-01", "ALL")
+    assert r["n_events"] == 2 and r["grain"] == 1
+    # type grain (3)
+    r = row("b", "ALL", "ALL")
+    assert r["n_events"] == 1 and r["value_milli_sum"] == 500
+    assert r["grain"] == 3
+    # grand total (7)
+    r = row("ALL", "ALL", "ALL")
+    assert r["n_events"] == 4 and r["value_milli_sum"] == 2000
+    assert r["grain"] == 7
+    # single-shuffle shape: grouping sets expand, one HashAggregate pair
+    plan = time_rollup(spark.createDataFrame(rows)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
