@@ -216,6 +216,16 @@ def main() -> None:
     )
     timed("pagerank", lambda: force(pagerank(pr_edges, iters=3)))
 
+    # incremental dedup: odd-id batch probes the even-id signature index
+    # (index build untimed — it amortizes across batches in production)
+    inc_index = dd.minhash_banded_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), num_perm=64, bands=16).cache()
+    inc_index.count()
+    timed("incremental_dedup", lambda: force(dd.incremental_minhash_matches(
+        docs.filter(F.col("doc_id") % 2 == 1), inc_index,
+        num_perm=64, bands=16, jaccard_threshold=0.5)))
+    inc_index.unpersist()
+
     # ---- 7. similarity over embeddings ----
     n_emb_fat = int(os.environ.get("SPARK_GRAFT_EMB_N", str(max(int(500_000 * SF), 5000))))
     fat_emb_path = f"/tmp/osm_poi_bench_fatemb_{n_emb_fat}"

@@ -343,6 +343,42 @@ def minhash_lsh_dedup(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def minhash_banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig, band, bucket) LSH rows — the persistable corpus
+    signature INDEX. One Arrow minhash stage + a native band explode;
+    write this to parquet once and every future crawl batch probes it
+    (``incremental_minhash_dedup``) without touching the historical
+    text. ``bands`` rows per document, each carrying the full
+    signature so probes can estimate Jaccard without re-shingling."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = df.select(F.col(id_col), make_minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"))
+    sig = sig.localCheckpoint(eager=False)
+
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * rows_per_band + r].cast("string")
+                                                  for r in range(rows_per_band)])).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -358,26 +394,8 @@ def minhash_lsh_pairs(
     Estimated Jaccard = fraction of matching minhash components —
     unbiased, and avoids re-shingling at verify time; the exact verify
     variant is ``ngram_jaccard_pairs``."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sig = df.select(F.col(id_col), make_minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"))
-    sig = sig.localCheckpoint(eager=False)
-
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * rows_per_band + r].cast("string")
-                                                  for r in range(rows_per_band)])).alias("bucket"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
+    banded = minhash_banded_signatures(df, text_col, id_col, num_perm,
+                                       bands, shingle_k, seed)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -399,6 +417,83 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("a", "b", "jaccard_est")
     )
+
+
+def incremental_minhash_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe a NEW batch against a persisted corpus signature index
+    (``minhash_banded_signatures`` rows, typically read back from
+    parquet) — the continuous-crawl shape: the historical corpus is
+    never re-read or re-shingled; each incoming batch costs one Arrow
+    minhash pass over the batch plus one (band, bucket) hash join
+    against the index. Returns (new_id, index_id, jaccard_est) for
+    every match at or above the threshold. The minhash parameters MUST
+    match the ones the index was built with (same num_perm/bands/
+    shingle_k/seed), or bucket collisions are meaningless — pass the
+    same values, or better, store them next to the index.
+
+    At 100 TB the index side is |corpus| x bands rows of (8B id, sig,
+    8B band, 8B bucket) — the join shuffles the BATCH to the index's
+    (band, bucket) distribution, so pre-bucketing the index parquet by
+    the join key makes the probe exchange-free on the big side
+    (plans/bucketing.py pattern)."""
+    probe = minhash_banded_signatures(new_docs, text_col, id_col,
+                                      num_perm, bands, shingle_k, seed)
+    cand = (
+        probe.alias("n").join(index.alias("i"), on=["band", "bucket"])
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("i.sig").alias("sig_i"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_n, sig_i, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard_est")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 7,
+    within_batch: bool = True,
+) -> DataFrame:
+    """New-batch rows that survive incremental dedup: drop every new
+    doc near-duplicating the indexed corpus, and (``within_batch``)
+    additionally dedup the batch against itself with the standard
+    cluster-representative rule. The kept rows' signatures are what a
+    caller appends to the index for the next batch."""
+    matches = incremental_minhash_matches(
+        new_docs, index, text_col, id_col, num_perm, bands, shingle_k,
+        jaccard_threshold, seed)
+    dup_new = matches.select(F.col("new_id").alias(id_col)).distinct()
+    kept = new_docs.join(dup_new, on=id_col, how="left_anti")
+    if within_batch:
+        kept = minhash_lsh_dedup(kept, text_col, id_col, num_perm,
+                                 bands, shingle_k, jaccard_threshold, seed)
+    return kept
 
 
 # ---------------------------------------------------------------------------

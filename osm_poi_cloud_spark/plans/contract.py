@@ -2036,6 +2036,28 @@ GROUP BY ROLLUP (dim, day, hour)
 """
 
 
+def _q_incremental_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup probe (operators/dedup.py): the corpus split
+    into a signature INDEX (doc_id % 3 != 0) and a NEW batch
+    (doc_id % 3 == 0); the batch probes the index via the persisted
+    (band, bucket) LSH rows without ever touching the historical text
+    — the continuous-crawl shape. GOLDEN oracle: independent
+    pure-Python minhash recompute (tools/make_goldens.py) restricted
+    to cross-split candidate pairs; jaccard_est is the exact rational
+    matches/64."""
+    from ..operators.dedup import (incremental_minhash_matches,
+                                   minhash_banded_signatures)
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    index = minhash_banded_signatures(
+        docs.filter(F.col("doc_id") % 3 != 0), num_perm=64, bands=16)
+    return incremental_minhash_matches(
+        docs.filter(F.col("doc_id") % 3 == 0), index,
+        num_perm=64, bands=16, jaccard_threshold=0.5
+    ).orderBy("new_id", "index_id")
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2530,6 +2552,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_topk"] = _q_ngram_topk_spark
     q["salted_join"] = _q_salted_join_spark
     q["time_rollup"] = _q_time_rollup_spark
+    q["incremental_dedup"] = _q_incremental_dedup_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2620,6 +2643,8 @@ _GOLDEN_SPECS = {
     "polygon_intersection": ("a, b", "SELECT COUNT(*) FROM customer"),
     "kmv_setops": ("k_used, n_shared, jaccard_est, union_est, intersection_est",
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "incremental_dedup": ("new_id, index_id, jaccard_est",
+                          "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

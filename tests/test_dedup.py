@@ -267,3 +267,60 @@ def test_remove_duplicated_spans_external_catalog(spark):
     out = remove_duplicated_spans(small, k=8, spans=catalog).toPandas()
     assert out.loc[0, "text"] == "prefix suffix"
     assert out.loc[0, "tokens_removed"] == 8
+
+
+def test_incremental_minhash_matches_equal_cross_split_pairs(spark):
+    """Splitting the corpus into index (even ids) and batch (odd ids),
+    the incremental probe must find EXACTLY the minhash_lsh_pairs
+    whose endpoints cross the split, with identical jaccard_est —
+    probing a persisted index is a physical rewrite of the self-join,
+    never a semantic change. Round-trips the index through parquet to
+    prove the persisted form is sufficient."""
+    import os
+    import tempfile
+
+    docs = _docs(spark)
+    kw = dict(num_perm=64, bands=16, shingle_k=5, jaccard_threshold=0.5)
+    all_pairs = dd.minhash_lsh_pairs(docs, **kw).toPandas()
+    cross = all_pairs[(all_pairs.a % 2) != (all_pairs.b % 2)]
+    exp = {
+        (int(r.a) if r.a % 2 else int(r.b), int(r.b) if r.a % 2 else int(r.a)):
+        float(r.jaccard_est)
+        for r in cross.itertuples()
+    }  # (new=odd, index=even) -> est
+
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "sig_index")
+        dd.minhash_banded_signatures(
+            index_docs, num_perm=64, bands=16, shingle_k=5) \
+            .write.parquet(path)
+        index = spark.read.parquet(path)
+        got_df = dd.incremental_minhash_matches(batch, index, **kw).toPandas()
+    got = {(int(r.new_id), int(r.index_id)): float(r.jaccard_est)
+           for r in got_df.itertuples()}
+    assert got == exp and len(got) > 0
+
+
+def test_incremental_dedup_keeps_novel_drops_matched(spark):
+    """Index holds cluster A's doc 0 and cluster B's doc 4; the batch
+    carries near-dups of both plus novel docs. Matched batch docs drop,
+    novel survive; within-batch dedup then collapses the batch's own
+    dup pair to its min-id representative."""
+    docs = _docs(spark)
+    index_docs = docs.filter(F.col("doc_id").isin([0, 4]))
+    batch = docs.filter(F.col("doc_id").isin([1, 2, 3, 5, 6, 7]))
+    index = dd.minhash_banded_signatures(index_docs, num_perm=64, bands=16,
+                                         shingle_k=5)
+    kept = dd.incremental_minhash_dedup(
+        batch, index, num_perm=64, bands=16, shingle_k=5,
+        jaccard_threshold=0.5, within_batch=True).toPandas()
+    kept_ids = set(kept.doc_id)
+    # 1 (exact dup of 0), 2/3 (near dups of 0), 5 (near dup of 4) all drop
+    assert {6, 7} <= kept_ids
+    assert kept_ids & {1, 2, 5} == set()
+    rows = dd.incremental_minhash_matches(
+        batch, index, num_perm=64, bands=16, shingle_k=5,
+        jaccard_threshold=0.5).toPandas()
+    assert (rows[rows.new_id == 1].jaccard_est == 1.0).all()

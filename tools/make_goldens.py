@@ -117,6 +117,24 @@ def expected_minhash_pairs(docs: pd.DataFrame, num_perm=64, bands=16, thr=0.5) -
     return pd.DataFrame(out, columns=["a", "b", "jaccard_est"])
 
 
+def expected_incremental_matches(docs: pd.DataFrame, num_perm=64, bands=16,
+                                 thr=0.5) -> pd.DataFrame:
+    """Cross-split restriction of the all-pairs recompute: index =
+    doc_id % 3 != 0, new batch = doc_id % 3 == 0. Candidate iff the
+    pair shares a band (bucket grouping is per-doc independent, so
+    the cross subset of the self-join candidates IS the probe's
+    candidate set); same exact-rational jaccard_est."""
+    pairs = expected_minhash_pairs(docs, num_perm, bands, thr)
+    out = []
+    for r in pairs.itertuples():
+        a_new, b_new = r.a % 3 == 0, r.b % 3 == 0
+        if a_new == b_new:
+            continue
+        new_id, index_id = (r.a, r.b) if a_new else (r.b, r.a)
+        out.append((int(new_id), int(index_id), float(r.jaccard_est)))
+    return pd.DataFrame(out, columns=["new_id", "index_id", "jaccard_est"])
+
+
 def simhash64(text: str | None, seed: int = 11) -> int:
     toks = (text or "").replace("\x00", " ").lower().split()
     if not toks:
@@ -1258,7 +1276,7 @@ def main() -> None:
                                 "mixture_sample", "span_removal",
                                 "image_near_dup", "semantic_dedup",
                                 "hashed_embedding", "polygon_intersection",
-                                "kmv_setops")}
+                                "kmv_setops", "incremental_dedup")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1347,6 +1365,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["kmv_setops"]),
             _norm_sorted(expected_kmv_setops(all_doc_ids)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["incremental_dedup"]),
+            _norm_sorted(expected_incremental_matches(docs)), check_dtype=False)
 
         # --- re-run determinism gate: goldens must be bit-stable ---
         for name in results:
@@ -1368,7 +1389,8 @@ def main() -> None:
                   "semantic_dedup": "embeddings",
                   "hashed_embedding": "documents",
                   "polygon_intersection": "customer",
-                  "kmv_setops": "documents"}
+                  "kmv_setops": "documents",
+                  "incremental_dedup": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
