@@ -2058,6 +2058,51 @@ def _q_incremental_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "index_id")
 
 
+def _q_zorder_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys (operators/layout.py): Morton interleave of
+    synthetic 16-bit grid coordinates derived from c_custkey by exact
+    integer arithmetic. DIALECT-SPLIT oracle: DuckDB replays the
+    identical spread shifts/masks in BIGINT SQL — the key is pure
+    integer bit arithmetic, so the hash match is bit-exact."""
+    from ..operators.layout import zorder_key
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(
+        "SELECT c_custkey, "
+        "CAST((c_custkey * 7919) % 65536 AS BIGINT) AS gx, "
+        "CAST((c_custkey * 104729) % 65536 AS BIGINT) AS gy "
+        "FROM customer")
+    return pts.select(
+        "c_custkey", "gx", "gy",
+        zorder_key(F.col("gx"), F.col("gy")).alias("zkey"))
+
+
+_Q_ZORDER_KEYS_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919) % 65536 AS gx,
+         (c_custkey * 104729) % 65536 AS gy
+  FROM customer
+),
+s1 AS (SELECT c_custkey, gx, gy,
+       ((gx | (gx << 8)) & 16711935) AS ax,
+       ((gy | (gy << 8)) & 16711935) AS ay FROM pts),
+s2 AS (SELECT c_custkey, gx, gy,
+       ((ax | (ax << 4)) & 252645135) AS bx,
+       ((ay | (ay << 4)) & 252645135) AS by FROM s1),
+s3 AS (SELECT c_custkey, gx, gy,
+       ((bx | (bx << 2)) & 858993459) AS cx,
+       ((by | (by << 2)) & 858993459) AS cy FROM s2),
+s4 AS (SELECT c_custkey, gx, gy,
+       ((cx | (cx << 1)) & 1431655765) AS dx,
+       ((cy | (cy << 1)) & 1431655765) AS dy FROM s3)
+SELECT c_custkey,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(dx | (dy << 1) AS BIGINT) AS zkey
+FROM s4
+"""
+
+
 _Q_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
@@ -2553,6 +2598,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["salted_join"] = _q_salted_join_spark
     q["time_rollup"] = _q_time_rollup_spark
     q["incremental_dedup"] = _q_incremental_dedup_spark
+    q["zorder_keys"] = _q_zorder_keys_spark
     q["snapshot_diff"] = _q_snapshot_diff_spark
     q["contamination_pairs"] = _q_contamination_spark
     q["fingerprint_hashes"] = _q_fingerprint_spark
@@ -2682,6 +2728,7 @@ def build_oracles() -> dict[str, str]:
     o["ngram_topk"] = _Q_NGRAM_TOPK_ORACLE
     o["salted_join"] = _Q_SALTED_JOIN_ORACLE
     o["time_rollup"] = _Q_TIME_ROLLUP_ORACLE
+    o["zorder_keys"] = _Q_ZORDER_KEYS_ORACLE
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
