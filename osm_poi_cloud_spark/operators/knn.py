@@ -95,6 +95,150 @@ def knn_bruteforce(queries: DataFrame, pois: DataFrame, k: int,
     )
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell0: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    left_id: str = "query_id",
+    right_id: str = "poi_id",
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    rows_per_partition: int = 250_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """EXACT nearest-neighbor join: for every left point, THE single
+    nearest right point (L2 in coordinate space, deterministic
+    tie-break on smaller right id) — no radius assumption, unlike
+    ``knn_join``'s one-tile-width exactness window.
+
+    Plan (expanding grid rings, a distributed "grid file" NN search):
+    round ``i`` keys both sides by a ``cell0 * 2**i``-sized grid cell,
+    expands each pending left point to its 3x3 cell neighborhood, hash
+    joins on the cell key and takes the per-left min over
+    ``(d2, right_id)`` structs. A match with ``dist <= s`` (the round's
+    cell size) is PROVABLY the true nearest: any closer competitor
+    would lie within ``s`` of the query and hence inside the 3x3
+    neighborhood, so it was a candidate. Unmatched / too-far lefts
+    carry to the next round with the cell size doubled — the classic
+    geometric escalation, so total rounds are O(log(domain / cell0))
+    and each round re-keys the (persisted) right side map-only.
+
+    At scale: per-round cost is one shuffle hash join on the cell key
+    over the SHRINKING pending set (dense areas resolve in round 0 at
+    3x3-candidate cost; only sparse-region stragglers escalate), never
+    an all-pairs product. Shuffle width is derived from the input
+    sizes (``rows_per_partition``) like the other iterative operators,
+    with the session conf restored on exit. ``pending`` and each
+    round's matches are EAGERLY CHECKPOINTED — pending's anti-join
+    chain otherwise doubles the logical plan every round and Catalyst
+    re-optimization time grows exponentially (measured: 68 s for round
+    6 of a 400-point toy under plain persist). ``checkpoint_dir`` as
+    in ``connected_components``: set for reliable cluster checkpoints,
+    unset uses ``localCheckpoint``. Per-round driver actions: the two
+    eager checkpoints plus one emptiness probe, all bounded by
+    ``max_rounds``.
+
+    Output: ``left_id, right_id, nn_d2`` (squared distance — exact
+    integer when the coordinates are integers). Inner semantics: empty
+    right input yields an empty result.
+    """
+    if cell0 <= 0:
+        raise ValueError(f"cell0 must be positive, got {cell0}")
+    spark = left.sparkSession
+    spark_ctx = spark.sparkContext
+    prev_ckpt_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        prev_opt = spark_ctx._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+        spark_ctx.setCheckpointDir(
+            f"{checkpoint_dir.rstrip('/')}/nn-{uuid.uuid4().hex}")
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
+
+    rt_raw = right.select(
+        F.col(right_id), F.col(x_col).alias("_rx"), F.col(y_col).alias("_ry")
+    ).persist()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_right = rt_raw.count()  # also materializes the persist
+        pending = _checkpoint(left.select(
+            F.col(left_id), F.col(x_col).alias("_lx"), F.col(y_col).alias("_ly")))
+        if num_partitions is None:
+            import math
+
+            num_partitions = max(
+                1, math.ceil((pending.count() + n_right) / rows_per_partition))
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        if n_right == 0:
+            return (pending.limit(0)
+                    .join(rt_raw.select(right_id), F.lit(False), "inner")
+                    .select(left_id, right_id,
+                            F.lit(None).cast("double").alias("nn_d2")))
+        chunks = []
+        s = float(cell0)
+        for _ in range(max_rounds):
+            if pending.isEmpty():
+                break
+            lt = (
+                pending
+                .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+                .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+                .select(
+                    left_id, "_lx", "_ly",
+                    (F.floor(F.col("_lx") / F.lit(s)) + F.col("_dx")).alias("_cx"),
+                    (F.floor(F.col("_ly") / F.lit(s)) + F.col("_dy")).alias("_cy"),
+                )
+            )
+            rt = rt_raw.select(
+                right_id, "_rx", "_ry",
+                F.floor(F.col("_rx") / F.lit(s)).alias("_cx"),
+                F.floor(F.col("_ry") / F.lit(s)).alias("_cy"),
+            )
+            ddx = F.col("_lx") - F.col("_rx")
+            ddy = F.col("_ly") - F.col("_ry")
+            best = (
+                lt.join(rt, ["_cx", "_cy"])
+                .withColumn("_d2", ddx * ddx + ddy * ddy)
+                .groupBy(left_id)
+                .agg(F.min(F.struct(F.col("_d2").alias("d2"),
+                                    F.col(right_id).alias("rid"))).alias("_b"))
+            )
+            matched = _checkpoint(
+                best.filter(F.col("_b.d2") <= F.lit(s * s))
+                .select(left_id, F.col("_b.rid").alias(right_id),
+                        F.col("_b.d2").alias("nn_d2"))
+            )
+            chunks.append(matched)
+            pending = _checkpoint(
+                pending.join(matched, left_id, "left_anti"))
+            s *= 2.0
+        if not pending.isEmpty():
+            raise RuntimeError(
+                f"nearest_join did not converge in {max_rounds} rounds")
+        if not chunks:  # empty left input
+            return (pending.limit(0)
+                    .join(rt_raw.select(right_id), F.lit(False), "inner")
+                    .select(left_id, right_id,
+                            F.lit(None).cast("double").alias("nn_d2")))
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionByName(c)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        rt_raw.unpersist()
+        if checkpoint_dir is not None:
+            # Scala setCheckpointDir wraps in Option(...): null clears
+            # (same restore contract as connected_components)
+            spark_ctx._jsc.sc().setCheckpointDir(prev_ckpt_dir)
+
+
 def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
                 left_id: str = "query_id", right_id: str = "poi_id") -> DataFrame:
     """All (left, right) pairs within ``radius_deg`` in DEGREE-SPACE

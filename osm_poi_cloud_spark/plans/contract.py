@@ -1639,6 +1639,60 @@ def _q_radius_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(q, pts, 2.0).orderBy("query_id", "poi_id")
 
 
+def _q_nearest_poi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-exact nearest-neighbor join (operators/knn.py
+    nearest_join): expanding grid-ring search, per-left min over
+    (d2, id) structs, rounds escalate geometrically until every left
+    point has a PROVEN nearest. Coordinates are synthetic integer grid
+    points from exact key arithmetic, so d2 is an exact BIGINT and the
+    DuckDB oracle — the labeled n^2 brute force with a row_number
+    arg-min and the identical tie rule — must match hash-exactly.
+    cell0=64 on a 4096-grid forces several escalation rounds at both
+    committed SFs (the multi-round path is what's being graded)."""
+    from ..operators.knn import nearest_join
+
+    _register(spark, sf_dir, ["customer", "supplier"])
+    l = spark.sql(
+        "SELECT c_custkey AS qid, "
+        "CAST((c_custkey * 7919) % 4096 AS BIGINT) AS x, "
+        "CAST((c_custkey * 104729) % 4096 AS BIGINT) AS y FROM customer")
+    r = spark.sql(
+        "SELECT s_suppkey AS nn_id, "
+        "CAST((s_suppkey * 4099) % 4096 AS BIGINT) AS x, "
+        "CAST((s_suppkey * 7121) % 4096 AS BIGINT) AS y FROM supplier")
+    out = nearest_join(l, r, cell0=64.0, x_col="x", y_col="y",
+                       left_id="qid", right_id="nn_id")
+    return out.select(
+        "qid", "nn_id", F.col("nn_d2").cast("long").alias("nn_d2")
+    ).orderBy("qid")
+
+
+_Q_NEAREST_POI_ORACLE = """
+WITH l AS (
+  SELECT c_custkey AS qid,
+         (c_custkey * 7919) % 4096 AS lx,
+         (c_custkey * 104729) % 4096 AS ly
+  FROM customer
+),
+r AS (
+  SELECT s_suppkey AS nn_id,
+         (s_suppkey * 4099) % 4096 AS rx,
+         (s_suppkey * 7121) % 4096 AS ry
+  FROM supplier
+),
+cand AS (
+  SELECT qid, nn_id,
+         (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) AS d2,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry), nn_id
+         ) AS rn
+  FROM l CROSS JOIN r
+)
+SELECT qid, nn_id, CAST(d2 AS BIGINT) AS nn_d2 FROM cand WHERE rn = 1
+"""
+
+
 def _q_mixture_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture planner (operators/mixture.py): weights 4:1:1:1
     over src0-src3 at a budget of HALF the pool — src0's share exceeds
@@ -2612,6 +2666,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
     q["mixture_sample"] = _q_mixture_sample_spark
     q["radius_pairs"] = _q_radius_pairs_spark
+    q["nearest_poi"] = _q_nearest_poi_spark
     q["quality_classifier"] = _q_quality_classifier_spark
     q["quality_classifier_ext"] = _q_quality_classifier_ext_spark
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
@@ -2732,6 +2787,7 @@ def build_oracles() -> dict[str, str]:
     o["snapshot_diff"] = _Q_SNAPSHOT_DIFF
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
+    o["nearest_poi"] = _Q_NEAREST_POI_ORACLE
     o["quality_classifier"] = _quality_classifier_oracle()
     o["quality_classifier_ext"] = _quality_classifier_ext_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE

@@ -168,3 +168,66 @@ def test_radius_join_property(spark):
         assert set(zip(got["query_id"], got["poi_id"])) == exp
 
     check()
+
+
+# ---------------------------------------------------------------- nearest_join
+
+def _nn_brute(lp, rp):
+    """Pure-pandas exact nearest with the operator's tie rule."""
+    out = {}
+    for _, l in lp.iterrows():
+        best = None
+        for _, r in rp.iterrows():
+            d2 = (l.x - r.x) ** 2 + (l.y - r.y) ** 2
+            key = (d2, r.rid)
+            if best is None or key < best:
+                best = key
+        out[l.qid] = best
+    return out
+
+
+def test_nearest_join_exact_multi_round(spark):
+    """Tiny cell0 forces several expanding rounds; result must equal
+    brute force exactly, integer d2 and deterministic ties included."""
+    rng = np.random.RandomState(11)
+    lp = pd.DataFrame({"qid": np.arange(400),
+                       "x": rng.randint(0, 4096, 400).astype(np.int64),
+                       "y": rng.randint(0, 4096, 400).astype(np.int64)})
+    # sparse right side -> early rounds leave most lefts unmatched
+    rp = pd.DataFrame({"rid": np.arange(12),
+                       "x": rng.randint(0, 4096, 12).astype(np.int64),
+                       "y": rng.randint(0, 4096, 12).astype(np.int64)})
+    got = knn.nearest_join(
+        spark.createDataFrame(lp), spark.createDataFrame(rp), cell0=8.0,
+        x_col="x", y_col="y", left_id="qid", right_id="rid",
+    ).toPandas().set_index("qid")
+    exp = _nn_brute(lp, rp)
+    assert len(got) == len(lp)
+    for qid, (d2, rid) in exp.items():
+        assert int(got.loc[qid, "nn_d2"]) == int(d2)
+        assert int(got.loc[qid, "rid"]) == int(rid)
+
+
+def test_nearest_join_tie_break_and_empty_right(spark):
+    lp = pd.DataFrame({"qid": [0], "x": [0], "y": [0]})
+    rp = pd.DataFrame({"rid": [7, 3], "x": [5, -5], "y": [0, 0]})
+    got = knn.nearest_join(
+        spark.createDataFrame(lp), spark.createDataFrame(rp), cell0=2.0,
+        x_col="x", y_col="y", left_id="qid", right_id="rid").toPandas()
+    assert got.loc[0, "rid"] == 3 and got.loc[0, "nn_d2"] == 25  # equal d2 -> min id
+
+    empty_r = spark.createDataFrame(rp).limit(0)
+    out = knn.nearest_join(
+        spark.createDataFrame(lp), empty_r, cell0=2.0,
+        x_col="x", y_col="y", left_id="qid", right_id="rid")
+    assert out.count() == 0 and set(out.columns) == {"qid", "rid", "nn_d2"}
+
+
+def test_nearest_join_restores_shuffle_conf(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    lp = pd.DataFrame({"qid": [0, 1], "x": [0, 100], "y": [0, 100]})
+    rp = pd.DataFrame({"rid": [0], "x": [50], "y": [50]})
+    knn.nearest_join(spark.createDataFrame(lp), spark.createDataFrame(rp),
+                     cell0=10.0, x_col="x", y_col="y",
+                     left_id="qid", right_id="rid").count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
