@@ -1693,6 +1693,85 @@ SELECT qid, nn_id, CAST(d2 AS BIGINT) AS nn_d2 FROM cand WHERE rn = 1
 """
 
 
+def _q_dbscan_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (operators/clustering.py): grid-blocked
+    eps-graph (radius_join) + large-star/small-star connected
+    components over the core subgraph. Integer grid coordinates make
+    every sqrt-boundary decision bit-exact; the DuckDB oracle is a
+    genuinely different algorithm — n^2 neighbor scan plus a RECURSIVE
+    CTE transitive closure — with the same deterministic label rules
+    (min core id per component, min label for borders, -1 noise). The
+    quadratic key mix breaks the pure-multiplicative lattice so the
+    role distribution is a genuine core/border/noise blend.
+
+    eps is DENSITY-ADAPTIVE — 4096*sqrt(3/pi)/sqrt(n) targets ~3
+    expected eps-neighbors at every SF, so the query exercises a real
+    core/border/noise mix instead of degenerating to all-noise (small
+    SF) or one giant component (large SF). Python and DuckDB compute
+    eps from the same integer count with the identical IEEE chain
+    (div, pi, sqrt, mul — all correctly rounded), so the threshold is
+    the same double bit pattern in both engines."""
+    import math
+
+    from ..operators.clustering import dbscan
+
+    _register(spark, sf_dir, ["customer"])
+    n = spark.sql("SELECT COUNT(*) AS n FROM customer").first()[0]
+    eps = 4096.0 * math.sqrt(3.0 / math.pi) / math.sqrt(float(n))
+    pts = spark.sql(
+        "SELECT c_custkey AS pid, "
+        "CAST((c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) % 4096"
+        " AS BIGINT) AS x, "
+        "CAST((c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) % 4096"
+        " AS BIGINT) AS y FROM customer")
+    return dbscan(pts, eps, 3, id_col="pid", x_col="x", y_col="y") \
+        .orderBy("pid")
+
+
+_Q_DBSCAN_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) % 4096 AS x,
+         (c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) % 4096 AS y
+  FROM customer
+),
+eps_t AS (
+  SELECT 4096.0 * sqrt(3.0 / pi()) / sqrt(CAST(COUNT(*) AS DOUBLE)) AS eps
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS pa, b.id AS pb
+  FROM pts a, pts b
+  WHERE sqrt(CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS DOUBLE))
+        <= (SELECT eps FROM eps_t)
+),
+core AS (SELECT pa AS id FROM pairs GROUP BY pa HAVING COUNT(*) >= 3),
+ce AS (
+  SELECT pa, pb FROM pairs
+  WHERE pa IN (SELECT id FROM core) AND pb IN (SELECT id FROM core)
+),
+reach(a, b) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.a, ce.pb FROM reach r JOIN ce ON r.b = ce.pa
+),
+lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+border AS (
+  SELECT p.pa AS id, MIN(l.cluster) AS cluster
+  FROM pairs p JOIN lab l ON p.pb = l.id
+  WHERE p.pa NOT IN (SELECT id FROM core) AND p.pa <> p.pb
+  GROUP BY p.pa
+)
+SELECT id AS pid, CAST(cluster AS BIGINT) AS cluster, 'core' AS role FROM lab
+UNION ALL
+SELECT id AS pid, CAST(cluster AS BIGINT) AS cluster, 'border' AS role FROM border
+UNION ALL
+SELECT id AS pid, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role FROM pts
+WHERE id NOT IN (SELECT id FROM core) AND id NOT IN (SELECT id FROM border)
+"""
+
+
 def _q_mixture_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture planner (operators/mixture.py): weights 4:1:1:1
     over src0-src3 at a budget of HALF the pool — src0's share exceeds
@@ -2667,6 +2746,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mixture_sample"] = _q_mixture_sample_spark
     q["radius_pairs"] = _q_radius_pairs_spark
     q["nearest_poi"] = _q_nearest_poi_spark
+    q["dbscan_clusters"] = _q_dbscan_clusters_spark
     q["quality_classifier"] = _q_quality_classifier_spark
     q["quality_classifier_ext"] = _q_quality_classifier_ext_spark
     q["snapshot_upsert"] = _q_snapshot_upsert_spark
@@ -2788,6 +2868,7 @@ def build_oracles() -> dict[str, str]:
     o["span_dedup"] = _Q_SPAN_DEDUP_ORACLE
     o["radius_pairs"] = _Q_RADIUS_PAIRS_ORACLE
     o["nearest_poi"] = _Q_NEAREST_POI_ORACLE
+    o["dbscan_clusters"] = _Q_DBSCAN_ORACLE
     o["quality_classifier"] = _quality_classifier_oracle()
     o["quality_classifier_ext"] = _quality_classifier_ext_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE

@@ -62,7 +62,7 @@ MIN_ROWS = {
     "polygon_intersection": 60, "kmv_setops": 1,
     "doc_chunks": 1000, "ngram_topk": 200, "salted_join": 1000,
     "time_rollup": 1000, "incremental_dedup": 8, "zorder_keys": 140,
-    "nearest_poi": 140,
+    "nearest_poi": 140, "dbscan_clusters": 140,
     "union_merge": 3, "topk_event_types": 5, "pip_bbox_join": 10,
     "dedup_minhash_pairs": 10, "dedup_simhash_pairs": 10,
     "dedup_components": 30, "dedup_jaccard_verify": 10, "bloom_url_probe": 40, "tfidf_top_terms": 90, "stratified_sample": 10, "corpus_curation": 30, "bpe_token_count": 40, "script_fractions": 40, "hll_registers": 30, "pack_sequences": 40, "snapshot_diff": 40, "contamination_pairs": 5,
