@@ -355,6 +355,25 @@ def main() -> None:
     )
     timed("centroid_collapse", lambda: force(geo.collapse_polygons_to_points(rings)))
 
+    # ---- 7d2. per-zoom DP simplification pyramid (one UDF pass for
+    # z2-14; selection native). 64-vertex lattice polylines, one per
+    # POI-scale feature ----
+    n_lines = max(n_pois, 10_000)
+    lines_b = spark.range(n_lines).repartition(PARTITIONS).selectExpr(
+        "id AS line_id",
+        "transform(sequence(0, 63), i -> array(CAST(i * 4 AS DOUBLE), "
+        "CAST((id * 7 + i * i * 13) % 97 - 48 AS DOUBLE))) AS line")
+    timed("simplify_pyramid", lambda: force(
+        geo.simplify_pyramid(lines_b, base_tol=2.0, min_zoom=2, max_zoom=14)
+        .select("line_id", "z", F.size("simp").alias("n_kept"))))
+
+    # ---- 7d3. DSIR importance scoring over the fat corpus (target =
+    # deterministic 2% slice) ----
+    from osm_poi_cloud_spark.operators import importance as imp_op
+    timed("dsir_scores", lambda: force(imp_op.importance_scores(
+        docs.select("doc_id", "text"),
+        docs.where("doc_id % 50 = 0").select("doc_id", "text"), dim=4096)))
+
     # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
     timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))
     timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))

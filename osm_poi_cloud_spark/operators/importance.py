@@ -1,0 +1,183 @@
+"""Data selection via importance resampling (DSIR) — choose raw-corpus
+documents whose hashed n-gram distribution looks like a small target
+corpus (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS; the pretraining-data analog of the
+reference's class-filtered extraction).
+
+DSIR in brief: featurize every document into hashed n-gram bucket
+counts, fit bucket unigram distributions for the TARGET (small,
+curated) and RAW (huge) corpora, weight each raw document by its
+likelihood ratio under the two distributions, and resample the raw
+corpus proportionally to the weights.
+
+Engine-level choices that keep it exact and oracle-able at any scale:
+
+* buckets are ``pmod(xxhash64(42, gram), dim)`` — the same native hash
+  + seed as ``functions/embed.py``, already pinned by the from-spec
+  XXH64 reimplementation in the golden toolchain;
+* the likelihood ratio is a RATIONAL ppm surrogate of the paper's
+  log-ratio (the r3 rule: rational surrogates beat transcendentals for
+  cross-engine exactness). With add-one smoothing over ``B = dim``
+  buckets, target mass ``T`` and raw mass ``R``:
+
+      q_t(b) = floor(SCALE * (t_b + 1) / (T + B))        # ppb when SCALE=1e9
+      q_r(b) = floor(SCALE * (r_b + 1) / (R + B))
+      ratio_ppm(b) = floor(10^6 * q_t(b) / (q_r(b) + 1))
+
+      score_ppm(doc) = floor(sum_b cnt_b * ratio_ppm(b) / n_grams)
+
+  — per-gram mean probability ratio in ppm, every step an exact bigint
+  op (monotone in the paper's weight for the selection use case, like
+  ``tf * (N+1)/(df+1)`` stands in for ln-IDF elsewhere in this repo).
+  Overflow bounds (ANSI mode throws, never corrupts): ``SCALE *
+  (count_b + 1)`` must stay under 2^63 — at the default SCALE=10^9
+  that allows ~9.2e9 grams per bucket, i.e. raw corpora around 10^12
+  grams at dim=4096; pass ``scale=10**6`` for larger crawls (3 decimal
+  digits of quantization traded for 1000x headroom).
+* selection is deterministic: top-k by (score desc, id asc) compiles
+  to TakeOrderedAndProject (per-partition heaps, k rows to the
+  driver); the paper's Gumbel-noise variant is deliberately replaced
+  by the deterministic rank so reruns and oracles are bit-stable.
+
+Scale shape: featurization is one explode + one (id, bucket) count
+shuffle over the raw corpus; both bucket distributions aggregate to at
+most ``dim`` rows (map-side combine); the weight table is a broadcast
+join; scoring is one regroup by id. No vocabulary collect, no driver
+pass over data, state bounded by ``dim`` everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embed import HASH_SEED
+
+
+def hashed_ngram_buckets(df: DataFrame, dim: int = 4096, n: int = 2,
+                         include_unigrams: bool = True,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket, cnt) — lowercased ``[^a-z0-9]+``-split word n-grams
+    (plus unigrams by default, the paper's feature set) hashed into
+    ``dim`` buckets and counted per document. One explode + one
+    shuffle; short docs contribute their unigrams only."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    if n < 2:
+        raise ValueError(f"need n >= 2 (unigrams come via the flag), got {n}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    grams = F.when(
+        F.size("_tk") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    if include_unigrams:
+        grams = F.concat(F.col("_tk"), grams)
+    return (
+        base.select(id_col, F.explode(grams).alias("gram"))
+        .select(
+            id_col,
+            F.pmod(F.xxhash64(F.lit(HASH_SEED), F.col("gram")),
+                   F.lit(dim)).cast("int").alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_distribution(buckets: DataFrame) -> DataFrame:
+    """(bucket, total) corpus-level gram mass per bucket — at most
+    ``dim`` rows after the map-side combine."""
+    return buckets.groupBy("bucket").agg(F.sum("cnt").alias("total"))
+
+
+def importance_weights(target_buckets: DataFrame, raw_buckets: DataFrame,
+                       dim: int, scale: int = 10**9) -> DataFrame:
+    """(bucket, ratio_ppm) for every one of the ``dim`` buckets — the
+    add-one-smoothed target/raw probability ratio as exact bigints (see
+    module docstring). Buckets unseen in either corpus still get a row
+    (smoothing mass), so the scoring join never drops grams."""
+    all_b = target_buckets.sparkSession.range(dim).select(
+        F.col("id").cast("int").alias("bucket"))
+    t = bucket_distribution(target_buckets).withColumnRenamed("total", "t_b")
+    r = bucket_distribution(raw_buckets).withColumnRenamed("total", "r_b")
+    # corpus masses: single-row aggregates, cross-joined as literals
+    t_mass = t.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("T"))
+    r_mass = r.agg(F.coalesce(F.sum("r_b"), F.lit(0)).alias("R"))
+    sc = F.lit(int(scale))
+    return (
+        all_b.join(t, "bucket", "left").join(r, "bucket", "left")
+        .crossJoin(F.broadcast(t_mass)).crossJoin(F.broadcast(r_mass))
+        .select(
+            "bucket",
+            F.floor(sc * (F.coalesce(F.col("t_b"), F.lit(0)) + 1)
+                    / (F.col("T") + F.lit(dim))).alias("q_t"),
+            F.floor(sc * (F.coalesce(F.col("r_b"), F.lit(0)) + 1)
+                    / (F.col("R") + F.lit(dim))).alias("q_r"))
+        .select(
+            "bucket",
+            F.floor(F.lit(1_000_000) * F.col("q_t")
+                    / (F.col("q_r") + F.lit(1))).alias("ratio_ppm"))
+    )
+
+
+def importance_scores(raw: DataFrame, target: DataFrame,
+                      dim: int = 4096, n: int = 2,
+                      include_unigrams: bool = True,
+                      scale: int = 10**9,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-raw-document DSIR score: (id, n_grams, score_ppm) where
+    ``score_ppm`` is the per-gram mean target/raw probability ratio in
+    ppm (exact bigint; 1e6 == "looks equally likely under both").
+    Documents with zero grams score 0. The weight table is ``dim``
+    rows — broadcast; one regroup by id is the only raw-sized
+    shuffle beyond featurization."""
+    featurize = lambda d: hashed_ngram_buckets(
+        d, dim=dim, n=n, include_unigrams=include_unigrams,
+        text_col=text_col, id_col=id_col)
+    raw_b = featurize(raw)
+    weights = importance_weights(featurize(target), raw_b, dim, scale)
+    scored = (
+        raw_b.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_grams"),
+             F.sum(F.col("cnt") * F.col("ratio_ppm")).alias("_wsum"))
+        .select(id_col, "n_grams",
+                F.floor(F.col("_wsum") / F.col("n_grams")).alias("score_ppm"))
+    )
+    # gramless docs (empty/whitespace text) keep a row with score 0
+    ids = raw.select(id_col).distinct()
+    return (
+        ids.join(scored, id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                F.coalesce(F.col("score_ppm"), F.lit(0)).alias("score_ppm"))
+    )
+
+
+def importance_select(scores: DataFrame, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` of a scored frame by (score_ppm desc, id asc) —
+    deterministic DSIR selection. orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heaps, only k rows cross the
+    network."""
+    return (scores.orderBy(F.col("score_ppm").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def importance_resample(raw: DataFrame, target: DataFrame, k: int,
+                        dim: int = 4096, n: int = 2,
+                        include_unigrams: bool = True,
+                        scale: int = 10**9,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Score + select in one call (see ``importance_scores`` /
+    ``importance_select``)."""
+    scores = importance_scores(raw, target, dim=dim, n=n,
+                               include_unigrams=include_unigrams,
+                               scale=scale, text_col=text_col,
+                               id_col=id_col)
+    return importance_select(scores, k, id_col)

@@ -2638,6 +2638,107 @@ def _q_polygon_intersection_spark(spark: SparkSession, sf_dir: str) -> DataFrame
                       F.col("b").cast("long").alias("b")).orderBy("a", "b")
 
 
+def _q_polyline_simplify_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker polyline simplification (functions/geometry.py
+    simplify_polylines — the tippecanoe per-zoom simplification stage
+    as a first-class kernel instead of a subprocess, cf. reference
+    merge step shelling to tippecanoe). Deterministic integer-lattice
+    polylines synthesized per customer key: line k has
+    24 + (k % 17) + 1 vertices, vertex i at
+    (4*i, (k*7 + i*i*13) % 41 - 20) — every DP decision compares
+    cross^2 > tol^2*|chord|^2 on integer-valued float64, so the kept
+    set is exact and reproducible. Output pins the kept-index set
+    (md5 of the '|'-joined indices), the materialized simplified
+    geometry (md5 of 'x,y' integer pairs via the native
+    transform(kept_idx, i -> line[i]) projection), and count/sum
+    aggregates. Golden oracle: tools/make_goldens.py re-derives every
+    polyline from the closed formula and recomputes DP with an
+    INDEPENDENT pure-Python recursive implementation (recursion vs the
+    engine's explicit stack, scalar max-scan vs np.argmax — same
+    first-max tie rule), then restates both fingerprints."""
+    from ..functions.geometry import simplify_polylines
+
+    _register(spark, sf_dir, ["customer"])
+    lines = spark.sql(
+        "SELECT c_custkey AS line_id, "
+        "transform(sequence(0, 24 + CAST(c_custkey % 17 AS INT)), "
+        "  i -> array(CAST(i * 4 AS DOUBLE), "
+        "             CAST((c_custkey * 7 + i * i * 13) % 41 - 20 AS DOUBLE))) "
+        "AS line FROM customer")
+    out = simplify_polylines(lines, tol=5.0)
+    simp = F.expr("transform(kept_idx, i -> line[i])")
+    return out.select(
+        F.col("line_id").cast("long").alias("line_id"),
+        F.size("line").cast("long").alias("n_pts"),
+        F.size("kept_idx").cast("long").alias("n_kept"),
+        F.expr("aggregate(kept_idx, 0L, (a, x) -> a + x)").alias("kept_sum"),
+        F.md5(F.concat_ws("|", F.expr(
+            "transform(kept_idx, i -> CAST(i AS STRING))"))).alias("kept_fp"),
+        F.md5(F.concat_ws("|", F.transform(simp, lambda p: F.concat_ws(
+            ",", p[0].cast("long").cast("string"),
+            p[1].cast("long").cast("string"))))).alias("simp_fp"),
+    ).orderBy("line_id")
+
+
+def _q_dsir_scores_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring + resampling (operators/importance.py,
+    Xie et al. 2023): raw = documents doc_id < 2000, target = the
+    lang='en' slice of the same; hashed unigram+bigram buckets
+    (xxhash64 seed 42, dim 1024), exact-bigint rational likelihood
+    ratio in ppm, deterministic top-400 selection. Golden oracle:
+    tools/make_goldens.py recomputes buckets via the from-spec chained
+    XXH64, distributions/ratios/scores in pure-Python bigints (same
+    floors), and the selection by an independent sort."""
+    from ..operators.importance import importance_scores, importance_select
+
+    _register(spark, sf_dir, ["documents"])
+    raw = spark.sql("SELECT doc_id, text, lang FROM documents WHERE doc_id < 2000")
+    target = raw.where(F.col("lang") == "en")
+    scores = importance_scores(raw, target, dim=1024, n=2)
+    sel = importance_select(scores, 400).select("doc_id", F.lit(1).alias("_k"))
+    return (
+        scores.join(sel, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("kept"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_simplify_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zoom DP simplification pyramid (functions/geometry.py
+    simplify_pyramid — tippecanoe's per-zoom simplify stage): ONE
+    Arrow UDF pass computes each vertex's squared elimination
+    tolerance (DP persistence — the split vertex is
+    tolerance-independent, so kept sets nest across tolerances), then
+    every zoom's geometry is a native arrays_zip filter at
+    tol = 2.0 * 2^(14-z). Same closed-formula polylines as
+    polyline_simplify. Golden oracle: tools/make_goldens.py runs a
+    DIRECT recursive DP at each zoom's tolerance — different algorithm
+    shape (5 independent simplifications vs one persistence pass +
+    thresholds), so the fixture pins the nesting identity itself."""
+    from ..functions.geometry import simplify_pyramid
+
+    _register(spark, sf_dir, ["customer"])
+    lines = spark.sql(
+        "SELECT c_custkey AS line_id, "
+        "transform(sequence(0, 24 + CAST(c_custkey % 17 AS INT)), "
+        "  i -> array(CAST(i * 4 AS DOUBLE), "
+        "             CAST((c_custkey * 7 + i * i * 13) % 41 - 20 AS DOUBLE))) "
+        "AS line FROM customer")
+    out = simplify_pyramid(lines, base_tol=2.0, min_zoom=10, max_zoom=14)
+    return out.select(
+        F.col("line_id").cast("long").alias("line_id"),
+        F.col("z").cast("long").alias("z"),
+        F.size("simp").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws("|", F.transform("simp", lambda p: F.concat_ws(
+            ",", p[0].cast("long").cast("string"),
+            p[1].cast("long").cast("string"))))).alias("simp_fp"),
+    ).orderBy("line_id", "z")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -2761,6 +2862,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = _q_asof_join_spark
     q["interval_join"] = _q_interval_join_spark
     q["polygon_intersection"] = _q_polygon_intersection_spark
+    q["polyline_simplify"] = _q_polyline_simplify_spark
+    q["simplify_pyramid"] = _q_simplify_pyramid_spark
+    q["dsir_scores"] = _q_dsir_scores_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -2822,6 +2926,12 @@ _GOLDEN_SPECS = {
     "hashed_embedding": ("doc_id, bucket, tf, df_bucket, weight",
                          "SELECT SUM(doc_id * n_chars) FROM documents"),
     "polygon_intersection": ("a, b", "SELECT COUNT(*) FROM customer"),
+    "polyline_simplify": ("line_id, n_pts, n_kept, kept_sum, kept_fp, simp_fp",
+                          "SELECT COUNT(*) FROM customer"),
+    "simplify_pyramid": ("line_id, z, n_kept, simp_fp",
+                         "SELECT COUNT(*) FROM customer"),
+    "dsir_scores": ("doc_id, n_grams, score_ppm, kept",
+                    "SELECT SUM(doc_id * n_chars) FROM documents"),
     "kmv_setops": ("k_used, n_shared, jaccard_est, union_est, intersection_est",
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
     "incremental_dedup": ("new_id, index_id, jaccard_est",

@@ -127,3 +127,145 @@ def test_collapse_polygons_round_trip(spark):
         ex, ey = tm.lon_lat_to_tile(np.float64(ecx), np.float64(ecy), 12)
         assert out.loc[pid, "lon"] == pytest.approx(ecx, rel=1e-12)
         assert (out.loc[pid, "tile_x"], out.loc[pid, "tile_y"]) == (ex, ey)
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker simplification
+# ---------------------------------------------------------------------------
+
+def _dp_recursive(pts, tol):
+    """Textbook recursive DP reference (different shape from the
+    engine's iterative stack + argmax kernel): scalar max scan,
+    first-max tie rule, cross^2 > tol^2 * |chord|^2 comparison."""
+    n = len(pts)
+    keep = {0, n - 1}
+    t2 = tol * tol
+
+    def rec(i, j):
+        if j <= i + 1:
+            return
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        best, bestv = -1, -1.0
+        for m in range(i + 1, j):
+            px, py = pts[m]
+            if l2 == 0.0:
+                v = (px - ax) ** 2 + (py - ay) ** 2
+            else:
+                c = dx * (py - ay) - dy * (px - ax)
+                v = c * c
+            if v > bestv:
+                best, bestv = m, v
+        if bestv > (t2 if l2 == 0.0 else t2 * l2):
+            keep.add(best)
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return sorted(keep)
+
+
+def test_dp_hand_computed():
+    # collinear interior vertices all dropped
+    line = np.array([[0, 0], [1, 0], [2, 0], [3, 0]], dtype=np.float64)
+    assert g.dp_keep_indices(line, 0.5).tolist() == [0, 3]
+    # a spike above tolerance is kept
+    spike = np.array([[0, 0], [1, 5], [2, 0]], dtype=np.float64)
+    assert g.dp_keep_indices(spike, 1.0).tolist() == [0, 1, 2]
+    # ...and dropped when within tolerance
+    assert g.dp_keep_indices(spike, 6.0).tolist() == [0, 2]
+    # n <= 2 returns everything
+    assert g.dp_keep_indices(np.zeros((2, 2)), 1.0).tolist() == [0, 1]
+    assert g.dp_keep_indices(np.zeros((1, 2)), 1.0).tolist() == [0]
+
+
+def test_dp_tie_keeps_lowest_index():
+    # v1=(1,1) and v2=(2,1) are equidistant from chord (0,0)-(3,0):
+    # the FIRST max (v1) is the split vertex; v2 then falls within
+    # tolerance of the (1,1)-(3,0) chord and is dropped.
+    line = np.array([[0, 0], [1, 1], [2, 1], [3, 0]], dtype=np.float64)
+    assert g.dp_keep_indices(line, 0.5).tolist() == [0, 1, 3]
+
+
+def test_dp_degenerate_chord():
+    # closed loop: chord endpoints coincide -> plain-distance branch
+    loop = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                    dtype=np.float64)
+    kept = g.dp_keep_indices(loop, 1.0).tolist()
+    assert kept[0] == 0 and kept[-1] == 4 and len(kept) >= 4
+
+
+def test_dp_matches_recursive_reference():
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        n = int(rng.integers(3, 60))
+        # integer lattice -> every comparison exact in float64
+        pts = rng.integers(-50, 50, size=(n, 2)).astype(np.float64)
+        pts[:, 0] = np.arange(n) * 3.0  # monotone x, noisy y
+        for tol in (1.0, 4.0, 9.0):
+            got = g.dp_keep_indices(pts, tol).tolist()
+            assert got == _dp_recursive(pts.tolist(), tol), (trial, tol)
+
+
+def test_simplify_polylines_spark_map_only(spark):
+    lines = [(int(k), [[float(3 * i), float((k * 7 + i * i * 13) % 41 - 20)]
+                       for i in range(20 + k % 11)]) for k in range(60)]
+    schema = T.StructType([
+        T.StructField("line_id", T.LongType()),
+        T.StructField("line", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    df = g.simplify_polylines(spark.createDataFrame(lines, schema), tol=4.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only projection, no shuffle
+    out = {r["line_id"]: r["kept_idx"] for r in df.collect()}
+    for k, line in lines:
+        exp = g.dp_keep_indices(np.asarray(line, dtype=np.float64), 4.0)
+        assert out[k] == exp.tolist(), k
+    # simplified geometry materializes natively from the index array
+    mat = df.withColumn("simp", F.expr("transform(kept_idx, i -> line[i])"))
+    row = mat.where(F.col("line_id") == 7).select("simp", "kept_idx", "line").first()
+    assert row["simp"] == [row["line"][i] for i in row["kept_idx"]]
+
+
+def test_dp_tolerances_persistence_equivalence():
+    """dp_tolerances > tol^2 must reproduce dp_keep_indices(tol) for
+    every tolerance — the nesting identity simplify_pyramid rests on."""
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        n = int(rng.integers(3, 70))
+        pts = rng.integers(-50, 50, size=(n, 2)).astype(np.float64)
+        pts[:, 0] = np.arange(n) * 3.0
+        d2 = g.dp_tolerances(pts)
+        assert np.isinf(d2[0]) and np.isinf(d2[-1])
+        for tol in (0.5, 1.0, 2.0, 4.0, 8.0, 16.0):
+            exp = g.dp_keep_indices(pts, tol).tolist()
+            got = np.nonzero(d2 > tol * tol)[0].tolist()
+            assert got == exp, (trial, tol)
+
+
+def test_simplify_pyramid_spark(spark):
+    lines = [(int(k), [[float(3 * i), float((k * 7 + i * i * 13) % 41 - 20)]
+                       for i in range(20 + k % 11)]) for k in range(30)]
+    schema = T.StructType([
+        T.StructField("line_id", T.LongType()),
+        T.StructField("line", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    df = g.simplify_pyramid(spark.createDataFrame(lines, schema),
+                            base_tol=1.0, min_zoom=11, max_zoom=14)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE Python stage for the whole pyramid; selection is native
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    by = {(r["line_id"], r["z"]): r["simp"] for r in df.collect()}
+    for k, line in lines:
+        pts = np.asarray(line, dtype=np.float64)
+        prev = None
+        for z in range(11, 15):
+            kept = g.dp_keep_indices(pts, 1.0 * 2 ** (14 - z))
+            assert by[(k, z)] == [line[i] for i in kept], (k, z)
+            cur = {tuple(p) for p in by[(k, z)]}
+            if prev is not None:
+                assert prev <= cur, (k, z)  # coarser zoom nests in finer
+            prev = cur

@@ -36,6 +36,8 @@ ALLOWED_ACTIONS = {
     ("operators/mixture.py", "plan_mixture"),            # |sources|-row planning aggregate (bounded planner pass)
     ("operators/classifier.py", "train_quality_lr"),     # bounded training sample collect (IVF/PQ/BPE pattern)
     ("operators/similarity.py", "load_ivf_index"),       # bounded centroid-table read (n_centroids rows)
+    ("operators/knn.py", "nearest_join"),                # per-round isEmpty convergence probe on checkpointed pending set (minhash_lsh_dedup pattern) + one sizing count
+    ("operators/skew.py", "detect_heavy_keys"),          # bounded planner collect (<= count/threshold rows, documented)
 }
 # .count() is excluded: syntactically ambiguous with the GroupedData /
 # F.count transformations; the iterative probe in connected_components

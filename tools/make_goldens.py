@@ -1135,6 +1135,147 @@ def expected_kmv_setops(doc_ids: np.ndarray, k: int = 256,
                  "intersection_est"])
 
 
+def _contract_polyline(k: int) -> list[tuple[float, float]]:
+    """The contract queries' closed integer-lattice polyline formula."""
+    n = 24 + (k % 17) + 1
+    return [(float(4 * i), float((k * 7 + i * i * 13) % 41 - 20))
+            for i in range(n)]
+
+
+def _recursive_dp(pts: list[tuple[float, float]], tol2: float) -> list[int]:
+    """Textbook RECURSIVE scalar Douglas-Peucker (recursion + explicit
+    max-scan loop, vs the engine's iterative explicit stack +
+    np.argmax), same division-free cross^2 > tol^2*|chord|^2 decision
+    — exact float64 integer arithmetic on lattice input — and the same
+    first-max tie rule. Returns the sorted kept-index list."""
+    n = len(pts)
+    keep = {0, n - 1}
+
+    def rec(i: int, j: int) -> None:
+        if j <= i + 1:
+            return
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        best, bestv = -1, -1.0
+        for m in range(i + 1, j):
+            px, py = pts[m]
+            if l2 == 0.0:
+                v = (px - ax) ** 2 + (py - ay) ** 2
+            else:
+                c = dx * (py - ay) - dy * (px - ax)
+                v = c * c
+            if v > bestv:
+                best, bestv = m, v
+        if bestv > (tol2 if l2 == 0.0 else tol2 * l2):
+            keep.add(best)
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return sorted(keep)
+
+
+def expected_polyline_simplify(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent Douglas-Peucker recompute: polylines re-derived from
+    the contract's closed integer-lattice formula, simplified with the
+    recursive scalar reference DP; both fingerprints restated from the
+    kept set."""
+    import hashlib
+
+    rows = []
+    for k in custkeys:
+        k = int(k)
+        pts = _contract_polyline(k)
+        n = len(pts)
+        kept = _recursive_dp(pts, 25.0)
+        kept_fp = hashlib.md5(
+            "|".join(str(i) for i in kept).encode()).hexdigest()
+        simp_fp = hashlib.md5("|".join(
+            f"{int(pts[i][0])},{int(pts[i][1])}" for i in kept
+        ).encode()).hexdigest()
+        rows.append((k, n, len(kept), sum(kept), kept_fp, simp_fp))
+    return pd.DataFrame(rows, columns=[
+        "line_id", "n_pts", "n_kept", "kept_sum", "kept_fp", "simp_fp"])
+
+
+def expected_simplify_pyramid(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent per-zoom recompute for the pyramid query: a DIRECT
+    recursive DP at each zoom's tolerance (base_tol 2.0 doubled per
+    zoom step down from 14), vs the engine's single persistence pass +
+    native thresholding — a genuinely different algorithm shape that
+    pins the tolerance-nesting identity itself."""
+    import hashlib
+
+    rows = []
+    for k in custkeys:
+        k = int(k)
+        pts = _contract_polyline(k)
+        for z in range(10, 15):
+            tol = 2.0 * float(2 ** (14 - z))
+            kept = _recursive_dp(pts, tol * tol)
+            simp_fp = hashlib.md5("|".join(
+                f"{int(pts[i][0])},{int(pts[i][1])}" for i in kept
+            ).encode()).hexdigest()
+            rows.append((k, z, len(kept), simp_fp))
+    return pd.DataFrame(rows, columns=["line_id", "z", "n_kept", "simp_fp"])
+
+
+def expected_dsir_scores(docs: pd.DataFrame, dim=1024, k=400) -> pd.DataFrame:
+    """Independent DSIR recompute: unigram+bigram buckets via the
+    from-spec chained XXH64 (seed literal as 4-byte LE seeding the
+    gram hash), distributions and the rational ppm likelihood ratio in
+    pure-Python bigints with the same floor order, selection by an
+    independent full sort on (-score, doc_id)."""
+    import re
+
+    SCALE = 10**9
+    seed_h = xxh64(int(42).to_bytes(4, "little"), 42)
+
+    def grams_of(text: str) -> list[str]:
+        toks = [t for t in re.split("[^a-z0-9]+", str(text).lower()) if t]
+        out = list(toks)
+        if len(toks) >= 2:
+            out += [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        return out
+
+    per_doc: dict[int, dict[int, int]] = {}
+    t_dist: dict[int, int] = {}
+    r_dist: dict[int, int] = {}
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        counts: dict[int, int] = {}
+        for gm in grams_of(r["text"]):
+            b = _signed(xxh64(gm.encode(), seed_h)) % dim
+            counts[b] = counts.get(b, 0) + 1
+        per_doc[did] = counts
+        for b, c in counts.items():
+            r_dist[b] = r_dist.get(b, 0) + c
+            if r["lang"] == "en":
+                t_dist[b] = t_dist.get(b, 0) + c
+    T = sum(t_dist.values())
+    R = sum(r_dist.values())
+    ratio = {}
+    for b in range(dim):
+        q_t = (SCALE * (t_dist.get(b, 0) + 1)) // (T + dim)
+        q_r = (SCALE * (r_dist.get(b, 0) + 1)) // (R + dim)
+        ratio[b] = (10**6 * q_t) // (q_r + 1)
+    rows = []
+    for did, counts in per_doc.items():
+        n_grams = sum(counts.values())
+        if n_grams == 0:
+            rows.append((did, 0, 0))
+        else:
+            wsum = sum(c * ratio[b] for b, c in counts.items())
+            rows.append((did, n_grams, wsum // n_grams))
+    order = sorted(rows, key=lambda t: (-t[2], t[0]))
+    kept_ids = {t[0] for t in order[:k]}
+    return pd.DataFrame(
+        [(d, n, s, 1 if d in kept_ids else 0) for d, n, s in rows],
+        columns=["doc_id", "n_grams", "score_ppm", "kept"])
+
+
 def expected_polygon_intersection(custkeys: np.ndarray) -> pd.DataFrame:
     """Independent polygon-intersection recompute: rings re-derived
     from the closed PTS/size formulas, then a NAIVE scalar brute force
@@ -1276,6 +1417,8 @@ def main() -> None:
                                 "mixture_sample", "span_removal",
                                 "image_near_dup", "semantic_dedup",
                                 "hashed_embedding", "polygon_intersection",
+                                "polyline_simplify", "simplify_pyramid",
+                                "dsir_scores",
                                 "kmv_setops", "incremental_dedup")}
 
         # --- independent verification ---
@@ -1360,6 +1503,20 @@ def main() -> None:
             _norm_sorted(results["polygon_intersection"].astype("int64")),
             _norm_sorted(expected_polygon_intersection(custkeys)),
             check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["polyline_simplify"]),
+            _norm_sorted(expected_polyline_simplify(custkeys)),
+            check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["simplify_pyramid"]),
+            _norm_sorted(expected_simplify_pyramid(custkeys)),
+            check_dtype=False)
+        docs_dsir = con.execute(
+            "SELECT doc_id, text, lang FROM documents WHERE doc_id < 2000 "
+            "ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["dsir_scores"]),
+            _norm_sorted(expected_dsir_scores(docs_dsir)), check_dtype=False)
         all_doc_ids = con.execute(
             "SELECT doc_id FROM documents ORDER BY doc_id").df()["doc_id"].to_numpy()
         pd.testing.assert_frame_equal(
@@ -1389,6 +1546,9 @@ def main() -> None:
                   "semantic_dedup": "embeddings",
                   "hashed_embedding": "documents",
                   "polygon_intersection": "customer",
+                  "polyline_simplify": "customer",
+                  "simplify_pyramid": "customer",
+                  "dsir_scores": "documents",
                   "kmv_setops": "documents",
                   "incremental_dedup": "documents"}
         for name, df in results.items():
