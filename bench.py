@@ -191,10 +191,13 @@ def main() -> None:
 
     # skew-salted join: 70% of POIs behind one hot key, 32-way salted
     from osm_poi_cloud_spark.operators import skew as sk_skew
-    sk_facts = pois.selectExpr(
+    # poi_id is the extractor's string key (url#idx) — derive the hot
+    # key by hash, 70% of rows behind key 0
+    sk_facts = pois.select(
         "poi_id",
-        "CAST(CASE WHEN poi_id % 10 < 7 THEN 0 ELSE poi_id % 1000 END "
-        "AS BIGINT) AS hot_k")
+        F.when(F.pmod(F.xxhash64("poi_id"), F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.lit(1), F.col("poi_id")), F.lit(1000)))
+        .cast("long").alias("hot_k"))
     sk_dims = spark.range(1000).selectExpr(
         "id AS hot_k", "concat('d', CAST(id AS STRING)) AS label")
     timed("salted_join", lambda: force(sk_skew.salted_join(

@@ -284,3 +284,64 @@ def ngram_topk(df: DataFrame, n: int = 3, k: int = 100,
     return (ngram_counts(df, n, text_col)
             .orderBy(F.col("cnt").desc(), F.col("gram").asc())
             .limit(k))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                min_count: int = 2) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over word
+    bigrams — the word-association pass behind phrase detection and
+    embedding-corpus preparation (Mikolov et al. 2013's phrase step
+    uses exactly this contingency ratio).
+
+    All probabilities come from the bigram contingency table itself:
+    ``c_ab`` = count of bigram (a, b), ``c_a`` = bigrams with a on the
+    left, ``c_b`` = bigrams with b on the right, ``n_bi`` = total
+    bigrams. PMI's exp-free ratio ``P(ab) / (P(a.) * P(.b))`` =
+    ``c_ab * n_bi / (c_a * c_b)`` is emitted as an exact-bigint ppm
+    integer ``(1000000 * c_ab * n_bi) DIV (c_a * c_b)`` — no floats,
+    reduction-order-free, cross-engine bit-exact (truncating DIV ==
+    DuckDB ``//`` for positive counts). Overflow bound: the numerator
+    needs ``1e6 * max(c_ab) * n_bi < 2^63``, i.e. safe below ~3e6
+    total bigrams per corpus slice with ANSI mode failing loudly past
+    it; shard the corpus (or widen to DECIMAL(38,0)) beyond that.
+
+    Plan: one explode + one count shuffle for the bigram table (the
+    word-count shape, map-side combined); the two marginals derive
+    from the already-aggregated table (bounded by distinct-bigram
+    count, NOT corpus size); totals ride a broadcast 1-row cross-join.
+    Tokenization is the bigram-LM convention (lowered, whitespace).
+    """
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    base = df.select(toks.alias("_tk")).filter(F.size("_tk") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - F.lit(1)),
+        lambda i: F.struct(F.element_at("_tk", i).alias("w1"),
+                           F.element_at("_tk", i + 1).alias("w2")))
+    big = (
+        base.select(F.explode(pairs).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    lft = big.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    rgt = big.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))
+    tot = big.agg(F.sum("c_ab").alias("n_bi"))
+    return (
+        big.join(lft, "w1").join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") >= F.lit(min_count))
+        .select(
+            "w1", "w2", "c_ab", "c_a", "c_b",
+            F.expr("(1000000L * c_ab * n_bi) DIV (c_a * c_b)")
+            .alias("pmi_ppm"))
+    )
+
+
+def pmi_topk(df: DataFrame, k: int = 500, text_col: str = "text",
+             min_count: int = 2) -> DataFrame:
+    """Top-k collocations by PMI, deterministic tie-break (ppm desc,
+    then the pair); TakeOrderedAndProject."""
+    return (pmi_bigrams(df, text_col, min_count)
+            .orderBy(F.desc("pmi_ppm"), "w1", "w2").limit(k))

@@ -2739,6 +2739,172 @@ def _q_simplify_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("line_id", "z")
 
 
+_Q_CRAWL_SCHEDULE_ORACLE = """
+WITH urls AS (
+  SELECT doc_id, doc_id % 37 AS host_id,
+         concat('h', CAST(doc_id % 37 AS STRING), '.example.com') AS host,
+         200 + (doc_id % 37) * 50 AS delay_ms
+  FROM documents WHERE doc_id < 2000
+), sched AS (
+  SELECT doc_id, host, host_id, delay_ms,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS BIGINT) AS slot
+  FROM urls
+)
+SELECT doc_id, host, slot,
+       CAST(slot * delay_ms AS BIGINT) AS fetch_at_ms,
+       CAST(host_id % 8 AS BIGINT) AS worker,
+       CAST(CASE WHEN slot >= 10 THEN 1 ELSE 0 END AS BIGINT) AS deferred
+FROM sched ORDER BY doc_id
+"""
+
+
+def _q_crawl_schedule_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl scheduling (operators/crawl.py schedule_fetches):
+    host-bucketed fetch planning with per-host Crawl-delay politeness
+    — one hash shuffle on the host key, row_number politeness slots,
+    cycle cap marking rows deferred to the next crawl cycle. Hosts and
+    delays synthesized deterministically from doc_id (documents carry
+    no url column); the worker expression is the injectable
+    integer-arithmetic form so the oracle runs in DuckDB (the default
+    is xxhash64-based). Oracle: the schedule restated as window SQL in
+    the shared dialect subset."""
+    from ..operators.crawl import schedule_fetches
+
+    _register(spark, sf_dir, ["documents"])
+    urls = spark.sql(
+        "SELECT doc_id, doc_id % 37 AS host_id, "
+        "concat('h', CAST(doc_id % 37 AS STRING), '.example.com') AS host, "
+        "200 + (doc_id % 37) * 50 AS delay_ms "
+        "FROM documents WHERE doc_id < 2000")
+    out = schedule_fetches(
+        urls, host_col="host", order_col="doc_id",
+        delay_ms_col="delay_ms",
+        worker_expr=F.col("host_id") % 8,
+        max_per_host=10)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("host"),
+        F.col("slot"),
+        F.col("fetch_at_ms"),
+        F.col("worker"),
+        F.col("deferred").cast("long").alias("deferred"),
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "merge", "window", "vector"]
+
+# Every literal in the BM25 chain is binary-exact (k1=1.0 -> k1+1=2.0,
+# b=0.75 -> 1-b=0.25), every input an exact integer, and the operator's
+# association order is mirrored term for term — so each per-(term, doc)
+# contribution is IEEE bit-identical across engines, and quantizing to
+# ppm ints BEFORE the per-doc sum makes the total reduction-order-free
+# (the bigram-LM oracle pattern).
+_Q_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.term AS term
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS tk
+        FROM documents WHERE doc_id < 2000) t,
+       UNNEST(t.tk) AS u(term)
+  WHERE u.term <> ''
+), dls AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 2000) AS n_docs,
+         (SELECT COALESCE(SUM(dl), 0) FROM dls) AS sum_dl
+), post AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'window', 'vector')
+  GROUP BY term, doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM post GROUP BY term
+), contrib AS (
+  SELECT post.doc_id,
+         CAST(FLOOR(1000000.0
+           * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.0)
+              / (CAST(tf AS DOUBLE)
+                 + 1.0 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+         AS BIGINT) AS ppm
+  FROM post JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(ppm) AS BIGINT) AS score_ppm
+FROM contrib GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id LIMIT 300
+"""
+
+
+def _q_bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over an inverted index (operators/
+    retrieval.py): postings build is the word-count shuffle shape,
+    corpus stats ride a broadcast 1-row cross-join, query terms a
+    broadcast join, top-k TakeOrderedAndProject. k1=1.0 / b=0.75 keep
+    every literal binary-exact, so per-term contributions are IEEE
+    bit-identical cross-engine; ppm quantization before the doc sum
+    makes scores reduction-order-free. Oracle: the identical chain
+    restated in DuckDB (dialect split only for tokenization)."""
+    from ..operators.retrieval import bm25_topk
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    out = bm25_topk(docs, _BM25_TERMS, k=300, k1=1.0, b=0.75)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("score_ppm").cast("long").alias("score_ppm"),
+    )
+
+
+_Q_PMI_ORACLE = """
+WITH toked AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 2000
+), pairs AS (
+  SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2
+  FROM toked t, UNNEST(generate_series(1, len(t.tk) - 1)) AS g(i)
+  WHERE len(t.tk) >= 2
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+), lft AS (
+  SELECT w1, SUM(c_ab) AS c_a FROM big GROUP BY w1
+), rgt AS (
+  SELECT w2, SUM(c_ab) AS c_b FROM big GROUP BY w2
+), tot AS (
+  SELECT SUM(c_ab) AS n_bi FROM big
+)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       CAST((1000000 * c_ab * n_bi) // (c_a * c_b) AS BIGINT) AS pmi_ppm
+FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE c_ab >= 5
+ORDER BY pmi_ppm DESC, w1, w2 LIMIT 500
+"""
+
+
+def _q_pmi_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (functions/text_analysis.py
+    pmi_bigrams): contingency-table word association in exact-bigint
+    ppm (truncating DIV == DuckDB // for positive counts — no floats
+    anywhere). One explode + one count shuffle; marginals derive from
+    the aggregated bigram table. Oracle: dialect split only for
+    tokenization/UNNEST; the integer arithmetic is shared."""
+    from ..functions.text_analysis import pmi_topk
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000)
+    return pmi_topk(docs, k=500, min_count=5).select(
+        "w1", "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.col("pmi_ppm").cast("long").alias("pmi_ppm"),
+    )
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -2865,6 +3031,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["polyline_simplify"] = _q_polyline_simplify_spark
     q["simplify_pyramid"] = _q_simplify_pyramid_spark
     q["dsir_scores"] = _q_dsir_scores_spark
+    q["crawl_schedule"] = _q_crawl_schedule_spark
+    q["bm25_topk"] = _q_bm25_topk_spark
+    q["pmi_topk"] = _q_pmi_topk_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -2989,5 +3158,8 @@ def build_oracles() -> dict[str, str]:
     o["image_text_pairs"] = _image_text_pairs_oracle()
     o["asof_join"] = _Q_ASOF_JOIN_ORACLE
     o["interval_join"] = _Q_INTERVAL_JOIN_ORACLE
+    o["crawl_schedule"] = _Q_CRAWL_SCHEDULE_ORACLE
+    o["bm25_topk"] = _Q_BM25_ORACLE
+    o["pmi_topk"] = _Q_PMI_ORACLE
     o.update(_golden_oracles())
     return o
