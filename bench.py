@@ -377,6 +377,19 @@ def main() -> None:
         docs.select("doc_id", "text"),
         docs.where("doc_id % 50 = 0").select("doc_id", "text"), dim=4096)))
 
+    # ---- 7d4. retrieval + collocations over the fat corpus; HLL tile
+    # pyramid over the POI table ----
+    from osm_poi_cloud_spark.functions.text_analysis import pmi_topk
+    from osm_poi_cloud_spark.operators.retrieval import bm25_topk
+    from osm_poi_cloud_spark.operators.tiling import hll_tile_pyramid
+    timed("bm25_topk", lambda: force(bm25_topk(
+        docs, ["spark", "merge", "window", "vector"], k=1000)))
+    timed("pmi_topk", lambda: force(pmi_topk(docs, k=1000, min_count=5)))
+    timed("hll_pyramid", lambda: force(hll_tile_pyramid(
+        pois.withColumn("visitor", F.pmod(F.xxhash64("poi_id"), F.lit(5000))
+            .cast("string")),
+        "visitor", min_zoom=2, max_zoom=10, p=10)))
+
     # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
     timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))
     timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))

@@ -41,13 +41,9 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_build(df: DataFrame, key_col: str, p: int = 12,
-              seed: int = 7) -> DataFrame:
-    """Key column -> HLL register table ``(register int, rho int)``
-    with at most 2^p rows. One groupBy shuffle whose output size is
-    CONSTANT regardless of input (absent registers mean rho=0)."""
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
+def _register_rho(key_col: str, p: int, seed: int):
+    """(register, rho) column pair for one key — shared by the global
+    and grouped builders."""
     h = F.xxhash64(F.lit(seed), F.col(key_col))
     register = F.pmod(h, F.lit(1 << p)).cast("int")
     # remaining bits: arithmetic shift is fine after masking sign via
@@ -59,9 +55,40 @@ def hll_build(df: DataFrame, key_col: str, p: int = 12,
     width = 64 - p
     rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
         (F.lit(width + 1) - F.length(F.bin(rest))).cast("int"))
+    return register, rho
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 12,
+              seed: int = 7) -> DataFrame:
+    """Key column -> HLL register table ``(register int, rho int)``
+    with at most 2^p rows. One groupBy shuffle whose output size is
+    CONSTANT regardless of input (absent registers mean rho=0)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    register, rho = _register_rho(key_col, p, seed)
     return (
         df.select(register.alias("register"), rho.alias("rho"))
         .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_build_grouped(df: DataFrame, key_col: str, group_cols: list[str],
+                      p: int = 12, seed: int = 7) -> DataFrame:
+    """Per-group HLL register tables ``(group_cols..., register, rho)``
+    — the sketch-table shape a lake stores per partition/tile/day so
+    distinct counts re-aggregate without re-reading raw data. ONE
+    groupBy shuffle; output bounded by ``n_groups * 2^p`` regardless
+    of input rows. Merging groups downstream is ``max(rho)`` per
+    (coarser group, register) — the algebra ``hll_merge`` exposes."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    if not group_cols:
+        raise ValueError("need at least one group column")
+    register, rho = _register_rho(key_col, p, seed)
+    return (
+        df.select(*group_cols, register.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -96,6 +123,24 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     return agg.select(est.alias("estimate"))
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str],
+                         p: int = 12) -> DataFrame:
+    """Per-group estimates ``(group_cols..., estimate double)`` from a
+    grouped register table — same corrections as ``hll_estimate``,
+    one map-side-combined aggregation, no collect."""
+    m = 1 << p
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    s_full = F.col("s") + (F.lit(m) - F.col("nonzero"))
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(_alpha(m) * m * m) / s_full
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*group_cols, est.alias("estimate"))
 
 
 def approx_distinct(df: DataFrame, key_col: str, p: int = 12,

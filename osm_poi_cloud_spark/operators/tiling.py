@@ -84,3 +84,32 @@ def tile_geojson_lines(tiled: DataFrame) -> DataFrame:
         F.struct(F.col("name"), F.col("class")).alias("properties"),
     )
     return tiled.select("z", "x", "y", F.to_json(feature).alias("feature"))
+
+
+def hll_tile_pyramid(pois: DataFrame, key_col: str,
+                     min_zoom: int = MIN_ZOOM, max_zoom: int = MAX_ZOOM,
+                     p: int = 10, seed: int = 7,
+                     lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Approximate-distinct ``key_col`` per tile at EVERY zoom from one
+    pass: ``(z, x, y, register, rho)`` register tables for the whole
+    pyramid.
+
+    The zoom fan-out reuses the bit-shift pyramid key (one native
+    max-zoom tile computation, parents by shiftright — no per-zoom
+    recompute), and the register build is ONE groupBy shuffle for all
+    zooms together. Output is bounded by ``n_tiles * 2^p`` — constant
+    per tile regardless of how many rows land in it, which is the
+    whole point at 100 TB: the pyramid of sketch tables is the small,
+    mergeable artifact you store, and ``max(rho)`` per (coarser tile,
+    register) re-aggregates it to any coarser zoom or region without
+    touching raw data (the ``hll_merge`` algebra; the nesting identity
+    is pinned in tests: parent registers == max over children).
+
+    Estimates per tile come from ``sketch.hll_estimate_grouped`` over
+    ``["z", "x", "y"]`` — kept separate so the exact-integer register
+    table stays the contract/oracle surface (estimation involves
+    pow/log, which cross-engine oracles can't hash)."""
+    from .sketch import hll_build_grouped
+
+    tiled = assign_tile_pyramid(pois, min_zoom, max_zoom, lon, lat)
+    return hll_build_grouped(tiled, key_col, ["z", "x", "y"], p=p, seed=seed)

@@ -2905,6 +2905,152 @@ def _q_pmi_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct visitors per tile at every zoom (operators/
+    tiling.py hll_tile_pyramid): ONE pass builds the z2-z6 pyramid of
+    per-tile HLL register tables — bit-shift zoom fan-out of a single
+    native tile key, one groupBy shuffle, output bounded by
+    n_tiles * 2^p however many rows land per tile (the mergeable
+    sketch artifact a lake stores). Visitors are the deterministic
+    ``v{custkey % 250}`` key over the PTS_SQL point cloud. Output pins
+    the exact-integer register tables per tile (count / sum / max of
+    rho + md5 of the sorted register:rho list). Golden oracle:
+    tools/make_goldens.py recomputes tiles from the restated
+    slippy-map formula (libm math.*), registers via the from-spec
+    chained XXH64 + bit-length rho, and parent tiles by dict-merge
+    max — an independent scalar path through the whole pyramid."""
+    from ..operators.tiling import hll_tile_pyramid
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL).withColumn(
+        "visitor",
+        F.concat(F.lit("v"), (F.col("poi_id") % 250).cast("string")))
+    regs = hll_tile_pyramid(pts, "visitor", min_zoom=2, max_zoom=6,
+                            p=8, seed=7)
+    return (
+        regs.groupBy("z", "x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reg"),
+            F.sum("rho").cast("long").alias("sum_rho"),
+            F.max("rho").cast("long").alias("max_rho"),
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.col("register"), F.col("rho")))))
+            ).alias("reg_fp"),
+        )
+        .select(F.col("z").cast("long").alias("z"),
+                F.col("x").cast("long").alias("x"),
+                F.col("y").cast("long").alias("y"),
+                "n_reg", "sum_rho", "max_rho", "reg_fp")
+        .orderBy("z", "x", "y")
+    )
+
+
+#: deterministic planar coordinates for the events stream (events carry
+#: no lon/lat; the 0..200 box reads as a projected local CRS in meters)
+_TRAJ_PTS_SQL = (
+    "SELECT user_id, event_id, ts, "
+    "CAST((event_id * 7919) % 20000 AS DOUBLE) / 100.0 AS x, "
+    "CAST((event_id * 104729) % 20000 AS DOUBLE) / 100.0 AS y "
+    "FROM events"
+)
+
+_TRAJ_SPEED = 10  # mm/s — flags the small-dt tail as teleports
+
+_Q_TRAJ_STEPS_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST((event_id * 7919) % 20000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 20000 AS DOUBLE) / 100.0 AS y
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(ts_us - LAG(ts_us) OVER w AS BIGINT) AS dt_us,
+       CAST(FLOOR(1000.0 * SQRT(
+           (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+           + (y - LAG(y) OVER w) * (y - LAG(y) OVER w))) AS BIGINT) AS step_mm,
+       CAST(CASE WHEN LAG(ts_us) OVER w IS NULL THEN NULL
+                 WHEN FLOOR(1000.0 * SQRT(
+                     (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+                     + (y - LAG(y) OVER w) * (y - LAG(y) OVER w))) * 1000000
+                      > {_TRAJ_SPEED} * (ts_us - LAG(ts_us) OVER w)
+                 THEN 1 ELSE 0 END AS BIGINT) AS teleport
+FROM pts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, ts_us, event_id
+"""
+
+_Q_TRAJ_STATS_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST((event_id * 7919) % 20000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 20000 AS DOUBLE) / 100.0 AS y
+  FROM events
+), steps AS (
+  SELECT user_id, ts_us,
+         ts_us - LAG(ts_us) OVER w AS dt_us,
+         CAST(FLOOR(1000.0 * SQRT(
+             (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+             + (y - LAG(y) OVER w) * (y - LAG(y) OVER w))) AS BIGINT) AS step_mm
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COALESCE(SUM(step_mm), 0) AS BIGINT) AS path_mm,
+       CAST(COALESCE(MAX(step_mm), 0) AS BIGINT) AS max_step_mm,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+       CAST(COALESCE(SUM(CASE WHEN step_mm * 1000000 > {_TRAJ_SPEED} * dt_us
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_teleports
+FROM steps GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_trajectory_steps_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step trajectory reconstruction (operators/trajectory.py
+    trajectory_steps): one hash-partitioned window per user, exact
+    epoch-microsecond deltas (unix_micros == DuckDB epoch_us under the
+    UTC session tz), floor-millimeter sub/mul/add/sqrt step lengths
+    (bit-exact cross-engine), division-free integer teleport test.
+    Coordinates synthesized deterministically from event_id (events
+    carry none). Oracle: the identical chain as DuckDB window SQL."""
+    from ..operators.trajectory import trajectory_steps
+
+    _register(spark, sf_dir, ["events"])
+    pts = spark.sql(_TRAJ_PTS_SQL)
+    out = trajectory_steps(pts, order_cols=("event_id",),
+                           max_speed_mm_s=_TRAJ_SPEED)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("dt_us").cast("long").alias("dt_us"),
+        F.col("step_mm").cast("long").alias("step_mm"),
+        F.col("teleport").cast("long").alias("teleport"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+def _q_trajectory_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory summary (operators/trajectory.py
+    trajectory_stats): path length as a sum of floor-mm BIGINT steps
+    (reduction-order-free), exact integer duration and teleport count;
+    the aggregation reuses the window's hash partitioning, one shuffle
+    end to end (plan-asserted in tests)."""
+    from ..operators.trajectory import trajectory_stats
+
+    _register(spark, sf_dir, ["events"])
+    pts = spark.sql(_TRAJ_PTS_SQL)
+    out = trajectory_stats(pts, order_cols=("event_id",),
+                           max_speed_mm_s=_TRAJ_SPEED)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "path_mm", "max_step_mm", "duration_us",
+        F.col("n_teleports").cast("long").alias("n_teleports"),
+    ).orderBy("user_id")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3034,6 +3180,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_schedule"] = _q_crawl_schedule_spark
     q["bm25_topk"] = _q_bm25_topk_spark
     q["pmi_topk"] = _q_pmi_topk_spark
+    q["hll_pyramid"] = _q_hll_pyramid_spark
+    q["trajectory_steps"] = _q_trajectory_steps_spark
+    q["trajectory_stats"] = _q_trajectory_stats_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3101,6 +3250,8 @@ _GOLDEN_SPECS = {
                          "SELECT COUNT(*) FROM customer"),
     "dsir_scores": ("doc_id, n_grams, score_ppm, kept",
                     "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "hll_pyramid": ("z, x, y, n_reg, sum_rho, max_rho, reg_fp",
+                    "SELECT COUNT(*) FROM customer"),
     "kmv_setops": ("k_used, n_shared, jaccard_est, union_est, intersection_est",
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
     "incremental_dedup": ("new_id, index_id, jaccard_est",
@@ -3161,5 +3312,7 @@ def build_oracles() -> dict[str, str]:
     o["crawl_schedule"] = _Q_CRAWL_SCHEDULE_ORACLE
     o["bm25_topk"] = _Q_BM25_ORACLE
     o["pmi_topk"] = _Q_PMI_ORACLE
+    o["trajectory_steps"] = _Q_TRAJ_STEPS_ORACLE
+    o["trajectory_stats"] = _Q_TRAJ_STATS_ORACLE
     o.update(_golden_oracles())
     return o

@@ -259,3 +259,74 @@ def test_kmv_set_estimates(spark):
         SK.kmv_build(a.repartition(7), "doc_id", k=256),
         SK.kmv_build(b.repartition(3), "doc_id", k=256), k=256).first()
     assert est2 == est
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL + tile pyramid rollup
+# ---------------------------------------------------------------------------
+
+def test_grouped_build_equals_per_group_build(spark):
+    rows = [(f"g{i % 3}", f"k{i % 40}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    grouped = SK.hll_build_grouped(df, "key", ["grp"], p=8)
+    got = {(r["grp"], r["register"]): r["rho"] for r in grouped.collect()}
+    for g in ("g0", "g1", "g2"):
+        solo = SK.hll_build(df.filter(F.col("grp") == g), "key", p=8)
+        exp = {(g, r["register"]): r["rho"] for r in solo.collect()}
+        assert {k: v for k, v in got.items() if k[0] == g} == exp
+
+
+def test_grouped_estimate_accuracy_and_bound(spark):
+    rows = [(f"g{i % 4}", f"k{i}") for i in range(8000)]  # 2000 distinct/grp
+    df = spark.createDataFrame(rows, "grp string, key string")
+    sk = SK.hll_build_grouped(df, "key", ["grp"], p=10)
+    assert sk.count() <= 4 * (1 << 10)
+    for r in SK.hll_estimate_grouped(sk, ["grp"], p=10).collect():
+        assert abs(r["estimate"] - 2000) / 2000 < 0.15, r
+
+
+def test_tile_pyramid_nesting_identity(spark):
+    """Parent registers must equal the max-merge of their 4 children —
+    the sketch algebra that lets a stored pyramid re-aggregate to any
+    coarser zoom without raw data."""
+    from osm_poi_cloud_spark.operators.tiling import hll_tile_pyramid
+
+    pts = spark.sql(
+        "SELECT id AS poi_id, "
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon, "
+        "CAST((id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, "
+        "concat('v', CAST(id % 97 AS STRING)) AS visitor "
+        "FROM range(400)")
+    regs = hll_tile_pyramid(pts, "visitor", min_zoom=3, max_zoom=5, p=8)
+    by_tile = {}
+    for r in regs.collect():
+        by_tile.setdefault((r["z"], r["x"], r["y"]), {})[r["register"]] = r["rho"]
+    for (z, x, y), d in by_tile.items():
+        if z == 5:
+            continue
+        merged = {}
+        for (cz, cx, cy), cd in by_tile.items():
+            if cz == z + 1 and cx >> 1 == x and cy >> 1 == y:
+                for reg, rho in cd.items():
+                    merged[reg] = max(merged.get(reg, 0), rho)
+        assert merged == d, (z, x, y)
+
+
+def test_tile_pyramid_single_shuffle(spark):
+    from osm_poi_cloud_spark.operators.tiling import hll_tile_pyramid
+
+    pts = spark.sql(
+        "SELECT id, CAST(id AS DOUBLE) / 10.0 - 20.0 AS lon, "
+        "CAST(id AS DOUBLE) / 20.0 AS lat, "
+        "CAST(id % 7 AS STRING) AS visitor FROM range(100)")
+    plan = (hll_tile_pyramid(pts, "visitor", min_zoom=2, max_zoom=6, p=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+
+
+def test_grouped_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "grp string, key string")
+    with pytest.raises(ValueError):
+        SK.hll_build_grouped(df, "key", [], p=8)
+    with pytest.raises(ValueError):
+        SK.hll_build_grouped(df, "key", ["grp"], p=3)

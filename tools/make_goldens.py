@@ -1276,6 +1276,49 @@ def expected_dsir_scores(docs: pd.DataFrame, dim=1024, k=400) -> pd.DataFrame:
         columns=["doc_id", "n_grams", "score_ppm", "kept"])
 
 
+def expected_hll_pyramid(custkeys: np.ndarray, p: int = 8,
+                         seed: int = 7) -> pd.DataFrame:
+    """Independent HLL tile-pyramid recompute: PTS_SQL points from the
+    closed formula, tiles from the RESTATED slippy-map formula (libm
+    ``math.*``, JVM/DuckDB op order ``lat / 180.0 * pi``), registers
+    via the from-spec chained XXH64 + bit-length rho, and every parent
+    zoom by scalar dict-merge max over the leaf assignment — a wholly
+    different path from the engine's explode + single groupBy."""
+    import hashlib
+    import math
+
+    seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+    width = 64 - p
+    max_zoom, min_zoom = 6, 2
+    n = float(1 << max_zoom)
+    regs: dict[tuple, dict[int, int]] = {}
+    for k in custkeys:
+        k = int(k)
+        lon = float((k * 7919) % 36000) / 100.0 - 180.0
+        lat = float((k * 104729) % 17000) / 100.0 - 85.0
+        lat_c = min(max(lat, -85.05112878), 85.05112878)
+        xm = int(min(max(math.floor((lon + 180.0) / 360.0 * n), 0.0), n - 1.0))
+        lr = lat_c / 180.0 * math.pi
+        ym = int(min(max(math.floor(
+            (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi)
+            / 2.0 * n), 0.0), n - 1.0))
+        u = xxh64(f"v{k % 250}".encode(), seed_h)
+        reg = u & ((1 << p) - 1)
+        rest = u >> p
+        rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+        for z in range(min_zoom, max_zoom + 1):
+            t = (z, xm >> (max_zoom - z), ym >> (max_zoom - z))
+            d = regs.setdefault(t, {})
+            d[reg] = max(d.get(reg, 0), rho)
+    rows = []
+    for (z, x, y), d in sorted(regs.items()):
+        pairs = sorted(f"{r}:{v}" for r, v in d.items())
+        rows.append((z, x, y, len(d), sum(d.values()), max(d.values()),
+                     hashlib.md5("|".join(pairs).encode()).hexdigest()))
+    return pd.DataFrame(rows, columns=[
+        "z", "x", "y", "n_reg", "sum_rho", "max_rho", "reg_fp"])
+
+
 def expected_polygon_intersection(custkeys: np.ndarray) -> pd.DataFrame:
     """Independent polygon-intersection recompute: rings re-derived
     from the closed PTS/size formulas, then a NAIVE scalar brute force
@@ -1418,7 +1461,7 @@ def main() -> None:
                                 "image_near_dup", "semantic_dedup",
                                 "hashed_embedding", "polygon_intersection",
                                 "polyline_simplify", "simplify_pyramid",
-                                "dsir_scores",
+                                "dsir_scores", "hll_pyramid",
                                 "kmv_setops", "incremental_dedup")}
 
         # --- independent verification ---
@@ -1517,6 +1560,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["dsir_scores"]),
             _norm_sorted(expected_dsir_scores(docs_dsir)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["hll_pyramid"]),
+            _norm_sorted(expected_hll_pyramid(custkeys)), check_dtype=False)
         all_doc_ids = con.execute(
             "SELECT doc_id FROM documents ORDER BY doc_id").df()["doc_id"].to_numpy()
         pd.testing.assert_frame_equal(
@@ -1549,6 +1595,7 @@ def main() -> None:
                   "polyline_simplify": "customer",
                   "simplify_pyramid": "customer",
                   "dsir_scores": "documents",
+                  "hll_pyramid": "customer",
                   "kmv_setops": "documents",
                   "incremental_dedup": "documents"}
         for name, df in results.items():
