@@ -389,6 +389,12 @@ def main() -> None:
         pois.withColumn("visitor", F.pmod(F.xxhash64("poi_id"), F.lit(5000))
             .cast("string")),
         "visitor", min_zoom=2, max_zoom=10, p=10)))
+    from osm_poi_cloud_spark.functions import tile_math as tm_mod
+    from osm_poi_cloud_spark.operators.hotspot import getis_ord_gi_star
+    _hx, _hy = tm_mod.tile_cols("lon", "lat", 10)
+    hot_cells = (pois.select(_hx.alias("x"), _hy.alias("y"))
+                 .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v")))
+    timed("hotspot_gi", lambda: force(getis_ord_gi_star(hot_cells, zoom=10)))
 
     # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
     timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))

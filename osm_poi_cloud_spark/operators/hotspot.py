@@ -1,0 +1,104 @@
+"""Getis-Ord Gi* hotspot detection over a tile grid.
+
+The standard local spatial-autocorrelation statistic (Getis & Ord 1992;
+the "hot spot analysis" every GIS ships) computed over the engine's
+Web-Mercator tile grid with binary 3x3 queen-contiguity weights
+including self. For cell i over the COMPLETE n x n grid (empty cells
+are zeros — the statistic is defined over the lattice, not just
+occupied cells):
+
+    Gi* = (S_i - xbar * w_i) / (s * sqrt((N * w_i - w_i^2) / (N - 1)))
+
+where ``S_i`` is the 3x3 neighborhood sum, ``w_i`` the number of valid
+lattice neighbors (9 in the interior, fewer on grid edges — derived
+arithmetically from the cell position, never by counting rows),
+``N = n^2`` lattice cells, and xbar / s the lattice mean / stddev
+(zero cells included via exact integer totals).
+
+Scale shape: candidate cells come from ONE x9 explode + groupBy of the
+occupied-cell table (sparse — empty neighborhoods never materialize);
+own values re-attach with one join on the cell key; the global moments
+ride a broadcast 1-row cross-join. No driver actions, nothing sized by
+the lattice (4^z) — only by occupied cells.
+
+Exactness: every input to the z-score chain is an exact integer
+(neighborhood sums, w_i, N, Sum(v), Sum(v^2)); the chain itself is a
+fixed-order IEEE div/mul/sub/sqrt sequence mirrored token-for-token by
+the DuckDB oracle, so ``gi_ppm = floor(1e6 * Gi*)`` is cross-engine
+bit-exact (the radius-join / classifier-logit precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def getis_ord_gi_star(tiles: DataFrame, zoom: int, x_col: str = "x",
+                      y_col: str = "y", value_col: str = "v") -> DataFrame:
+    """Per-candidate-cell Gi* over a sparse occupied-cell table
+    ``(x, y, v)`` at ``zoom``. Candidates are every lattice cell whose
+    3x3 neighborhood holds at least one occupied cell. Returns
+    ``(x, y, v, w, nsum, gi_ppm)`` with ``v`` the cell's own value
+    (0 for empty candidates) and ``gi_ppm`` the floor-ppm z-score."""
+    if not 0 <= zoom <= 30:
+        raise ValueError(f"zoom must be in [0, 30], got {zoom}")
+    n = 1 << zoom
+    nf = float(n * n)  # lattice size as double (exact: power of 4)
+    src = tiles.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+                       F.col(value_col).cast("long").alias("_v"))
+
+    stats = src.agg(F.sum("_v").alias("_tot"),
+                    F.sum(F.col("_v") * F.col("_v")).alias("_tot2"))
+
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    neigh = (
+        src.withColumn("_dx", off).withColumn("_dy", off)
+        .select((F.col("_x") + F.col("_dx")).alias("cx"),
+                (F.col("_y") + F.col("_dy")).alias("cy"), "_v")
+        .filter((F.col("cx") >= 0) & (F.col("cx") <= n - 1)
+                & (F.col("cy") >= 0) & (F.col("cy") <= n - 1))
+        .groupBy("cx", "cy")
+        .agg(F.sum("_v").alias("nsum"))
+    )
+
+    own = src.select(F.col("_x").alias("cx"), F.col("_y").alias("cy"),
+                     F.col("_v").alias("v"))
+    out = (
+        neigh.join(own, ["cx", "cy"], "left")
+        .withColumn("v", F.coalesce(F.col("v"), F.lit(0)))
+        .crossJoin(F.broadcast(stats))
+    )
+    # valid 3x3 lattice window size from the position alone
+    wx = (F.least(F.col("cx") + 1, F.lit(n - 1))
+          - F.greatest(F.col("cx") - 1, F.lit(0)) + 1)
+    wy = (F.least(F.col("cy") + 1, F.lit(n - 1))
+          - F.greatest(F.col("cy") - 1, F.lit(0)) + 1)
+    out = out.withColumn("w", (wx * wy).cast("long"))
+
+    # fixed-order IEEE chain — keep token-identical with the oracle SQL
+    xbar = F.col("_tot").cast("double") / F.lit(nf)
+    s = F.sqrt(F.col("_tot2").cast("double") / F.lit(nf) - xbar * xbar)
+    wd = F.col("w").cast("double")
+    denom = s * F.sqrt((wd * F.lit(nf) - wd * wd) / F.lit(nf - 1.0))
+    gi = (F.col("nsum").cast("double") - xbar * wd) / denom
+    return (
+        out.select(
+            F.col("cx").cast("long").alias("x"),
+            F.col("cy").cast("long").alias("y"),
+            F.col("v").cast("long").alias("v"),
+            "w",
+            F.col("nsum").cast("long").alias("nsum"),
+            F.floor(F.lit(1000000.0) * gi).cast("long").alias("gi_ppm"),
+        )
+    )
+
+
+def top_hotspots(tiles: DataFrame, zoom: int, k: int = 100,
+                 **kwargs) -> DataFrame:
+    """Deterministic top-k hottest cells (gi_ppm desc, then cell);
+    TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    return (getis_ord_gi_star(tiles, zoom, **kwargs)
+            .orderBy(F.desc("gi_ppm"), "x", "y").limit(k))

@@ -3051,6 +3051,68 @@ def _q_trajectory_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _hotspot_oracle() -> str:
+    z = 8
+    n = 1 << z
+    tx = tm.sql_tile_x("lon", z)
+    ty = tm.sql_tile_y("lat", z)
+    nf, nm1 = f"{float(n * n):.1f}", f"{float(n * n - 1):.1f}"
+    xbar = f"(CAST(tot AS DOUBLE) / {nf})"
+    return f"""
+WITH pts AS ({PTS_SQL}), cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS v FROM pts GROUP BY x, y
+), offs AS (
+  SELECT u.dx AS dx FROM UNNEST(generate_series(-1, 1)) AS u(dx)
+), neigh AS (
+  SELECT cells.x + o1.dx AS cx, cells.y + o2.dx AS cy, SUM(v) AS nsum
+  FROM cells, offs o1, offs o2
+  WHERE cells.x + o1.dx BETWEEN 0 AND {n - 1}
+    AND cells.y + o2.dx BETWEEN 0 AND {n - 1}
+  GROUP BY cx, cy
+), stats AS (
+  SELECT SUM(v) AS tot, SUM(v * v) AS tot2 FROM cells
+), m AS (
+  SELECT {xbar} AS xbar,
+         SQRT(CAST(tot2 AS DOUBLE) / {nf} - {xbar} * {xbar}) AS s
+  FROM stats
+), wide AS (
+  SELECT cx, cy, COALESCE(c.v, 0) AS v, nsum,
+         (LEAST(cx + 1, {n - 1}) - GREATEST(cx - 1, 0) + 1)
+         * (LEAST(cy + 1, {n - 1}) - GREATEST(cy - 1, 0) + 1) AS w
+  FROM neigh LEFT JOIN cells c ON c.x = cx AND c.y = cy
+)
+SELECT CAST(cx AS BIGINT) AS x, CAST(cy AS BIGINT) AS y,
+       CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w,
+       CAST(nsum AS BIGINT) AS nsum,
+       CAST(FLOOR(1000000.0 * ((CAST(nsum AS DOUBLE) - xbar * CAST(w AS DOUBLE))
+         / (s * SQRT((CAST(w AS DOUBLE) * {nf} - CAST(w AS DOUBLE)
+                      * CAST(w AS DOUBLE)) / {nm1})))) AS BIGINT) AS gi_ppm
+FROM wide CROSS JOIN m
+ORDER BY x, y
+"""
+
+
+def _q_hotspot_gi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot field over the z8 tile grid (operators/
+    hotspot.py): sparse x9 explode + groupBy for neighborhood sums,
+    lattice-edge window sizes derived arithmetically, global moments
+    broadcast, z-score as a fixed-order IEEE chain over exact-integer
+    inputs — gi_ppm bit-exact vs the DuckDB restatement (radius-join
+    precedent)."""
+    from ..operators.hotspot import getis_ord_gi_star
+
+    _register(spark, sf_dir, ["customer"])
+    z = 8
+    tx, ty = tm.tile_cols("lon", "lat", z)
+    cells = (
+        spark.sql(PTS_SQL)
+        .select(tx.alias("x"), ty.alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v"))
+    )
+    return (getis_ord_gi_star(cells, zoom=z)
+            .orderBy("x", "y"))
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3183,6 +3245,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hll_pyramid"] = _q_hll_pyramid_spark
     q["trajectory_steps"] = _q_trajectory_steps_spark
     q["trajectory_stats"] = _q_trajectory_stats_spark
+    q["hotspot_gi"] = _q_hotspot_gi_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3314,5 +3377,6 @@ def build_oracles() -> dict[str, str]:
     o["pmi_topk"] = _Q_PMI_ORACLE
     o["trajectory_steps"] = _Q_TRAJ_STEPS_ORACLE
     o["trajectory_stats"] = _Q_TRAJ_STATS_ORACLE
+    o["hotspot_gi"] = _hotspot_oracle()
     o.update(_golden_oracles())
     return o
