@@ -3113,6 +3113,72 @@ def _q_hotspot_gi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("x", "y"))
 
 
+# 25 boxes per 40x40 block, blocks on a 100-unit x-stride: LOCAL density
+# (and so component-size distribution) is scale-factor-invariant —
+# sequential custkeys always fill blocks at the same rate, components
+# stay block-bounded (<= 25) and the oracle's recursive closure small.
+_BOXES_SQL = (
+    "SELECT c_custkey AS box_id, "
+    "CAST(FLOOR(c_custkey / 25.0) AS BIGINT) * 100.0 "
+    "  + CAST((c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) "
+    "         % 4000 AS DOUBLE) / 100.0 AS minx, "
+    "CAST((c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) "
+    "     % 4000 AS DOUBLE) / 100.0 AS miny, "
+    "CAST(FLOOR(c_custkey / 25.0) AS BIGINT) * 100.0 "
+    "  + CAST((c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) "
+    "         % 4000 AS DOUBLE) / 100.0 "
+    "  + (1.0 + (c_custkey % 7) * 0.5) AS maxx, "
+    "CAST((c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) "
+    "     % 4000 AS DOUBLE) / 100.0 "
+    "  + (1.0 + (c_custkey % 5) * 0.7) AS maxy "
+    "FROM customer"
+)
+
+_Q_BBOX_DISSOLVE_ORACLE = f"""
+WITH RECURSIVE boxes AS ({_BOXES_SQL}),
+pairs AS (
+  SELECT a.box_id AS pa, b.box_id AS pb FROM boxes a, boxes b
+  WHERE a.box_id <> b.box_id AND a.minx <= b.maxx AND b.minx <= a.maxx
+    AND a.miny <= b.maxy AND b.miny <= a.maxy
+),
+reach(a, b) AS (
+  SELECT box_id, box_id FROM boxes
+  UNION
+  SELECT r.a, p.pb FROM reach r JOIN pairs p ON r.b = p.pa
+),
+lab AS (SELECT a AS box_id, MIN(b) AS region FROM reach GROUP BY a),
+reg AS (
+  SELECT region, COUNT(*) AS region_n, MIN(minx) AS rminx,
+         MIN(miny) AS rminy, MAX(maxx) AS rmaxx, MAX(maxy) AS rmaxy
+  FROM lab JOIN boxes USING (box_id) GROUP BY region
+)
+SELECT CAST(box_id AS BIGINT) AS box_id, CAST(region AS BIGINT) AS region,
+       CAST(region_n AS BIGINT) AS region_n, rminx, rminy, rmaxx, rmaxy
+FROM lab JOIN reg USING (region) ORDER BY box_id
+"""
+
+
+def _q_bbox_dissolve_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box dissolve (operators/dissolve.py): overlap graph by
+    grid blocking (zero false negatives at any cell size — the
+    intersection region lies in a shared cell), large-star/small-star
+    components, merged region envelopes. Deterministic boxes from
+    customer keys; touching edges merge (closed-box test). Oracle:
+    DuckDB n^2 brute-force pairs + recursive min-label closure (the
+    dbscan idiom) — a genuinely different algorithm for both stages."""
+    from ..operators.dissolve import dissolve_bboxes
+
+    _register(spark, sf_dir, ["customer"])
+    boxes = spark.sql(_BOXES_SQL)
+    out = dissolve_bboxes(boxes, cell=4.0)
+    return out.select(
+        F.col("box_id").cast("long").alias("box_id"),
+        F.col("region").cast("long").alias("region"),
+        F.col("region_n").cast("long").alias("region_n"),
+        "rminx", "rminy", "rmaxx", "rmaxy",
+    ).orderBy("box_id")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3246,6 +3312,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trajectory_steps"] = _q_trajectory_steps_spark
     q["trajectory_stats"] = _q_trajectory_stats_spark
     q["hotspot_gi"] = _q_hotspot_gi_spark
+    q["bbox_dissolve"] = _q_bbox_dissolve_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3378,5 +3445,6 @@ def build_oracles() -> dict[str, str]:
     o["trajectory_steps"] = _Q_TRAJ_STEPS_ORACLE
     o["trajectory_stats"] = _Q_TRAJ_STATS_ORACLE
     o["hotspot_gi"] = _hotspot_oracle()
+    o["bbox_dissolve"] = _Q_BBOX_DISSOLVE_ORACLE
     o.update(_golden_oracles())
     return o
