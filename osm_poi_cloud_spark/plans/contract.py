@@ -3179,6 +3179,72 @@ def _q_bbox_dissolve_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("box_id")
 
 
+# 10-day scan window in epoch micros: zone-key-correlated, so the
+# month zones actually skip (the clustered-column case); the quantity
+# flag keeps ~everything (the honest uncorrelated case).
+_ZM_LO_US = 865123200000000    # 1997-06-01T00:00:00Z
+_ZM_HI_US = 865987199999999    # 1997-06-10T23:59:59.999999Z
+
+_Q_ZONE_MAP_ORACLE = f"""
+SELECT substr(CAST(l_shipdate AS STRING), 1, 7) AS zone_month,
+       l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS l_quantity_nulls,
+       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS ship_us_min,
+       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS ship_us_max,
+       CAST(CASE WHEN MIN(l_quantity) IS NOT NULL
+                      AND MIN(l_quantity) <= 15.0 AND MAX(l_quantity) >= 5.0
+                 THEN 1
+                 WHEN MIN(l_quantity) IS NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS keep_q5_15,
+       CAST(CASE WHEN MIN(epoch_us(l_shipdate)) <= {_ZM_HI_US}
+                      AND MAX(epoch_us(l_shipdate)) >= {_ZM_LO_US}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_jun10
+FROM lineitem
+GROUP BY zone_month, l_returnflag
+ORDER BY zone_month, l_returnflag
+"""
+
+
+def _q_zone_map_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map build + range pruning decision (operators/zonemap.py):
+    the data-skipping stats table (per-zone row count, min/max, null
+    counts — one map-side-combined aggregation) with the keep flag for
+    a ``l_quantity BETWEEN 5 AND 15`` scan. Zones are
+    (ship month, returnflag); month via substr(CAST(ts AS STRING))
+    which renders identically in Spark and DuckDB. Min/max are
+    comparisons only — exact input doubles. Oracle: shared-dialect
+    restatement. The skip-soundness invariant (kept zones return
+    exactly the full-scan predicate rows) is pinned in test_zonemap."""
+    from ..operators.zonemap import build_zone_map, range_keep_flag
+
+    _register(spark, sf_dir, ["lineitem"])
+    li = (
+        spark.table("lineitem")
+        .withColumn("zone_month",
+                    F.substring(F.col("l_shipdate").cast("string"), 1, 7))
+        .withColumn("ship_us",
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+    )
+    zm = build_zone_map(li, ["zone_month", "l_returnflag"],
+                        ["l_quantity", "ship_us"])
+    return zm.select(
+        "zone_month", "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "l_quantity_min", "l_quantity_max",
+        F.col("l_quantity_nulls").cast("long").alias("l_quantity_nulls"),
+        F.col("ship_us_min").cast("long").alias("ship_us_min"),
+        F.col("ship_us_max").cast("long").alias("ship_us_max"),
+        range_keep_flag("l_quantity", 5.0, 15.0).cast("long")
+        .alias("keep_q5_15"),
+        range_keep_flag("ship_us", _ZM_LO_US, _ZM_HI_US).cast("long")
+        .alias("keep_jun10"),
+    ).orderBy("zone_month", "l_returnflag")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3313,6 +3379,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trajectory_stats"] = _q_trajectory_stats_spark
     q["hotspot_gi"] = _q_hotspot_gi_spark
     q["bbox_dissolve"] = _q_bbox_dissolve_spark
+    q["zone_map"] = _q_zone_map_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3446,5 +3513,6 @@ def build_oracles() -> dict[str, str]:
     o["trajectory_stats"] = _Q_TRAJ_STATS_ORACLE
     o["hotspot_gi"] = _hotspot_oracle()
     o["bbox_dissolve"] = _Q_BBOX_DISSOLVE_ORACLE
+    o["zone_map"] = _Q_ZONE_MAP_ORACLE
     o.update(_golden_oracles())
     return o
