@@ -96,3 +96,67 @@ def host_stats_stream(pages: DataFrame, url_col: str = "url",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def trajectory_stream(events: DataFrame, max_speed_mm_s: int | None = None
+                      ) -> DataFrame:
+    """Online trajectory stepper: the streaming form of
+    ``operators/trajectory.trajectory_steps``. Input columns
+    ``(user_id long, event_id long, ts_us long, x double, y double)``;
+    emits one row per event with ``dt_us`` / ``step_mm`` /
+    ``teleport`` chained from the entity's previous point.
+
+    State per entity is O(1) — just the last point (ts_us, x, y) — so
+    state size is bounded by live entities, not stream length. Within
+    a micro-batch events sort by (ts_us, event_id); across batches
+    steps chain in ARRIVAL order (a late point chains from the last
+    seen point — the standard online semantics; the stream==batch
+    parity test feeds batches in timestamp order, where the two
+    definitions coincide).
+
+    The step arithmetic is the batch kernel's exact chain —
+    ``floor(1000.0 * sqrt(dx*dx + dy*dy))`` with correctly-rounded
+    sqrt and the division-free integer teleport test — so emitted
+    values are bit-identical to the batch operator on ordered input.
+    """
+    import math
+
+    def fn(group_key, pdfs, state):
+        if state.exists:
+            have, lts, lx, ly = True, *state.get
+        else:
+            have, lts, lx, ly = False, 0, 0.0, 0.0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out_cols = {"user_id": [], "event_id": [], "ts_us": [],
+                    "dt_us": [], "step_mm": [], "teleport": []}
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+            for uid, eid, ts, x, y in zip(pdf["user_id"], pdf["event_id"],
+                                          pdf["ts_us"], pdf["x"], pdf["y"]):
+                ts, x, y = int(ts), float(x), float(y)
+                if have:
+                    dx, dy = x - lx, y - ly
+                    step = math.floor(1000.0 * math.sqrt(dx * dx + dy * dy))
+                    dt = ts - lts
+                    tele = (step * 1_000_000 > max_speed_mm_s * dt
+                            if max_speed_mm_s is not None else None)
+                else:
+                    step, dt, tele = None, None, None
+                out_cols["user_id"].append(int(uid))
+                out_cols["event_id"].append(int(eid))
+                out_cols["ts_us"].append(ts)
+                out_cols["dt_us"].append(dt)
+                out_cols["step_mm"].append(step)
+                out_cols["teleport"].append(tele)
+                have, lts, lx, ly = True, ts, x, y
+            state.update((lts, lx, ly))
+        yield pd.DataFrame(out_cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, event_id long, ts_us long, "
+                          "dt_us long, step_mm long, teleport boolean"),
+        stateStructType="lts long, lx double, ly double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -277,3 +277,61 @@ def test_applyinpandaswithstate_host_stats_parity(spark, tmp_path):
     for h in batch.index:
         assert final.loc[h, "n_pages"] == batch.loc[h, "n_pages"], h
         assert final.loc[h, "n_bytes"] == batch.loc[h, "n_bytes"], h
+
+
+def test_trajectory_stream_matches_batch(spark, tmp_path):
+    """Online trajectory stepping across micro-batches: feeding
+    time-ordered files one per trigger must reproduce the batch
+    operator's steps bit-for-bit (state carries the last point over
+    the batch boundary)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from osm_poi_cloud_spark.operators import trajectory as tj
+    from osm_poi_cloud_spark.streaming import stateful as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i % 5, i, t0 + dt.timedelta(seconds=i),
+             float((i * 37) % 101) / 3.0, float((i * 57) % 83) / 7.0)
+            for i in range(120)]
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "x double, y double")
+    batch_df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "traj_src")
+    out = str(tmp_path / "traj_out")
+    ckpt = str(tmp_path / "traj_ckpt")
+    # three time-ordered files -> three micro-batches
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        (spark.createDataFrame(rows[lo:hi], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    sschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+    stream = (spark.readStream.schema(sschema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select("user_id", "event_id",
+                      F.unix_micros(F.col("ts")).alias("ts_us"), "x", "y"))
+    q = (st.trajectory_stream(stream, max_speed_mm_s=100)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(out).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = (tj.trajectory_steps(batch_df, order_cols=("event_id",),
+                               max_speed_mm_s=100)
+           .select("event_id", "ts_us", "dt_us", "step_mm", "teleport")
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == 120
+    for col in ("ts_us", "dt_us", "step_mm", "teleport"):
+        ga = got[col].astype(object).where(got[col].notna(), None).tolist()
+        ea = exp[col].astype(object).where(exp[col].notna(), None).tolist()
+        assert ga == ea, col
