@@ -3245,6 +3245,90 @@ def _q_zone_map_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("zone_month", "l_returnflag")
 
 
+# road-ish segments and probe points per 40-unit block strip (the
+# dissolve fixture pattern — local density SF-invariant); k = 49 mod 99
+# produces zero-length segments, exercising the degenerate guard
+_SEGS_SQL = (
+    "SELECT c_custkey AS seg_id, "
+    "CAST(FLOOR(c_custkey / 25.0) AS BIGINT) * 100.0 "
+    "  + CAST((c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) "
+    "         % 4000 AS DOUBLE) / 100.0 AS ax, "
+    "CAST((c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) "
+    "     % 4000 AS DOUBLE) / 100.0 AS ay, "
+    "CAST(FLOOR(c_custkey / 25.0) AS BIGINT) * 100.0 "
+    "  + CAST((c_custkey * c_custkey % 65536 * 7919 + c_custkey * 104729) "
+    "         % 4000 AS DOUBLE) / 100.0 "
+    "  + (CAST(c_custkey % 9 AS DOUBLE) - 4.0) * 1.5 AS bx, "
+    "CAST((c_custkey * c_custkey % 65536 * 4099 + c_custkey * 7121) "
+    "     % 4000 AS DOUBLE) / 100.0 "
+    "  + (CAST(c_custkey % 11 AS DOUBLE) - 5.0) * 1.2 AS by "
+    "FROM customer"
+)
+
+_SNAP_PTS_SQL = (
+    "SELECT c_custkey AS pid, "
+    "CAST(FLOOR(c_custkey / 25.0) AS BIGINT) * 100.0 "
+    "  + CAST((c_custkey * c_custkey % 65536 * 5519 + c_custkey * 7907) "
+    "         % 4000 AS DOUBLE) / 100.0 AS x, "
+    "CAST((c_custkey * c_custkey % 65536 * 6007 + c_custkey * 9973) "
+    "     % 4000 AS DOUBLE) / 100.0 AS y "
+    "FROM customer"
+)
+
+
+def _snap_oracle() -> str:
+    dx = "(s.bx - s.ax)"
+    dy = "(s.by - s.ay)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    traw = f"(((p.x - s.ax) * {dx} + (p.y - s.ay) * {dy}) / {len2})"
+    t = (f"(CASE WHEN {len2} = 0.0 THEN 0.0 "
+         f"ELSE LEAST(GREATEST({traw}, 0.0), 1.0) END)")
+    qx = f"(s.ax + {t} * {dx})"
+    qy = f"(s.ay + {t} * {dy})"
+    d2 = f"((p.x - {qx}) * (p.x - {qx}) + (p.y - {qy}) * (p.y - {qy}))"
+    return f"""
+WITH segs AS ({_SEGS_SQL}), pts AS ({_SNAP_PTS_SQL}),
+cand AS (
+  SELECT p.pid, s.seg_id, {d2} AS d2
+  FROM pts p, segs s
+  WHERE {d2} <= 4.0
+), ranked AS (
+  SELECT pid, seg_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, seg_id) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n_cand
+  FROM cand
+)
+SELECT CAST(pid AS BIGINT) AS pid, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(seg_id AS BIGINT) AS seg_id, d2
+FROM ranked WHERE rn = 1 ORDER BY pid
+"""
+
+
+def _q_snap_nearest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-segment snap join (operators/snap.py): map-matching
+    primitive — dilated bbox-cell blocking (zero false negatives at
+    cell = radius by the Chebyshev bound), exact clamped-projection
+    distance (div/mul/add/LEAST/GREATEST only — bit-exact
+    cross-engine), min-struct nearest with deterministic tie-break,
+    per-point candidate counts. Oracle: DuckDB n^2 brute force with
+    the token-identical projection chain."""
+    from ..operators.snap import snap_candidates, snap_nearest
+
+    _register(spark, sf_dir, ["customer"])
+    segs = spark.sql(_SEGS_SQL)
+    pts = spark.sql(_SNAP_PTS_SQL)
+    near = snap_nearest(pts, segs, radius=2.0)
+    ncand = (snap_candidates(pts, segs, radius=2.0)
+             .groupBy("pid").agg(F.count(F.lit(1)).alias("n_cand")))
+    return (
+        near.join(ncand, "pid")
+        .select(F.col("pid").cast("long").alias("pid"),
+                F.col("n_cand").cast("long").alias("n_cand"),
+                F.col("seg_id").cast("long").alias("seg_id"), "d2")
+        .orderBy("pid")
+    )
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3380,6 +3464,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hotspot_gi"] = _q_hotspot_gi_spark
     q["bbox_dissolve"] = _q_bbox_dissolve_spark
     q["zone_map"] = _q_zone_map_spark
+    q["snap_nearest"] = _q_snap_nearest_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3514,5 +3599,6 @@ def build_oracles() -> dict[str, str]:
     o["hotspot_gi"] = _hotspot_oracle()
     o["bbox_dissolve"] = _Q_BBOX_DISSOLVE_ORACLE
     o["zone_map"] = _Q_ZONE_MAP_ORACLE
+    o["snap_nearest"] = _snap_oracle()
     o.update(_golden_oracles())
     return o
