@@ -3329,6 +3329,52 @@ def _q_snap_nearest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the corpus carries 20 equal-size sources; weight src0-src4 as the
+# "high-quality" half of the mixture (100k ppm each), the remaining 15
+# at 33,333 ppm — a real skewed-mixture shape
+_CURRICULUM_W = {f"src{i}": (100_000 if i < 5 else 33_333)
+                 for i in range(20)}
+
+_Q_CURRICULUM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 2000
+), w AS (
+  SELECT * FROM (VALUES {", ".join(f"('{s}', {p})" for s, p in sorted(_CURRICULUM_W.items()))}) AS t(source, w_ppm)
+), ranked AS (
+  SELECT doc_id, source, w_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank_in_source
+  FROM docs JOIN w USING (source)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       CAST((rank_in_source - 1) * 1000000 // w_ppm AS BIGINT)
+           AS interleave_key
+FROM ranked ORDER BY interleave_key, source, rank_in_source
+"""
+
+
+def _q_curriculum_order_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave ordering (operators/curriculum.py):
+    best-first within source (n_chars as the quality surrogate, doc_id
+    tie-break), proportional deficit-round-robin across sources at
+    50/25/12.5/12.5% — the exact-integer interleave key
+    ``(rank-1)*1e6 DIV w_ppm`` pins the entire global training order.
+    Oracle: dialect split only for DIV vs //."""
+    from ..operators.curriculum import curriculum_keys
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        "SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 2000")
+    keyed = curriculum_keys(docs, _CURRICULUM_W, score_col="n_chars")
+    return keyed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("rank_in_source").cast("long").alias("rank_in_source"),
+        F.col("interleave_key").cast("long").alias("interleave_key"),
+    ).orderBy("interleave_key", "source", "rank_in_source")
+
+
 def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.py
     image_dhash + dhash_near_dup_pairs): the planted-near-dup PNG
@@ -3465,6 +3511,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bbox_dissolve"] = _q_bbox_dissolve_spark
     q["zone_map"] = _q_zone_map_spark
     q["snap_nearest"] = _q_snap_nearest_spark
+    q["curriculum_order"] = _q_curriculum_order_spark
     q["kmv_setops"] = _q_kmv_setops_spark
     return q
 
@@ -3600,5 +3647,6 @@ def build_oracles() -> dict[str, str]:
     o["bbox_dissolve"] = _Q_BBOX_DISSOLVE_ORACLE
     o["zone_map"] = _Q_ZONE_MAP_ORACLE
     o["snap_nearest"] = _snap_oracle()
+    o["curriculum_order"] = _Q_CURRICULUM_ORACLE
     o.update(_golden_oracles())
     return o
