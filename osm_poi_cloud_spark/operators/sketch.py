@@ -374,3 +374,29 @@ def kmv_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
         .select("prob", F.col("val").alias("q"))
         .orderBy("prob")
     )
+
+
+def hll_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame,
+                      p: int = 12) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two HLL register
+    tables via inclusion-exclusion: ``|A ∪ B|`` from the max-merged
+    registers (exact sketch algebra), ``|A ∩ B| = est(A) + est(B) -
+    est(A ∪ B)``. One row out; inputs are 2^p-bounded tables so every
+    join/agg here is effectively free. Intersection error compounds
+    (the standard HLL incl-excl caveat — use KMV ``kmv_set_estimates``
+    when the intersection is small relative to the union); clamped at
+    zero."""
+    ea = hll_estimate(sketch_a, p).select(F.col("estimate").alias("ea"))
+    eb = hll_estimate(sketch_b, p).select(F.col("estimate").alias("eb"))
+    eu = (hll_estimate(hll_merge(sketch_a, sketch_b), p)
+          .select(F.col("estimate").alias("eu")))
+    inter = F.greatest(F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0))
+    return (
+        ea.crossJoin(eb).crossJoin(eu)
+        .select(
+            F.col("ea").alias("est_a"), F.col("eb").alias("est_b"),
+            F.col("eu").alias("union_est"),
+            inter.alias("intersection_est"),
+            F.when(F.col("eu") > 0.0, inter / F.col("eu"))
+            .otherwise(F.lit(0.0)).alias("jaccard_est"))
+    )

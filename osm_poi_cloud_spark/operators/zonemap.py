@@ -71,3 +71,30 @@ def pruning_report(zone_map: DataFrame, col: str, lo, hi) -> DataFrame:
         F.sum("n_rows").alias("rows_total"),
         F.sum(F.col("n_rows") * keep).alias("rows_read"),
     )
+
+
+def merge_zone_maps(a: DataFrame, b: DataFrame,
+                    zone_cols: list[str]) -> DataFrame:
+    """Combine two zone maps over the same schema (incremental
+    maintenance: merge yesterday's map with the new files' map instead
+    of rebuilding). The stats form a commutative monoid — min/min,
+    max/max, sums — so ``merge(build(X), build(Y)) == build(X ∪ Y)``
+    exactly (pinned in tests). One union + one aggregation."""
+    if not zone_cols:
+        raise ValueError("need at least one zone column")
+    if set(a.columns) != set(b.columns):
+        raise ValueError("zone maps must share a schema")
+    u = a.unionByName(b)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in u.columns:
+        if c in zone_cols or c == "n_rows":
+            continue
+        if c.endswith("_min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("_max"):
+            aggs.append(F.max(c).alias(c))
+        elif c.endswith("_nulls"):
+            aggs.append(F.sum(c).alias(c))
+        else:
+            raise ValueError(f"unrecognized zone-map column: {c}")
+    return u.groupBy(*zone_cols).agg(*aggs)

@@ -330,3 +330,21 @@ def test_grouped_validation(spark):
         SK.hll_build_grouped(df, "key", [], p=8)
     with pytest.raises(ValueError):
         SK.hll_build_grouped(df, "key", ["grp"], p=3)
+
+
+def test_hll_set_estimates(spark):
+    a = spark.range(0, 1000).selectExpr("concat('k', id) AS key")
+    b = spark.range(500, 1500).selectExpr("concat('k', id) AS key")
+    sa = SK.hll_build(a, "key", p=12)
+    sb = SK.hll_build(b, "key", p=12)
+    r = SK.hll_set_estimates(sa, sb, p=12).first()
+    assert abs(r["est_a"] - 1000) / 1000 < 0.1
+    assert abs(r["union_est"] - 1500) / 1500 < 0.1
+    assert abs(r["intersection_est"] - 500) / 500 < 0.35
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    # disjoint sets: intersection clamps at >= 0
+    c = spark.range(5000, 6000).selectExpr("concat('k', id) AS key")
+    r2 = SK.hll_set_estimates(sa, SK.hll_build(c, "key", p=12), p=12).first()
+    assert r2["intersection_est"] < 120
+    assert r2["jaccard_est"] < 0.08

@@ -77,3 +77,25 @@ def test_validation(spark, table):
         zm.build_zone_map(table, [], ["val"])
     with pytest.raises(ValueError):
         zm.build_zone_map(table, ["zone"], [])
+
+
+def test_merge_equals_rebuild(spark, table):
+    half_a = table.filter(F.col("id") < 500)
+    half_b = table.filter(F.col("id") >= 500)
+    merged = zm.merge_zone_maps(
+        zm.build_zone_map(half_a, ["zone"], ["val", "noise"]),
+        zm.build_zone_map(half_b, ["zone"], ["val", "noise"]),
+        ["zone"])
+    rebuilt = zm.build_zone_map(table, ["zone"], ["val", "noise"])
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, rebuilt.collect()))
+    assert [tuple(x if x == x else None for x in r) for r in a] \
+        == [tuple(x if x == x else None for x in r) for r in b]
+
+
+def test_merge_validation(spark, table):
+    m = zm.build_zone_map(table, ["zone"], ["val"])
+    with pytest.raises(ValueError):
+        zm.merge_zone_maps(m, m, [])
+    with pytest.raises(ValueError):
+        zm.merge_zone_maps(m, m.drop("val_min"), ["zone"])
