@@ -395,9 +395,16 @@ def main() -> None:
     hot_cells = (pois.select(_hx.alias("x"), _hy.alias("y"))
                  .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v")))
     timed("hotspot_gi", lambda: force(getis_ord_gi_star(hot_cells, zoom=10)))
+    from osm_poi_cloud_spark.operators.hotspot import kde_grid
+    timed("kde_heatmap", lambda: force(kde_grid(hot_cells, zoom=10, radius=3)))
 
     # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
     timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))
+    from osm_poi_cloud_spark.operators.sampling import snapshot_history
+    _snaps = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_orderkey % 30000 AS e", "o_orderkey AS v", "o_orderstatus AS s")
+    timed("snapshot_history", lambda: force(
+        snapshot_history(_snaps, "e", "v", ["s"])))
     timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))
     timed("polygon_intersection", lambda: force(
         C._q_polygon_intersection_spark(spark, SF_DIR)))

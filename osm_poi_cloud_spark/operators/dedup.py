@@ -820,3 +820,106 @@ def span_dedup_stats(df: DataFrame, k: int = 8, text_col: str = "text",
                 F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
                 F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# host-template boilerplate removal (line-level, CCNet-style)
+# ---------------------------------------------------------------------------
+
+def host_boilerplate_lines(df: DataFrame, host_col: str = "host",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_docs: int = 3,
+                           max_frac: float = 0.5) -> DataFrame:
+    """Catalog of template lines per host: a line is boilerplate when
+    it appears in MORE than ``max_frac`` of the host's documents (nav
+    bars, cookie banners, copyright footers — the lines a site's
+    template stamps on every page; cf. CCNet's paragraph-frequency
+    dedup, Wenzek et al. 2020). Hosts with fewer than ``min_docs``
+    documents are never judged (one page can't reveal a template).
+
+    Returns ``(host, line, df_docs, host_docs)``. The threshold is an
+    EXACT integer comparison (``df_docs * 1e6 > ppm * host_docs`` with
+    ``ppm = round(max_frac * 1e6)``) so decisions are reproducible
+    cross-engine — the bigram-LM ppm precedent. Document frequency
+    counts each document ONCE however often it repeats the line.
+
+    Shuffle shape: one groupBy on (host, line) with map-side partial
+    distinct + one tiny host-count groupBy joined back; output bounded
+    by distinct (host, line) pairs, never corpus size. Blank lines are
+    lines too — a host template full of empty separator lines gets
+    them removed like any other repeated line."""
+    if min_docs < 1:
+        raise ValueError(f"need min_docs >= 1, got {min_docs}")
+    if not 0.0 < max_frac <= 1.0:
+        raise ValueError(f"need 0 < max_frac <= 1, got {max_frac}")
+    ppm = round(max_frac * 1_000_000)
+    lines = df.select(
+        F.col(host_col).alias("host"), F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    df_line = (lines.groupBy("host", "line")
+               .agg(F.countDistinct("_id").alias("df_docs")))
+    host_docs = (df.groupBy(F.col(host_col).alias("host"))
+                 .agg(F.countDistinct(F.col(id_col)).alias("host_docs")))
+    return (
+        df_line.join(host_docs, "host")
+        .filter((F.col("host_docs") >= min_docs)
+                & (F.col("df_docs") * F.lit(1_000_000)
+                   > F.lit(ppm) * F.col("host_docs")))
+        .select("host", "line", "df_docs", "host_docs")
+    )
+
+
+def remove_boilerplate_lines(df: DataFrame, host_col: str = "host",
+                             text_col: str = "text",
+                             id_col: str = "doc_id", min_docs: int = 3,
+                             max_frac: float = 0.5,
+                             boilerplate: DataFrame | None = None) -> DataFrame:
+    """Rewrite each document with its host's template lines cut out
+    (ALL occurrences — the template stamps them, the body didn't earn
+    them). Pass a precomputed ``boilerplate`` catalog (e.g. built over
+    a larger corpus slice, or yesterday's) to skip the discovery pass.
+
+    Plan — all native, no Python stage:
+
+    1. ``posexplode`` the line split (position kept for order),
+    2. LEFT ANTI join against the (host, line) catalog,
+    3. regroup per doc: ``array_sort`` the (pos, line) structs and
+       re-join with newlines,
+    4. one hash join back to ``df`` for the untouched columns.
+
+    Split-on-newline then join-with-newline is byte-faithful, so docs
+    with nothing flagged come back byte-identical (unlike the span
+    rewriter's whitespace normalization). A doc whose EVERY line is
+    boilerplate comes back as the empty string. Adds ``n_lines``,
+    ``n_kept`` and ``chars_removed`` accounting columns."""
+    if boilerplate is None:
+        boilerplate = host_boilerplate_lines(
+            df, host_col, text_col, id_col, min_docs, max_frac)
+    lines = df.select(
+        F.col(id_col), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    kept = lines.join(boilerplate.select("host", "line"),
+                      ["host", "line"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+             .alias("_pl"))
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", F.transform("_pl", lambda s: s["line"]))
+            .alias("_new_text"),
+            F.size("_pl").alias("_n_kept"))
+    )
+    out = df.join(rebuilt, id_col, "left")
+    new_text = F.coalesce(F.col("_new_text"), F.lit(""))
+    return (
+        out
+        .withColumn("n_lines",
+                    F.size(F.split(F.col(text_col), "\n")).cast("long"))
+        .withColumn("n_kept", F.coalesce("_n_kept", F.lit(0)).cast("long"))
+        .withColumn("chars_removed",
+                    (F.length(F.col(text_col)) - F.length(new_text))
+                    .cast("long"))
+        .withColumn(text_col, new_text)
+        .drop("_new_text", "_n_kept")
+    )

@@ -30,6 +30,8 @@ bit-exact (the radius-join / classifier-logit precedent).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,3 +104,60 @@ def top_hotspots(tiles: DataFrame, zoom: int, k: int = 100,
         raise ValueError(f"need k >= 1, got {k}")
     return (getis_ord_gi_star(tiles, zoom, **kwargs)
             .orderBy(F.desc("gi_ppm"), "x", "y").limit(k))
+
+
+def kde_grid(tiles: DataFrame, zoom: int, radius: int = 3,
+             x_col: str = "x", y_col: str = "y",
+             value_col: str = "v") -> DataFrame:
+    """Kernel-density heat map over the tile lattice — the smoothing
+    pass a tile renderer runs before coloring density layers (the
+    continuous counterpart of ``getis_ord_gi_star``'s z-scores; cf.
+    the reference's density-capped tile pyramid, main.rs merge stage,
+    which thins rather than smooths).
+
+    Each occupied cell ``(x, y, v)`` spreads its weight over the
+    ``(2r+1)^2`` cells within Euclidean radius ``r`` under a discrete
+    Epanechnikov kernel evaluated on EXACT integers:
+
+        w_ppm(dx, dy) = floor(1e6 * (r2p - d2) / r2p),  d2 = dx^2+dy^2
+
+    with ``r2p = r^2 + 1`` so boundary cells (d2 == r^2) still
+    contribute. ``kde = sum(v * w_ppm)`` is a pure BIGINT sum —
+    reduction-order-free and cross-engine hash-exact (the bigram-LM
+    floor-ppm precedent). Note floor((r2p - d2) / r2p * ...) is
+    computed as a single division then floor, token-mirrored by the
+    SQL oracle.
+
+    Scale shape: ONE bounded explode (kernel footprint is a compile-
+    time constant list) + ONE groupBy on the target cell — sparse, so
+    cost is occupied_cells x (2r+1)^2 regardless of lattice size; edge
+    cells clamp via the same lattice filter as Gi*. No joins, no
+    driver actions."""
+    if not 0 <= zoom <= 30:
+        raise ValueError(f"zoom must be in [0, 30], got {zoom}")
+    if not 1 <= radius <= 15:
+        raise ValueError(f"radius must be in [1, 15], got {radius}")
+    n = 1 << zoom
+    r2 = radius * radius
+    r2p = float(r2 + 1)
+    offs = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(math.floor(1_000_000.0 * (r2p - (dx * dx + dy * dy))
+                                  / r2p)).alias("w_ppm"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if dx * dx + dy * dy <= r2
+    ]
+    src = tiles.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+                       F.col(value_col).cast("long").alias("_v"))
+    return (
+        src.select("_x", "_y", "_v",
+                   F.explode(F.array(*offs)).alias("o"))
+        .select((F.col("_x") + F.col("o.dx")).alias("x"),
+                (F.col("_y") + F.col("o.dy")).alias("y"),
+                (F.col("_v") * F.col("o.w_ppm")).alias("_c"))
+        .filter((F.col("x") >= 0) & (F.col("x") <= n - 1)
+                & (F.col("y") >= 0) & (F.col("y") <= n - 1))
+        .groupBy("x", "y")
+        .agg(F.sum("_c").alias("kde_ppm"))
+    )

@@ -132,3 +132,58 @@ def snapshot_upsert(base: DataFrame, snapshot: DataFrame, key_col: str,
         for c in cols
     ]
     return joined.select(*out_cols)
+
+
+def snapshot_history(snaps: DataFrame, key_col: str, version_col: str,
+                     attr_cols: list[str]) -> DataFrame:
+    """SCD-2 history build: collapse a versioned snapshot log into
+    validity intervals — the table a crawl lake keeps so "what did
+    this page look like at crawl N?" is one range lookup instead of a
+    scan over every snapshot (cf. the reference's replace-the-world
+    dataset refresh, which keeps no history at all).
+
+    Input: one row per (entity, version) observation with the tracked
+    attributes. Output: one row per UNBROKEN RUN of equal attribute
+    values per entity —
+
+        (key, attrs..., valid_from, valid_to, n_snapshots, is_current)
+
+    where ``valid_from`` is the run's first version, ``valid_to`` the
+    next run's first version (NULL while current — the half-open
+    [from, to) convention), and ``is_current`` flags the open run.
+    Re-observing unchanged attrs extends the run (n_snapshots counts
+    observations); any attr change closes it. NULL attrs compare
+    null-safely, so NULL -> NULL is "unchanged".
+
+    Scale shape: two windows and one aggregation, ALL partitioned by
+    the entity key (never global) — the lag/run-id/lead pattern
+    (gaps-and-islands) every warehouse uses; one hash shuffle on the
+    key which the groupBy and second window then reuse."""
+    if not attr_cols:
+        raise ValueError("need at least one tracked attribute column")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    is_first = F.lag(version_col).over(w).isNull()
+    run = (
+        snaps.select(key_col, version_col, *attr_cols)
+        .withColumn("_chg", (is_first | changed).cast("int"))
+        .withColumn("_run", F.sum("_chg").over(w))
+    )
+    epochs = (
+        run.groupBy(key_col, "_run", *attr_cols)
+        .agg(F.min(version_col).alias("valid_from"),
+             F.count(F.lit(1)).alias("n_snapshots"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return (
+        epochs
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_run")
+        .select(key_col, *attr_cols, "valid_from", "valid_to",
+                "n_snapshots", "is_current")
+    )

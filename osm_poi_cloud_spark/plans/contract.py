@@ -3411,6 +3411,249 @@ def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD-2 history over a synthetic snapshot log: orders replayed as 300
+# entities observed once per orderkey, o_orderstatus the tracked attr.
+# Exact-integer versions; gaps-and-islands restated as DuckDB window SQL.
+_Q_SNAPSHOT_HISTORY_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey % 300 AS entity_id, o_orderkey AS version,
+         o_orderstatus AS status
+  FROM orders
+), c AS (
+  SELECT entity_id, version, status,
+         CASE WHEN LAG(version) OVER w IS NULL
+                   OR status IS DISTINCT FROM LAG(status) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM s WINDOW w AS (PARTITION BY entity_id ORDER BY version)
+), r AS (
+  SELECT entity_id, version, status,
+         CAST(SUM(chg) OVER (PARTITION BY entity_id ORDER BY version)
+              AS BIGINT) AS run
+  FROM c
+), e AS (
+  SELECT entity_id, run, status, MIN(version) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_snapshots
+  FROM r GROUP BY entity_id, run, status
+)
+SELECT CAST(entity_id AS BIGINT) AS entity_id, status,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(LEAD(valid_from) OVER w2 AS BIGINT) AS valid_to,
+       n_snapshots,
+       CAST(CASE WHEN LEAD(valid_from) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM e WINDOW w2 AS (PARTITION BY entity_id ORDER BY valid_from)
+ORDER BY entity_id, valid_from
+"""
+
+
+def _q_snapshot_history_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals (operators/sampling.py
+    snapshot_history): collapse a versioned snapshot log into unbroken
+    equal-attribute runs with half-open [valid_from, valid_to)
+    intervals — two key-partitioned windows + one aggregation reusing
+    the same hash shuffle (the gaps-and-islands plan). Versions are
+    exact integers; oracle is the identical window chain in DuckDB."""
+    from ..operators.sampling import snapshot_history
+
+    _register(spark, sf_dir, ["orders"])
+    snaps = spark.sql(
+        "SELECT o_orderkey % 300 AS entity_id, o_orderkey AS version, "
+        "o_orderstatus AS status FROM orders")
+    out = snapshot_history(snaps, "entity_id", "version", ["status"])
+    return out.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "status",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+        F.col("is_current").cast("long").alias("is_current"),
+    ).orderBy("entity_id", "valid_from")
+
+
+def _kde_oracle() -> str:
+    z, r = 8, 3
+    n = 1 << z
+    r2, r2p = r * r, float(r * r + 1)
+    tx = tm.sql_tile_x("lon", z)
+    ty = tm.sql_tile_y("lat", z)
+    return f"""
+WITH pts AS ({PTS_SQL}), cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS v FROM pts GROUP BY x, y
+), offs AS (
+  SELECT o1.dx AS dx, o2.dy AS dy,
+         CAST(FLOOR(1000000.0 * ({r2p} - (o1.dx * o1.dx + o2.dy * o2.dy))
+                    / {r2p}) AS BIGINT) AS w_ppm
+  FROM UNNEST(generate_series(-{r}, {r})) AS o1(dx),
+       UNNEST(generate_series(-{r}, {r})) AS o2(dy)
+  WHERE o1.dx * o1.dx + o2.dy * o2.dy <= {r2}
+)
+SELECT CAST(cells.x + dx AS BIGINT) AS x,
+       CAST(cells.y + dy AS BIGINT) AS y,
+       CAST(SUM(v * w_ppm) AS BIGINT) AS kde_ppm
+FROM cells, offs
+WHERE cells.x + dx BETWEEN 0 AND {n - 1}
+  AND cells.y + dy BETWEEN 0 AND {n - 1}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_kde_heatmap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-density heat map over the z8 tile lattice (operators/
+    hotspot.py kde_grid): each occupied cell spreads its count over a
+    radius-3 discrete Epanechnikov footprint with floor-ppm INTEGER
+    weights, so the smoothed field is a reduction-order-free BIGINT
+    sum — one bounded explode + one groupBy, bit-exact vs the DuckDB
+    generate_series restatement."""
+    from ..operators.hotspot import kde_grid
+
+    _register(spark, sf_dir, ["customer"])
+    z = 8
+    tx, ty = tm.tile_cols("lon", "lat", z)
+    cells = (
+        spark.sql(PTS_SQL)
+        .select(tx.alias("x"), ty.alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v"))
+    )
+    out = kde_grid(cells, zoom=z, radius=3)
+    return out.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("kde_ppm").cast("long").alias("kde_ppm"),
+    ).orderBy("x", "y")
+
+
+def _q_zone_map_merge_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map maintenance (operators/zonemap.py
+    merge_zone_maps): build per-zone stats over two disjoint halves of
+    lineitem (orderkey parity — yesterday's files vs today's), merge
+    the two maps, and verify against DuckDB's full-table rebuild. The
+    stats are a commutative monoid (min/min, max/max, sums), so
+    merge(build(A), build(B)) == build(A ∪ B) EXACTLY — the identity
+    the oracle pins cross-engine. Same projection (and pruning
+    decisions) as the zone_map query."""
+    from ..operators.zonemap import (build_zone_map, merge_zone_maps,
+                                     range_keep_flag)
+
+    _register(spark, sf_dir, ["lineitem"])
+    li = (
+        spark.table("lineitem")
+        .withColumn("zone_month",
+                    F.substring(F.col("l_shipdate").cast("string"), 1, 7))
+        .withColumn("ship_us",
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+    )
+    zcols = ["zone_month", "l_returnflag"]
+    vcols = ["l_quantity", "ship_us"]
+    zm = merge_zone_maps(
+        build_zone_map(li.filter(F.col("l_orderkey") % 2 == 0), zcols, vcols),
+        build_zone_map(li.filter(F.col("l_orderkey") % 2 == 1), zcols, vcols),
+        zcols)
+    return zm.select(
+        "zone_month", "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "l_quantity_min", "l_quantity_max",
+        F.col("l_quantity_nulls").cast("long").alias("l_quantity_nulls"),
+        F.col("ship_us_min").cast("long").alias("ship_us_min"),
+        F.col("ship_us_max").cast("long").alias("ship_us_max"),
+        range_keep_flag("l_quantity", 5.0, 15.0).cast("long")
+        .alias("keep_q5_15"),
+        range_keep_flag("ship_us", _ZM_LO_US, _ZM_HI_US).cast("long")
+        .alias("keep_jun10"),
+    ).orderBy("zone_month", "l_returnflag")
+
+
+def _q_hll_setops_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-operation estimates (operators/sketch.py
+    hll_set_estimates): union via exact register max-merge,
+    intersection by inclusion-exclusion, over the SAME two doc-id
+    slices as kmv_setops — the two sketch algebras graded side by
+    side. At these cardinalities every estimate takes the
+    linear-counting branch (m·ln(m/zeros) from the EXACT zero-register
+    count), so the only float risk is the log itself — outputs are
+    rounded (est 4dp, jaccard 6dp) and the golden replays the branch
+    logic with from-spec XXH64 registers (tools/make_goldens.py)."""
+    from ..operators.sketch import hll_build, hll_set_estimates
+
+    _register(spark, sf_dir, ["documents"])
+    a = spark.sql("SELECT doc_id FROM documents WHERE doc_id < 1500")
+    b = spark.sql("SELECT doc_id FROM documents "
+                  "WHERE doc_id >= 250 AND doc_id < 2000")
+    out = hll_set_estimates(hll_build(a, "doc_id", p=12),
+                            hll_build(b, "doc_id", p=12), p=12)
+    return out.select(
+        F.round("est_a", 4).alias("est_a4"),
+        F.round("est_b", 4).alias("est_b4"),
+        F.round("union_est", 4).alias("union_est4"),
+        F.round("intersection_est", 4).alias("intersection_est4"),
+        F.round("jaccard_est", 6).alias("jaccard_est6"),
+    )
+
+
+# host-template fixture: every doc on a host gets the host's NAV header
+# and COPYRIGHT footer (df = 100% -> removed); a PROMO line on ~1/3 of
+# docs stays under the 50% threshold (kept) — threshold is exact-integer
+# ppm. 500 docs carry a source host at every SF (src0..19, 25 docs each).
+_BOILER_DOCS_SQL = """
+SELECT doc_id, source AS host,
+       'NAV ' || source || ' HOME' || chr(10) || text || chr(10) ||
+       CASE WHEN doc_id % 3 = 0 THEN 'PROMO OFFER' || chr(10)
+            ELSE '' END || 'COPYRIGHT ' || source AS text
+FROM documents WHERE source IS NOT NULL
+"""
+
+_Q_BOILERPLATE_ORACLE = f"""
+WITH d AS ({_BOILER_DOCS_SQL}), l AS (
+  SELECT doc_id, host, u.line
+  FROM d, UNNEST(string_split(text, chr(10))) AS u(line)
+), hd AS (
+  SELECT host, COUNT(DISTINCT doc_id) AS host_docs FROM d GROUP BY host
+), dfl AS (
+  SELECT host, line, COUNT(DISTINCT doc_id) AS df_docs
+  FROM l GROUP BY host, line
+), boiler AS (
+  SELECT dfl.host, dfl.line
+  FROM dfl JOIN hd ON dfl.host = hd.host
+  WHERE hd.host_docs >= 3 AND dfl.df_docs * 1000000 > 500000 * hd.host_docs
+), bl AS (
+  SELECT host, list(line) AS bls FROM boiler GROUP BY host
+), kept AS (
+  SELECT d.doc_id, d.text,
+         list_filter(string_split(d.text, chr(10)),
+                     x -> NOT list_contains(COALESCE(bl.bls, []), x)) AS kl
+  FROM d LEFT JOIN bl ON d.host = bl.host
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       CAST(length(text) - length(array_to_string(kl, chr(10))) AS BIGINT)
+         AS chars_removed,
+       md5(array_to_string(kl, chr(10))) AS text_fp
+FROM kept ORDER BY doc_id
+"""
+
+
+def _q_boilerplate_removal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-template boilerplate removal (operators/dedup.py
+    remove_boilerplate_lines — CCNet-style line-frequency cleaning,
+    Wenzek et al. 2020): per-host line document-frequency catalog with
+    an exact-integer ppm threshold, LEFT ANTI line cut, order-
+    preserving native rebuild. The synthesized corpus stamps every
+    doc with its host's NAV header + COPYRIGHT footer (removed) and a
+    sub-threshold PROMO line on ~1/3 of docs (kept). Oracle: DuckDB
+    list_filter restatement; rewritten text pinned by md5."""
+    from ..operators.dedup import remove_boilerplate_lines
+
+    _register(spark, sf_dir, ["documents"])
+    d = spark.sql(_BOILER_DOCS_SQL)
+    out = remove_boilerplate_lines(d, host_col="host", min_docs=3,
+                                   max_frac=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "n_kept", "chars_removed",
+        F.md5(F.col("text")).alias("text_fp"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3513,6 +3756,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snap_nearest"] = _q_snap_nearest_spark
     q["curriculum_order"] = _q_curriculum_order_spark
     q["kmv_setops"] = _q_kmv_setops_spark
+    q["snapshot_history"] = _q_snapshot_history_spark
+    q["kde_heatmap"] = _q_kde_heatmap_spark
+    q["zone_map_merge"] = _q_zone_map_merge_spark
+    q["hll_setops"] = _q_hll_setops_spark
+    q["boilerplate_removal"] = _q_boilerplate_removal_spark
     return q
 
 
@@ -3585,6 +3833,9 @@ _GOLDEN_SPECS = {
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
     "incremental_dedup": ("new_id, index_id, jaccard_est",
                           "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "hll_setops": ("est_a4, est_b4, union_est4, intersection_est4, "
+                   "jaccard_est6",
+                   "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 
@@ -3648,5 +3899,10 @@ def build_oracles() -> dict[str, str]:
     o["zone_map"] = _Q_ZONE_MAP_ORACLE
     o["snap_nearest"] = _snap_oracle()
     o["curriculum_order"] = _Q_CURRICULUM_ORACLE
+    o["snapshot_history"] = _Q_SNAPSHOT_HISTORY_ORACLE
+    o["kde_heatmap"] = _kde_oracle()
+    # merge == rebuild: the oracle IS the full-table zone-map SQL
+    o["zone_map_merge"] = _Q_ZONE_MAP_ORACLE
+    o["boilerplate_removal"] = _Q_BOILERPLATE_ORACLE
     o.update(_golden_oracles())
     return o

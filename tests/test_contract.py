@@ -57,9 +57,11 @@ MIN_ROWS = {
     "quality_classifier": 400, "quality_classifier_ext": 400,
     "snapshot_upsert": 400, "bigram_lm_scores": 400,
     "robots_filter": 400, "page_links": 800, "anchor_texts": 25,
+    "boilerplate_removal": 400,
     "image_text_pairs": 60, "image_near_dup": 60, "semantic_dedup": 400,
     "hashed_embedding": 800, "asof_join": 150, "interval_join": 120,
-    "polygon_intersection": 60, "kmv_setops": 1, "trajectory_stats": 10,
+    "polygon_intersection": 60, "kmv_setops": 1, "hll_setops": 1,
+    "trajectory_stats": 10,
     "snap_nearest": 40,
     "doc_chunks": 1000, "ngram_topk": 200, "salted_join": 1000,
     "time_rollup": 1000, "incremental_dedup": 8, "zorder_keys": 140,

@@ -324,3 +324,69 @@ def test_incremental_dedup_keeps_novel_drops_matched(spark):
         batch, index, num_perm=64, bands=16, shingle_k=5,
         jaccard_threshold=0.5).toPandas()
     assert (rows[rows.new_id == 1].jaccard_est == 1.0).all()
+
+
+# --- host-template boilerplate removal ---
+
+def test_boilerplate_hand_case(spark):
+    rows = [
+        (1, "a", "NAV\nbody one\nFOOT"),
+        (2, "a", "NAV\nbody two\nPROMO\nFOOT"),
+        (3, "a", "NAV\nbody three\nPROMO\nFOOT"),
+        (4, "a", "NAV\nNAV\nbody four\nFOOT"),
+        (5, "b", "NAV\nbody five\nFOOT"),
+        (6, "b", "NAV\nbody six\nFOOT"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    cat = {(r["host"], r["line"]): (r["df_docs"], r["host_docs"])
+           for r in dd.host_boilerplate_lines(
+               df, min_docs=3, max_frac=0.5).collect()}
+    # host a templates flagged; PROMO at exactly 2/4 == max_frac stays
+    # (strict >); host b below min_docs never judged
+    assert cat == {("a", "NAV"): (4, 4), ("a", "FOOT"): (4, 4)}
+
+    out = {r["doc_id"]: r for r in dd.remove_boilerplate_lines(
+        df, min_docs=3, max_frac=0.5).collect()}
+    assert out[1]["text"] == "body one"
+    assert out[2]["text"] == "body two\nPROMO"
+    # within-doc repeats: df counted once, ALL occurrences removed
+    assert out[4]["text"] == "body four"
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (4, 1)
+    # below-min-docs host: byte-identical, zero accounting
+    for i in (5, 6):
+        assert out[i]["text"] == rows[i - 1][2]
+        assert out[i]["chars_removed"] == 0
+    assert out[1]["chars_removed"] == len(rows[0][2]) - len("body one")
+
+
+def test_boilerplate_all_lines_removed_and_external_catalog(spark):
+    rows = [(i, "h", "SAME\nSAME") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = dd.remove_boilerplate_lines(df, min_docs=3, max_frac=0.5)
+    got = out.collect()
+    assert all(r["text"] == "" and r["n_kept"] == 0 for r in got)
+    # external catalog (built elsewhere) applies without a discovery pass
+    cat = spark.createDataFrame([("x", "CUT")], "host string, line string")
+    df2 = spark.createDataFrame([(1, "x", "CUT\nkeep"), (2, "y", "CUT")],
+                                "doc_id long, host string, text string")
+    got2 = {r["doc_id"]: r["text"] for r in dd.remove_boilerplate_lines(
+        df2, boilerplate=cat).collect()}
+    assert got2 == {1: "keep", 2: "CUT"}   # catalog is host-scoped
+
+
+def test_boilerplate_partitioning_independent_and_validated(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .filter(F.col("source").isNotNull()) \
+        .withColumn("text", F.concat(F.lit("HDR "), F.col("source"),
+                                     F.lit("\n"), F.col("text")))
+    a = dd.remove_boilerplate_lines(docs, host_col="source").orderBy("doc_id")
+    b = dd.remove_boilerplate_lines(docs.repartition(13), host_col="source") \
+        .orderBy("doc_id")
+    pa, pb = a.toPandas(), b.toPandas()
+    assert pa.equals(pb)
+    # every doc lost exactly its header line
+    assert (pa["n_lines"] - pa["n_kept"] == 1).all()
+    with pytest.raises(ValueError):
+        dd.host_boilerplate_lines(docs, min_docs=0)
+    with pytest.raises(ValueError):
+        dd.host_boilerplate_lines(docs, max_frac=1.5)

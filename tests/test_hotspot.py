@@ -84,3 +84,65 @@ def test_validation(spark):
         hs.getis_ord_gi_star(df, zoom=31)
     with pytest.raises(ValueError):
         hs.top_hotspots(df, zoom=4, k=0)
+
+
+# --- kde_grid (Epanechnikov heat map) ---
+
+def _kde_expected(cells, zoom, radius):
+    n = 1 << zoom
+    r2, r2p = radius * radius, float(radius * radius + 1)
+    out = {}
+    for (x, y), v in cells:
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                d2 = dx * dx + dy * dy
+                if d2 > r2:
+                    continue
+                tx, ty = x + dx, y + dy
+                if not (0 <= tx < n and 0 <= ty < n):
+                    continue
+                w = math.floor(1_000_000.0 * (r2p - d2) / r2p)
+                out[(tx, ty)] = out.get((tx, ty), 0) + v * w
+    return out
+
+
+def test_kde_matches_scalar_recompute(spark):
+    df = spark.createDataFrame([(x, y, v) for (x, y), v in CELLS],
+                               "x long, y long, v long")
+    for radius in (1, 2, 3):
+        got = {(r["x"], r["y"]): r["kde_ppm"]
+               for r in hs.kde_grid(df, zoom=3, radius=radius).collect()}
+        assert got == _kde_expected(CELLS, 3, radius)
+
+
+def test_kde_single_point_field_and_mass(spark):
+    # interior point: field == v * kernel; total mass == v * sum(w)
+    df = spark.createDataFrame([(8, 8, 10)], "x long, y long, v long")
+    rows = hs.kde_grid(df, zoom=5, radius=2).collect()
+    exp = _kde_expected([((8, 8), 10)], 5, 2)
+    assert {(r["x"], r["y"]): r["kde_ppm"] for r in rows} == exp
+    r2p = 5.0
+    wsum = sum(math.floor(1e6 * (r2p - (dx * dx + dy * dy)) / r2p)
+               for dx in range(-2, 3) for dy in range(-2, 3)
+               if dx * dx + dy * dy <= 4)
+    assert sum(r["kde_ppm"] for r in rows) == 10 * wsum
+    # peak at the source cell
+    assert max(rows, key=lambda r: r["kde_ppm"])["x"] == 8
+
+
+def test_kde_edge_clamp(spark):
+    df = spark.createDataFrame([(0, 0, 7)], "x long, y long, v long")
+    rows = hs.kde_grid(df, zoom=3, radius=3).collect()
+    assert all(0 <= r["x"] < 8 and 0 <= r["y"] < 8 for r in rows)
+    assert {(r["x"], r["y"]): r["kde_ppm"] for r in rows} \
+        == _kde_expected([((0, 0), 7)], 3, 3)
+
+
+def test_kde_validation(spark):
+    df = spark.createDataFrame([(0, 0, 1)], "x long, y long, v long")
+    with pytest.raises(ValueError):
+        hs.kde_grid(df, zoom=31)
+    with pytest.raises(ValueError):
+        hs.kde_grid(df, zoom=3, radius=0)
+    with pytest.raises(ValueError):
+        hs.kde_grid(df, zoom=3, radius=16)

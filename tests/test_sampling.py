@@ -120,3 +120,55 @@ def test_snapshot_upsert_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         snapshot_upsert(base.drop("n"), snap, "k")
+
+
+# --- snapshot_history (SCD-2 gaps-and-islands) ---
+
+def test_snapshot_history_hand_case(spark):
+    rows = [(1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 5, "B"),
+            (1, 8, "A"), (2, 4, "X")]
+    df = spark.createDataFrame(rows, "e long, v long, s string")
+    got = sorted(
+        (r["e"], r["s"], r["valid_from"], r["valid_to"],
+         r["n_snapshots"], r["is_current"])
+        for r in S.snapshot_history(df, "e", "v", ["s"]).collect())
+    assert got == [
+        (1, "A", 1, 3, 2, False),
+        (1, "A", 8, None, 1, True),
+        (1, "B", 3, 8, 2, False),
+        (2, "X", 4, None, 1, True),
+    ]
+
+
+def test_snapshot_history_null_safe_and_multi_attr(spark):
+    # NULL -> NULL is "unchanged"; a change in EITHER attr closes a run
+    rows = [(1, 1, None, 10), (1, 2, None, 10), (1, 3, None, 11),
+            (1, 4, "x", 11)]
+    df = spark.createDataFrame(rows, "e long, v long, a string, b long")
+    got = sorted(((r["a"], r["b"], r["valid_from"], r["valid_to"])
+                  for r in S.snapshot_history(
+                      df, "e", "v", ["a", "b"]).collect()),
+                 key=lambda t: t[2])
+    assert got == [(None, 10, 1, 3), (None, 11, 3, 4), ("x", 11, 4, None)]
+
+
+def test_snapshot_history_point_lookup_invariant(spark):
+    # every original observation falls inside EXACTLY ONE interval of
+    # its entity, with matching attrs; exactly one open interval per key
+    docs = _docs(spark).limit(400)
+    snaps = docs.selectExpr("doc_id % 37 AS e", "doc_id AS v",
+                            "substring(lang, 1, 1) AS s")
+    hist = S.snapshot_history(snaps, "e", "v", ["s"]).toPandas()
+    obs = snaps.toPandas()
+    by_e = {e: g for e, g in hist.groupby("e")}
+    for _, r in obs.iterrows():
+        g = by_e[r["e"]]
+        hits = g[(g["valid_from"] <= r["v"])
+                 & (g["valid_to"].isna() | (g["valid_to"] > r["v"]))]
+        assert len(hits) == 1
+        assert hits.iloc[0]["s"] == r["s"]
+    cur = hist[hist["is_current"]]
+    assert len(cur) == hist["e"].nunique()
+    assert cur["valid_to"].isna().all()
+    # observation count conservation
+    assert int(hist["n_snapshots"].sum()) == len(obs)

@@ -1135,6 +1135,55 @@ def expected_kmv_setops(doc_ids: np.ndarray, k: int = 256,
                  "intersection_est"])
 
 
+def expected_hll_setops(doc_ids: np.ndarray, p: int = 12,
+                        seed: int = 7) -> pd.DataFrame:
+    """Independent HLL set-ops recompute: from-spec chained XXH64
+    registers per slice (4-byte LE seed literal, 8-byte LE long key),
+    Python max-merge for the union sketch, and a replay of the
+    estimator branch logic (linear counting from the EXACT
+    zero-register count, raw harmonic fallback) + inclusion-exclusion.
+    Compared under assert_frame_equal's 1e-5 rtol — the only float in
+    the chain is ln(m/zeros) over exact integers."""
+    import math as _math
+
+    seed_h = xxh64(int(seed).to_bytes(4, "little"), 42)
+    m = 1 << p
+    width = 64 - p
+
+    def registers(ids) -> dict[int, int]:
+        regs: dict[int, int] = {}
+        for d in ids:
+            u = xxh64(int(d).to_bytes(8, "little", signed=True), seed_h)
+            reg = u & (m - 1)
+            rest = u >> p
+            rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    def estimate(regs: dict[int, int]) -> float:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        zeros = m - len(regs)
+        s = sum(2.0 ** -r for r in regs.values()) + zeros
+        raw = alpha * m * m / s
+        if raw <= 2.5 * m and zeros > 0:
+            return float(m) * _math.log(float(m) / zeros)
+        return raw
+
+    ra = registers([d for d in doc_ids if d < 1500])
+    rb = registers([d for d in doc_ids if 250 <= d < 2000])
+    ru = dict(ra)
+    for reg, rho in rb.items():
+        ru[reg] = max(ru.get(reg, 0), rho)
+    ea, eb, eu = estimate(ra), estimate(rb), estimate(ru)
+    inter = max(ea + eb - eu, 0.0)
+    jac = inter / eu if eu > 0.0 else 0.0
+    return pd.DataFrame(
+        [(round(ea, 4), round(eb, 4), round(eu, 4), round(inter, 4),
+          round(jac, 6))],
+        columns=["est_a4", "est_b4", "union_est4", "intersection_est4",
+                 "jaccard_est6"])
+
+
 def _contract_polyline(k: int) -> list[tuple[float, float]]:
     """The contract queries' closed integer-lattice polyline formula."""
     n = 24 + (k % 17) + 1
@@ -1462,7 +1511,8 @@ def main() -> None:
                                 "hashed_embedding", "polygon_intersection",
                                 "polyline_simplify", "simplify_pyramid",
                                 "dsir_scores", "hll_pyramid",
-                                "kmv_setops", "incremental_dedup")}
+                                "kmv_setops", "incremental_dedup",
+                                "hll_setops")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1569,6 +1619,9 @@ def main() -> None:
             _norm_sorted(results["kmv_setops"]),
             _norm_sorted(expected_kmv_setops(all_doc_ids)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["hll_setops"]),
+            _norm_sorted(expected_hll_setops(all_doc_ids)), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["incremental_dedup"]),
             _norm_sorted(expected_incremental_matches(docs)), check_dtype=False)
 
@@ -1597,7 +1650,8 @@ def main() -> None:
                   "dsir_scores": "documents",
                   "hll_pyramid": "customer",
                   "kmv_setops": "documents",
-                  "incremental_dedup": "documents"}
+                  "incremental_dedup": "documents",
+                  "hll_setops": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
