@@ -397,6 +397,12 @@ def main() -> None:
     timed("hotspot_gi", lambda: force(getis_ord_gi_star(hot_cells, zoom=10)))
     from osm_poi_cloud_spark.operators.hotspot import kde_grid
     timed("kde_heatmap", lambda: force(kde_grid(hot_cells, zoom=10, radius=3)))
+    from osm_poi_cloud_spark.operators.hull import convex_hulls
+    _hpts = pois.select(
+        ((_hx.cast("long") * F.lit(1024)) + _hy.cast("long")).alias("g"),
+        F.col("lon").alias("x"), F.col("lat").alias("y"))
+    timed("convex_hulls", lambda: force(
+        convex_hulls(_hpts, group_col="g", n_partials=4)))
 
     # ---- 7e. temporal + polygon joins (contract-shaped inputs) ----
     timed("asof_join", lambda: force(C._q_asof_join_spark(spark, SF_DIR)))
@@ -405,6 +411,8 @@ def main() -> None:
         "o_orderkey % 30000 AS e", "o_orderkey AS v", "o_orderstatus AS s")
     timed("snapshot_history", lambda: force(
         snapshot_history(_snaps, "e", "v", ["s"])))
+    timed("boilerplate_removal", lambda: force(
+        C._q_boilerplate_removal_spark(spark, SF_DIR)))
     timed("interval_join", lambda: force(C._q_interval_join_spark(spark, SF_DIR)))
     timed("polygon_intersection", lambda: force(
         C._q_polygon_intersection_spark(spark, SF_DIR)))

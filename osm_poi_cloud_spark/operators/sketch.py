@@ -400,3 +400,82 @@ def hll_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame,
             F.when(F.col("eu") > 0.0, inter / F.col("eu"))
             .otherwise(F.lit(0.0)).alias("jaccard_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin mergeable histogram (bounded-memory quantiles / distributions)
+# ---------------------------------------------------------------------------
+
+def hist_build(df: DataFrame, value_col: str, lo: float, hi: float,
+               n_bins: int = 256) -> DataFrame:
+    """Fixed-bin histogram sketch ``(bin int, cnt long)`` — the third
+    sketch algebra next to HLL (distinct) and KMV (samples):
+    distributions and quantiles in EXACTLY ``n_bins`` rows from one
+    map-side-combined groupBy, mergeable by plain addition (per-day
+    histograms roll up like the register tables do).
+
+    Bin rule (token-mirrorable by a SQL oracle, one IEEE chain):
+
+        bin = floor((v - lo) * n_bins / (hi - lo)),  clamped to
+        [0, n_bins-1] — out-of-range values land in the edge bins,
+        NULLs are dropped.
+
+    vs KMV quantiles: KMV is rank-exact on a bounded hash sample;
+    the histogram is value-resolution-bounded (bin width) but counts
+    EVERY row, so tail mass is never sampled away. Pick per question.
+    """
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins))
+                  / (F.lit(float(hi)) - F.lit(float(lo))))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Union histogram sketches -> one (SUM per bin). Addition is the
+    whole merge algebra: merge(build(X), build(Y)) == build(X ∪ Y)
+    exactly (pinned in tests)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(hist: DataFrame, probs: list[float], lo: float,
+                   hi: float, n_bins: int = 256) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each prob, the
+    LEFT EDGE of the first bin whose cumulative count reaches
+    ``ceil(p * total)`` — deterministic, resolution = bin width. The
+    cumulative window runs over at most ``n_bins`` rows (the KMV
+    k-row-bounded-window precedent); totals ride a broadcast 1-row
+    cross-join, no driver actions."""
+    from pyspark.sql import Window
+
+    if not probs:
+        raise ValueError("need at least one probability")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = hist.agg(F.sum("cnt").alias("total"))
+    pr = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("prob")
+    targets = total.select(pr, "total").select(
+        "prob", F.ceil(F.col("prob") * F.col("total")).alias("target"))
+    width = (float(hi) - float(lo)) / float(n_bins)
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("prob")
+        .agg(F.min("bin").alias("bin"))
+        .select("prob", "bin",
+                (F.lit(float(lo)) + F.col("bin").cast("double")
+                 * F.lit(width)).alias("q_lo"))
+        .orderBy("prob")
+    )

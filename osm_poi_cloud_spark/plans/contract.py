@@ -3654,6 +3654,122 @@ def _q_boilerplate_removal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# hull fixture: 25 integer-lattice points per block group (dbscan's
+# quadratic scramble — linear congruences make degenerate lattices),
+# coordinates in [0, 200)^2, all arithmetic exact int64
+_HULL_PTS_SQL = """
+SELECT c_custkey AS pid,
+       CAST(FLOOR(c_custkey / 25.0) AS BIGINT) AS g,
+       CAST((c_custkey * c_custkey % 65536 * 7919
+             + c_custkey * 104729) % 200 AS DOUBLE) AS x,
+       CAST((c_custkey * c_custkey % 65536 * 4099
+             + c_custkey * 7121) % 200 AS DOUBLE) AS y
+FROM customer
+"""
+
+
+def _q_convex_hulls_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group strict convex hulls (operators/hull.py convex_hulls):
+    Andrew monotone chain in an Arrow-batched per-group kernel, run in
+    the TWO-LEVEL partial-hull form (n_partials=4) so the contract
+    exercises the distributed merge path — exact by the hull monoid
+    identity hull(A∪B) == hull(hull(A)∪hull(B)). Integer-lattice
+    fixture makes every cross product and shoelace area exact; the
+    canonical CCW-from-lex-min vertex order is pinned by an md5
+    fingerprint. Golden oracle: make_goldens re-derives the points and
+    runs an INDEPENDENT Jarvis-march gift wrap (different algorithm
+    family)."""
+    from ..operators.hull import convex_hulls
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(_HULL_PTS_SQL)
+    out = convex_hulls(pts, group_col="g", n_partials=4)
+    return out.select(
+        "g",
+        F.col("n_points").cast("long").alias("n_points"),
+        "n_vertices", "area2",
+        F.md5(F.concat_ws(";", F.transform(
+            "hull",
+            lambda s: F.concat(s["x"].cast("long").cast("string"),
+                               F.lit(","),
+                               s["y"].cast("long").cast("string")))))
+        .alias("hull_fp"),
+    ).orderBy("g")
+
+
+# histogram sketch over l_extendedprice: [0, 102400) x 64 -> width
+# 1600.0 (exact binary); the max (~105k) clamps into the top edge bin,
+# exercising the clamp rule honestly. Bin chain token-mirrored.
+_HIST_BIN_SQL = ("CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) * 64.0 "
+                 "/ 102400.0), 0), 63) AS BIGINT)")
+
+_Q_HIST_BINS_ORACLE = f"""
+SELECT {_HIST_BIN_SQL} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY bin ORDER BY bin
+"""
+
+_Q_HIST_QUANTILES_ORACLE = f"""
+WITH h AS (
+  SELECT {_HIST_BIN_SQL} AS bin, COUNT(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY bin
+), c AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h
+), t AS (
+  SELECT u.prob AS prob,
+         CAST(CEIL(u.prob * (SELECT SUM(cnt) FROM h)) AS BIGINT) AS target
+  FROM UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS u(prob)
+)
+SELECT t.prob AS prob, CAST(MIN(c.bin) AS BIGINT) AS bin,
+       0.0 + CAST(MIN(c.bin) AS DOUBLE) * 1600.0 AS q_lo
+FROM c JOIN t ON c.cum >= t.target
+GROUP BY t.prob ORDER BY prob
+"""
+
+
+def _q_hist_bins_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram sketch with the MERGE identity as oracle
+    (operators/sketch.py hist_build/hist_merge): sketches built over
+    the two orderkey-parity halves of lineitem, merged by bin addition,
+    checked against DuckDB's full-table rebuild — bounded-memory
+    distribution stats that roll up across days/partitions like the
+    HLL registers do."""
+    from ..operators.sketch import hist_build, hist_merge
+
+    _register(spark, sf_dir, ["lineitem"])
+    li = spark.table("lineitem")
+    merged = hist_merge(
+        hist_build(li.filter(F.col("l_orderkey") % 2 == 0),
+                   "l_extendedprice", 0.0, 102400.0, 64),
+        hist_build(li.filter(F.col("l_orderkey") % 2 == 1),
+                   "l_extendedprice", 0.0, 102400.0, 64))
+    return merged.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("bin")
+
+
+def _q_hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (operators/sketch.py
+    hist_quantiles): first bin whose cumulative count reaches
+    ceil(p * total) — the n_bins-bounded cumulative window + broadcast
+    targets; bin chain and q_lo = lo + bin * width are exact IEEE
+    mirrored by the DuckDB restatement."""
+    from ..operators.sketch import hist_build, hist_quantiles
+
+    _register(spark, sf_dir, ["lineitem"])
+    h = hist_build(spark.table("lineitem"), "l_extendedprice",
+                   0.0, 102400.0, 64)
+    out = hist_quantiles(h, [0.25, 0.5, 0.75, 0.9, 0.99],
+                         0.0, 102400.0, 64)
+    return out.select(
+        "prob",
+        F.col("bin").cast("long").alias("bin"),
+        "q_lo",
+    ).orderBy("prob")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3761,6 +3877,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zone_map_merge"] = _q_zone_map_merge_spark
     q["hll_setops"] = _q_hll_setops_spark
     q["boilerplate_removal"] = _q_boilerplate_removal_spark
+    q["convex_hulls"] = _q_convex_hulls_spark
+    q["hist_bins"] = _q_hist_bins_spark
+    q["hist_quantiles"] = _q_hist_quantiles_spark
     return q
 
 
@@ -3836,6 +3955,8 @@ _GOLDEN_SPECS = {
     "hll_setops": ("est_a4, est_b4, union_est4, intersection_est4, "
                    "jaccard_est6",
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "convex_hulls": ("g, n_points, n_vertices, area2, hull_fp",
+                     "SELECT COUNT(*) FROM customer"),
 }
 
 
@@ -3904,5 +4025,7 @@ def build_oracles() -> dict[str, str]:
     # merge == rebuild: the oracle IS the full-table zone-map SQL
     o["zone_map_merge"] = _Q_ZONE_MAP_ORACLE
     o["boilerplate_removal"] = _Q_BOILERPLATE_ORACLE
+    o["hist_bins"] = _Q_HIST_BINS_ORACLE
+    o["hist_quantiles"] = _Q_HIST_QUANTILES_ORACLE
     o.update(_golden_oracles())
     return o

@@ -160,3 +160,28 @@ def test_stratified_sample_plan_is_map_only(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan[:1500]
     assert plan.count("EvalPython") == 0
+
+
+def test_snapshot_history_single_shuffle(spark):
+    """SCD2 gaps-and-islands is ONE hash shuffle: HashPartitioning(key)
+    satisfies the lag window, the (key, run, attrs) groupBy (superset
+    clustering) and the lead window."""
+    from osm_poi_cloud_spark.operators.sampling import snapshot_history
+
+    snaps = spark.range(2000).selectExpr(
+        "id % 37 AS e", "id AS v", "CAST(id % 3 AS STRING) AS s")
+    out = snapshot_history(snaps, "e", "v", ["s"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "EvalPython" not in plan
+
+
+def test_kde_grid_single_shuffle_no_python(spark):
+    from osm_poi_cloud_spark.operators.hotspot import kde_grid
+
+    cells = spark.range(500).selectExpr(
+        "id % 50 AS x", "CAST(id / 50 AS LONG) AS y", "id % 7 + 1 AS v")
+    out = kde_grid(cells, zoom=8, radius=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "EvalPython" not in plan and "Generate" in plan

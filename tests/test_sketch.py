@@ -348,3 +348,67 @@ def test_hll_set_estimates(spark):
     r2 = SK.hll_set_estimates(sa, SK.hll_build(c, "key", p=12), p=12).first()
     assert r2["intersection_est"] < 120
     assert r2["jaccard_est"] < 0.08
+
+
+# --- fixed-bin mergeable histogram ---
+
+def test_hist_bin_rule_and_clamp(spark):
+    import math
+    vals = [-5.0, 0.0, 0.001, 31.25, 62.5, 99.99, 100.0, 250.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = dict((r["bin"], r["cnt"])
+               for r in SK.hist_build(df, "v", 0.0, 100.0, 32).collect())
+    exp = {}
+    for v in vals:
+        if v is None:
+            continue
+        b = min(max(math.floor((v - 0.0) * 32.0 / 100.0), 0), 31)
+        exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+    assert sum(got.values()) == 8          # NULL dropped
+
+
+def test_hist_merge_equals_rebuild(spark):
+    df = spark.range(10000).selectExpr("CAST(id % 997 AS DOUBLE) AS v")
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    merged = sorted(map(tuple, SK.hist_merge(
+        SK.hist_build(a, "v", 0.0, 1000.0, 64),
+        SK.hist_build(b, "v", 0.0, 1000.0, 64)).collect()))
+    rebuilt = sorted(map(tuple, SK.hist_build(
+        df, "v", 0.0, 1000.0, 64).collect()))
+    assert merged == rebuilt
+
+
+def test_hist_quantiles_definition(spark):
+    import math
+    n, bins = 5000, 50
+    df = spark.range(n).selectExpr("CAST(id AS DOUBLE) AS v")
+    h = SK.hist_build(df, "v", 0.0, 5000.0, bins)
+    got = {r["prob"]: (r["bin"], r["q_lo"])
+           for r in SK.hist_quantiles(h, [0.1, 0.5, 0.9, 1.0],
+                                      0.0, 5000.0, bins).collect()}
+    # independent: bins are uniform 100 rows each; definition = first
+    # bin whose cumulative reaches ceil(p * total)
+    counts = [100] * bins
+    for p in (0.1, 0.5, 0.9, 1.0):
+        target = math.ceil(p * n)
+        cum = 0
+        for b, c in enumerate(counts):
+            cum += c
+            if cum >= target:
+                assert got[p] == (b, b * 100.0), p
+                break
+
+
+def test_hist_validation(spark):
+    df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError):
+        SK.hist_build(df, "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError):
+        SK.hist_build(df, "v", 2.0, 1.0)
+    h = SK.hist_build(df, "v", 0.0, 1.0, 4)
+    with pytest.raises(ValueError):
+        SK.hist_quantiles(h, [], 0.0, 1.0, 4)
+    with pytest.raises(ValueError):
+        SK.hist_quantiles(h, [0.0], 0.0, 1.0, 4)

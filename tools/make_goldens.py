@@ -1184,6 +1184,67 @@ def expected_hll_setops(doc_ids: np.ndarray, p: int = 12,
                  "jaccard_est6"])
 
 
+def expected_convex_hulls(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent hull recompute: the contract's scramble formula,
+    then a scalar Jarvis-march gift wrap (O(n*h) angular selection — a
+    different algorithm family from the engine's monotone chain),
+    shoelace area and the restated int-string md5 fingerprint."""
+    import hashlib
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def gift_wrap(points):
+        pts = sorted(set(points))
+        if len(pts) <= 2:
+            return pts
+        if all(cross(pts[0], pts[1], c) == 0 for c in pts):
+            return [pts[0], pts[-1]]
+        hull, p = [], pts[0]
+        while True:
+            hull.append(p)
+            q = None
+            for c in pts:
+                if c == p:
+                    continue
+                if q is None:
+                    q = c
+                    continue
+                cr = cross(p, q, c)
+                d2q = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                d2c = (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2
+                if cr < 0 or (cr == 0 and d2c > d2q):
+                    q = c
+            p = q
+            if p == pts[0]:
+                break
+        return hull
+
+    by_g: dict[int, list] = {}
+    for k in custkeys:
+        k = int(k)
+        g = k // 25
+        x = float((k * k % 65536 * 7919 + k * 104729) % 200)
+        y = float((k * k % 65536 * 4099 + k * 7121) % 200)
+        by_g.setdefault(g, []).append((x, y))
+    rows = []
+    for g, pts in sorted(by_g.items()):
+        hull = gift_wrap(pts)
+        area2 = 0.0
+        if len(hull) >= 3:
+            s = 0.0
+            for i in range(len(hull)):
+                x0, y0 = hull[i]
+                x1, y1 = hull[(i + 1) % len(hull)]
+                s += x0 * y1 - x1 * y0
+            area2 = abs(s)
+        fp = hashlib.md5(";".join(
+            f"{int(x)},{int(y)}" for x, y in hull).encode()).hexdigest()
+        rows.append((g, len(set(pts)), len(hull), area2, fp))
+    return pd.DataFrame(rows, columns=["g", "n_points", "n_vertices",
+                                       "area2", "hull_fp"])
+
+
 def _contract_polyline(k: int) -> list[tuple[float, float]]:
     """The contract queries' closed integer-lattice polyline formula."""
     n = 24 + (k % 17) + 1
@@ -1512,7 +1573,7 @@ def main() -> None:
                                 "polyline_simplify", "simplify_pyramid",
                                 "dsir_scores", "hll_pyramid",
                                 "kmv_setops", "incremental_dedup",
-                                "hll_setops")}
+                                "hll_setops", "convex_hulls")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1622,6 +1683,9 @@ def main() -> None:
             _norm_sorted(results["hll_setops"]),
             _norm_sorted(expected_hll_setops(all_doc_ids)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["convex_hulls"]),
+            _norm_sorted(expected_convex_hulls(custkeys)), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["incremental_dedup"]),
             _norm_sorted(expected_incremental_matches(docs)), check_dtype=False)
 
@@ -1651,7 +1715,8 @@ def main() -> None:
                   "hll_pyramid": "customer",
                   "kmv_setops": "documents",
                   "incremental_dedup": "documents",
-                  "hll_setops": "documents"}
+                  "hll_setops": "documents",
+                  "convex_hulls": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
