@@ -213,3 +213,47 @@ def anchor_text_corpus(links_with_anchors: DataFrame,
                 1, max_anchors).alias("anchors"),
         )
     )
+
+
+#: sitemap XML blocks — identical pattern text on both engines; (?s)
+#: lazy blocks stay in the Java∩RE2 subset
+SITEMAP_URL_BLOCK_RE = r"(?s)<url>.*?</url>"
+SITEMAP_INDEX_BLOCK_RE = r"(?s)<sitemap>.*?</sitemap>"
+SITEMAP_LOC_RE = r"<loc>\s*([^<]*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def extract_sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml",
+                            url_col: str = "sitemap_url") -> DataFrame:
+    """Sitemap XML -> ``(sitemap_url, loc, lastmod, is_index)`` — the
+    crawl-seeding step between robots.txt discovery
+    (functions/robots.py sitemap_directives) and the frontier
+    (sitemaps.org protocol; the reference crawls nothing — it ingests
+    Overture/OSM dumps — but a web POI pipeline seeds from sitemaps).
+
+    Handles BOTH document kinds: ``<urlset>`` page entries
+    (``is_index = false``) and ``<sitemapindex>`` child-sitemap
+    entries (``is_index = true`` — feed those back through a fetch +
+    this extractor). ``lastmod`` is NULL when the block has none.
+    100% native: two regexp block scans + explode, per-block loc /
+    lastmod pulls — patterns shared verbatim with the SQL oracle."""
+    xml = F.col(xml_col).cast("string")
+
+    def blocks(pat: str, is_index: bool) -> DataFrame:
+        d = sitemaps.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(F.regexp_extract_all(xml, F.lit(pat), F.lit(0)))
+            .alias("_blk"))
+        loc = F.regexp_extract("_blk", SITEMAP_LOC_RE, 1)
+        lastmod = F.regexp_extract("_blk", SITEMAP_LASTMOD_RE, 1)
+        return d.select(
+            "sitemap_url",
+            F.when(loc == "", None).otherwise(loc).alias("loc"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.lit(is_index).alias("is_index"))
+
+    return (
+        blocks(SITEMAP_URL_BLOCK_RE, False)
+        .unionByName(blocks(SITEMAP_INDEX_BLOCK_RE, True))
+        .filter(F.col("loc").isNotNull())
+    )

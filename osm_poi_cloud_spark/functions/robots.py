@@ -138,3 +138,20 @@ def filter_allowed_urls(urls: DataFrame, rules: DataFrame,
     if keep_decision:
         return decided
     return decided.filter(F.col("allowed")).drop("allowed")
+
+
+#: Sitemap: directives — shared verbatim with the SQL oracle
+SITEMAP_DIRECTIVE_RE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def sitemap_directives(robots: DataFrame, host_col: str = "host",
+                       content_col: str = "content") -> DataFrame:
+    """robots.txt -> ``(host, sitemap_url)`` Sitemap directives.
+    Unlike Allow/Disallow these are NOT group-scoped (RFC 9309 §2.3 /
+    sitemaps.org: valid anywhere in the file, any case), so this is
+    one 100% native multiline-regexp pass — no Python, no parser."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.regexp_extract_all(
+            F.col(content_col).cast("string"),
+            F.lit(SITEMAP_DIRECTIVE_RE), F.lit(1))).alias("sitemap_url"))

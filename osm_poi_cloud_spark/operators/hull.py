@@ -113,13 +113,26 @@ def convex_hulls(df: DataFrame, group_col: str = "group",
         raise ValueError(f"need n_partials >= 2, got {n_partials}")
     if n_buckets < 1:
         raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
-    pts = df.select(
+    raw = df.select(
         F.col(group_col).alias("_g"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    ).distinct()
-    gtype = pts.schema["_g"].dataType.simpleString()
-    counts = pts.groupBy("_g").agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    gtype = raw.schema["_g"].dataType.simpleString()
+    # NATIVE pre-filter: hull(S) == hull of the per-(group, x) y-extreme
+    # points (anything strictly between its column's ymin and ymax is a
+    # convex combination of them, so never a vertex). One codegen'd
+    # aggregation dedupes, counts distinct points AND shrinks the
+    # Python stage's input to <= 2 rows per distinct x per group —
+    # dense tile/cluster groups collapse by orders of magnitude before
+    # any Arrow transfer.
+    cols = raw.groupBy("_g", "x").agg(
+        F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
+        F.countDistinct("y").alias("_nd"))
+    counts = cols.groupBy("_g").agg(F.sum("_nd").alias("n_points"))
+    pts = cols.select(
+        "_g", "x",
+        F.explode(F.array_distinct(F.array("_ymin", "_ymax"))).alias("y"))
 
     def partial_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         gs, xs, ys = [], [], []

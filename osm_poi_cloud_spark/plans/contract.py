@@ -3770,6 +3770,112 @@ def _q_hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prob")
 
 
+_Q_SITEMAP_ORACLE = r"""
+WITH hosts AS (
+  SELECT DISTINCT source AS host FROM documents WHERE source IS NOT NULL
+), robots AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+         'Sitemap: https://' || host || '.example/sitemap.xml' || chr(10) ||
+         ' sitemap: https://' || host || '.example/news.xml' AS content
+  FROM hosts
+), smaps AS (
+  SELECT 'https://' || source || '.example/sitemap.xml' AS sitemap_url,
+         '<urlset>' || string_agg(
+             '<url><loc>https://' || source || '.example/doc/' || doc_id
+             || '</loc>' || CASE WHEN doc_id % 4 = 0 THEN ''
+                 ELSE '<lastmod>2024-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                      || '-01</lastmod>' END || '</url>',
+             '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+  UNION ALL
+  SELECT 'https://' || host || '.example/news.xml',
+         '<sitemapindex><sitemap><loc>https://' || host ||
+         '.example/sitemap.xml</loc></sitemap><sitemap></sitemap></sitemapindex>'
+  FROM hosts
+), directives AS (
+  SELECT host, u.sitemap_url
+  FROM robots, UNNEST(regexp_extract_all(content,
+       '(?im)^[ \t]*sitemap:[ \t]*(\S+)', 1)) AS u(sitemap_url)
+), blk AS (
+  SELECT sitemap_url, u.b AS blk, FALSE AS is_index
+  FROM smaps, UNNEST(regexp_extract_all(xml, '(?s)<url>.*?</url>', 0)) AS u(b)
+  UNION ALL
+  SELECT sitemap_url, u.b, TRUE
+  FROM smaps, UNNEST(regexp_extract_all(xml, '(?s)<sitemap>.*?</sitemap>', 0)) AS u(b)
+), entries AS (
+  SELECT sitemap_url,
+         NULLIF(regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1), '') AS loc,
+         NULLIF(regexp_extract(blk, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1), '') AS lastmod,
+         is_index
+  FROM blk
+)
+SELECT d.host, d.sitemap_url, e.loc, e.lastmod,
+       CAST(CASE WHEN e.is_index THEN 1 ELSE 0 END AS BIGINT) AS is_index
+FROM directives d JOIN entries e USING (sitemap_url)
+WHERE e.loc IS NOT NULL
+ORDER BY host, sitemap_url, loc
+"""
+
+_SITEMAP_SMAPS_SQL = """
+SELECT concat('https://', source, '.example/sitemap.xml') AS sitemap_url,
+       concat('<urlset>',
+              array_join(transform(array_sort(collect_list(
+                  struct(doc_id, entry))), x -> x.entry), ''),
+              '</urlset>') AS xml
+FROM (
+  SELECT source, doc_id,
+         concat('<url><loc>https://', source, '.example/doc/',
+                CAST(doc_id AS STRING), '</loc>',
+                CASE WHEN doc_id % 4 = 0 THEN ''
+                     ELSE concat('<lastmod>2024-0',
+                                 CAST(1 + doc_id % 9 AS STRING),
+                                 '-01</lastmod>') END,
+                '</url>') AS entry
+  FROM documents WHERE source IS NOT NULL)
+GROUP BY source
+UNION ALL
+SELECT concat('https://', host, '.example/news.xml'),
+       concat('<sitemapindex><sitemap><loc>https://', host,
+              '.example/sitemap.xml</loc></sitemap>',
+              '<sitemap></sitemap></sitemapindex>')
+FROM (SELECT DISTINCT source AS host FROM documents
+      WHERE source IS NOT NULL)
+"""
+
+
+def _q_sitemap_frontier_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl seeding from robots + sitemaps (functions/robots.py
+    sitemap_directives + functions/links.py extract_sitemap_entries):
+    Sitemap: directives pulled with one multiline native regexp
+    (global per RFC 9309 §2.3, any case/indent), sitemap XML parsed
+    with native block scans — handles both <urlset> page entries and
+    <sitemapindex> children (is_index=1), NULL lastmod when absent,
+    loc-less blocks dropped. Fixture synthesizes per-host robots +
+    urlset + index files over the documents hosts; oracle restates the
+    chain with the IDENTICAL regexp text in DuckDB."""
+    from ..functions.links import extract_sitemap_entries
+    from ..functions.robots import sitemap_directives
+
+    _register(spark, sf_dir, ["documents"])
+    hosts = spark.sql("SELECT DISTINCT source AS host FROM documents "
+                      "WHERE source IS NOT NULL")
+    robots = hosts.selectExpr(
+        "host",
+        "concat('User-agent: *', chr(10), 'Disallow: /private', chr(10), "
+        "'Sitemap: https://', host, '.example/sitemap.xml', chr(10), "
+        "' sitemap: https://', host, '.example/news.xml') AS content")
+    smaps = spark.sql(_SITEMAP_SMAPS_SQL)
+    d = sitemap_directives(robots)
+    e = extract_sitemap_entries(smaps)
+    return (
+        d.join(e, "sitemap_url")
+        .select("host", "sitemap_url", "loc", "lastmod",
+                F.col("is_index").cast("long").alias("is_index"))
+        .orderBy("host", "sitemap_url", "loc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3880,6 +3986,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["convex_hulls"] = _q_convex_hulls_spark
     q["hist_bins"] = _q_hist_bins_spark
     q["hist_quantiles"] = _q_hist_quantiles_spark
+    q["sitemap_frontier"] = _q_sitemap_frontier_spark
     return q
 
 
@@ -4027,5 +4134,6 @@ def build_oracles() -> dict[str, str]:
     o["boilerplate_removal"] = _Q_BOILERPLATE_ORACLE
     o["hist_bins"] = _Q_HIST_BINS_ORACLE
     o["hist_quantiles"] = _Q_HIST_QUANTILES_ORACLE
+    o["sitemap_frontier"] = _Q_SITEMAP_ORACLE
     o.update(_golden_oracles())
     return o

@@ -155,3 +155,32 @@ def test_figure_caption_extraction(spark):
     assert "plain alt" in set(allrefs["alt"])
     plan = L.extract_figure_captions(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# --- sitemap extraction ---
+
+def test_sitemap_entries_hand_case(spark):
+    urlset = ("<?xml version=\"1.0\"?>\n<urlset>\n"
+              "  <url>\n    <loc> https://a.example/p/1 </loc>\n"
+              "    <lastmod>2024-03-01</lastmod>\n  </url>\n"
+              "  <url><loc>https://a.example/p/2</loc></url>\n"
+              "  <url><lastmod>2024-01-01</lastmod></url>\n"      # no loc
+              "</urlset>")
+    index = ("<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>"
+             "<lastmod>2024-02-02</lastmod></sitemap>"
+             "<sitemap></sitemap></sitemapindex>")
+    df = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", urlset),
+         ("https://a.example/index.xml", index)],
+        "sitemap_url string, xml string")
+    got = sorted(
+        (r["sitemap_url"], r["loc"], r["lastmod"], r["is_index"])
+        for r in L.extract_sitemap_entries(df).collect())
+    assert got == [
+        ("https://a.example/index.xml", "https://a.example/s1.xml",
+         "2024-02-02", True),
+        ("https://a.example/sitemap.xml", "https://a.example/p/1",
+         "2024-03-01", False),
+        ("https://a.example/sitemap.xml", "https://a.example/p/2",
+         None, False),
+    ]

@@ -97,3 +97,20 @@ def test_no_python_in_url_path(spark):
     plan = R.filter_allowed_urls(urls, rules)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sitemap_directives(spark):
+    from osm_poi_cloud_spark.functions.robots import sitemap_directives
+
+    content = ("User-agent: *\nDisallow: /x\n"
+               "Sitemap: https://h.example/a.xml\n"
+               "  SITEMAP: https://h.example/b.xml\n"
+               "sitemap:https://h.example/c.xml\n"
+               "not-a-sitemap: https://h.example/d.xml\n")
+    df = spark.createDataFrame([("h.example", content)],
+                               "host string, content string")
+    got = sorted(r["sitemap_url"]
+                 for r in sitemap_directives(df).collect())
+    # directives are global + case-insensitive; indentation tolerated;
+    # 'not-a-sitemap' must not match (anchored key)
+    assert got == [f"https://h.example/{k}.xml" for k in "abc"]
