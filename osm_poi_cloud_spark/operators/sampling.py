@@ -187,3 +187,51 @@ def snapshot_history(snaps: DataFrame, key_col: str, version_col: str,
         .select(key_col, *attr_cols, "valid_from", "valid_to",
                 "n_snapshots", "is_current")
     )
+
+
+def weighted_sample_per_stratum(df: DataFrame, strata_col: str,
+                                weight_col: str, k: int,
+                                id_col: str = "doc_id", seed: int = 29,
+                                u_expr=None) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(k, n)``
+    rows per stratum — Efraimidis & Spirakis (2006) A-ES: each row
+    draws a deterministic uniform u and ranks by the key ``u^(1/w)``
+    (equivalently ``ln(u)/w`` — same order, better conditioned);
+    the top-k keys per stratum are the weighted sample. The classic
+    one-pass trick a curation pipeline uses to keep "k docs per
+    source, quality-weighted" without ever materializing per-stratum
+    sorts of the raw corpus beyond one window.
+
+    Deterministic: u comes from the seeded content hash (map-only,
+    partitioning-independent — the stratified_sample convention), so
+    reruns and retries pick identical rows; ties broken by id. Rows
+    with NULL or non-positive weight are excluded (a zero weight
+    cannot be sampled; a negative one is a caller bug surfaced by the
+    exclusion, not a crash). ``u_expr`` injects a custom uniform-ppm
+    column (integer arithmetic both engines can run) for SQL oracles —
+    the crawl-scheduler precedent.
+
+    Scale shape: one hash shuffle on the stratum for the top-k window;
+    everything else is codegen. Skewed strata cost their row count,
+    never more state than the window's heap."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    if u_expr is None:
+        u_ppm = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)),
+                       F.lit(1_000_000)) + 1
+    else:
+        u_ppm = u_expr
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: ln(u) <= 0, so larger ln(u)/w  <=>  larger u^(1/w)
+    key = F.log(u_ppm.cast("double") / F.lit(1e6)) / w
+    win = (Window.partitionBy(strata_col)
+           .orderBy(F.desc("_es_key"), F.col(id_col)))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es_key", key)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )

@@ -3876,6 +3876,48 @@ def _q_sitemap_frontier_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# integer-arithmetic uniform both engines compute natively (the
+# crawl-scheduler injectable-expr precedent — xxhash64 has no DuckDB
+# analog); Knuth multiplier mod a prime keeps it scattered
+_WS_U_SQL = "doc_id * 2654435761 % 1000003 % 1000000 + 1"
+
+_Q_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(doc_id % 10 + 1 AS DOUBLE) AS w,
+         CAST({_WS_U_SQL} AS DOUBLE) AS u_ppm
+  FROM documents WHERE source IS NOT NULL
+), r AS (
+  SELECT doc_id, source, w,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY ln(u_ppm / 1000000.0) / w DESC, doc_id) AS rn
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, w
+FROM r WHERE rn <= 8 ORDER BY source, doc_id
+"""
+
+
+def _q_weighted_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample_per_stratum — Efraimidis & Spirakis 2006 A-ES):
+    8 docs per source host, weight doc_id%10+1, ranked by ln(u)/w over
+    an injected integer-arithmetic uniform so the DuckDB oracle
+    replays the IDENTICAL selection (key gaps are orders of magnitude
+    above cross-engine ln ulp differences; ties broken by id)."""
+    from ..operators.sampling import weighted_sample_per_stratum
+
+    _register(spark, sf_dir, ["documents"])
+    d = spark.sql(
+        "SELECT doc_id, source, CAST(doc_id % 10 + 1 AS DOUBLE) AS w "
+        "FROM documents WHERE source IS NOT NULL")
+    out = weighted_sample_per_stratum(
+        d, "source", "w", k=8, id_col="doc_id",
+        u_expr=F.expr(_WS_U_SQL))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "w",
+    ).orderBy("source", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3987,6 +4029,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hist_bins"] = _q_hist_bins_spark
     q["hist_quantiles"] = _q_hist_quantiles_spark
     q["sitemap_frontier"] = _q_sitemap_frontier_spark
+    q["weighted_sample"] = _q_weighted_sample_spark
     return q
 
 
@@ -4135,5 +4178,6 @@ def build_oracles() -> dict[str, str]:
     o["hist_bins"] = _Q_HIST_BINS_ORACLE
     o["hist_quantiles"] = _Q_HIST_QUANTILES_ORACLE
     o["sitemap_frontier"] = _Q_SITEMAP_ORACLE
+    o["weighted_sample"] = _Q_WEIGHTED_SAMPLE_ORACLE
     o.update(_golden_oracles())
     return o

@@ -172,3 +172,61 @@ def test_snapshot_history_point_lookup_invariant(spark):
     assert cur["valid_to"].isna().all()
     # observation count conservation
     assert int(hist["n_snapshots"].sum()) == len(obs)
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ---
+
+def test_weighted_sample_exact_replay_and_bounds(spark):
+    import math
+    sys.path.insert(0, "tools")
+    from make_goldens import xxh64
+
+    docs = _docs(spark).withColumn(
+        "w", (F.col("doc_id") % 10 + 1).cast("double"))
+    out = S.weighted_sample_per_stratum(docs, "lang", "w", k=7).toPandas()
+    # per-stratum cap + determinism across partitionings
+    assert (out.groupby("lang").size() <= 7).all()
+    out2 = S.weighted_sample_per_stratum(
+        _docs(spark).repartition(13).withColumn(
+            "w", (F.col("doc_id") % 10 + 1).cast("double")),
+        "lang", "w", k=7).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # independent from-spec replay: seeded XXH64 uniform + ln(u)/w
+    seed_h = xxh64(int(29).to_bytes(4, "little"), 42)
+    full = _docs(spark).toPandas()
+    by_lang = {}
+    for _, r in full.iterrows():
+        d = int(r["doc_id"])
+        w = d % 10 + 1
+        h = xxh64(d.to_bytes(8, "little", signed=True), seed_h)
+        s = h - (1 << 64) if h >= (1 << 63) else h
+        u = s % 1_000_000 + 1
+        by_lang.setdefault(r["lang"], []).append(
+            (-math.log(u / 1e6) / w, d))
+    exp = []
+    for lang, rows in by_lang.items():
+        exp += [d for _, d in sorted(rows)[:7]]
+    assert sorted(out["doc_id"]) == sorted(exp)
+
+
+def test_weighted_sample_weights_bias_and_validation(spark):
+    # 500 strata, each with a heavy (w=50) and 9 light (w=1) items:
+    # the heavy one must be picked far more often than 1/10 of the time
+    rows = [(s * 10 + i, f"s{s}", 50.0 if i == 0 else 1.0)
+            for s in range(500) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, strat string, w double")
+    out = S.weighted_sample_per_stratum(df, "strat", "w", k=1,
+                                        id_col="doc_id").toPandas()
+    assert len(out) == 500
+    heavy = (out["doc_id"] % 10 == 0).mean()
+    assert heavy > 0.6          # expected ~50/59 ≈ 0.85; far above 0.1
+    # zero/negative/null weights are excluded
+    df2 = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", -3.0), (3, "a", None), (4, "a", 2.0)],
+        "doc_id long, strat string, w double")
+    got = S.weighted_sample_per_stratum(df2, "strat", "w", k=4,
+                                        id_col="doc_id").toPandas()
+    assert list(got["doc_id"]) == [4]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        S.weighted_sample_per_stratum(df2, "strat", "w", k=0)
