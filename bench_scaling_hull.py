@@ -101,8 +101,8 @@ def run_level(cpus: int, rows_n: int, repeats: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--rows", type=int, default=8_000_000)
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=1)
     args = ap.parse_args()
@@ -121,6 +121,8 @@ def main() -> None:
             hi["hull_sec"] = min(hi["hull_sec"], h["hull_sec"])
 
     envelope = round((probe_hi / probe_lo) / 4.0, 3)
+    for side in (lo, hi):   # keep throughput consistent with merged best
+        side["pts_per_sec"] = round(side["rows_n"] / side["hull_sec"], 1)
     speedup = lo["hull_sec"] / hi["hull_sec"]
     print(json.dumps({
         "rows_n": lo["rows_n"], "low": lo, "high": hi,

@@ -205,7 +205,7 @@ def weighted_sample_per_stratum(df: DataFrame, strata_col: str,
     Deterministic: u comes from the seeded content hash (map-only,
     partitioning-independent — the stratified_sample convention), so
     reruns and retries pick identical rows; ties broken by id. Rows
-    with NULL or non-positive weight are excluded (a zero weight
+    with NULL, NaN or non-positive weight are excluded (a zero weight
     cannot be sampled; a negative one is a caller bug surfaced by the
     exclusion, not a crash). ``u_expr`` injects a custom uniform-ppm
     column (integer arithmetic both engines can run) for SQL oracles —
@@ -229,7 +229,9 @@ def weighted_sample_per_stratum(df: DataFrame, strata_col: str,
     win = (Window.partitionBy(strata_col)
            .orderBy(F.desc("_es_key"), F.col(id_col)))
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        # NaN > 0 is TRUE in Spark's ordering and NaN keys sort first
+        # under desc() — a NaN weight would crowd out every valid row
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("_es_key", key)
         .withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= k)

@@ -418,7 +418,8 @@ def hist_build(df: DataFrame, value_col: str, lo: float, hi: float,
 
         bin = floor((v - lo) * n_bins / (hi - lo)),  clamped to
         [0, n_bins-1] — out-of-range values land in the edge bins,
-        NULLs are dropped.
+        NULLs and NaNs are dropped (Spark's FLOOR(double)->LONG would
+        silently map NaN into bin 0 otherwise).
 
     vs KMV quantiles: KMV is rank-exact on a bounded hash sample;
     the histogram is value-resolution-bounded (bin width) but counts
@@ -433,7 +434,7 @@ def hist_build(df: DataFrame, value_col: str, lo: float, hi: float,
                   / (F.lit(float(hi)) - F.lit(float(lo))))
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(b.alias("bin"))
         .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     )

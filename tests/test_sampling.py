@@ -220,11 +220,13 @@ def test_weighted_sample_weights_bias_and_validation(spark):
     assert len(out) == 500
     heavy = (out["doc_id"] % 10 == 0).mean()
     assert heavy > 0.6          # expected ~50/59 ≈ 0.85; far above 0.1
-    # zero/negative/null weights are excluded
+    # zero/negative/null/NaN weights are excluded (NaN > 0 is true in
+    # Spark and a NaN key would sort FIRST under desc — the trap)
     df2 = spark.createDataFrame(
-        [(1, "a", 0.0), (2, "a", -3.0), (3, "a", None), (4, "a", 2.0)],
+        [(1, "a", 0.0), (2, "a", -3.0), (3, "a", None), (4, "a", 2.0),
+         (5, "a", float("nan"))],
         "doc_id long, strat string, w double")
-    got = S.weighted_sample_per_stratum(df2, "strat", "w", k=4,
+    got = S.weighted_sample_per_stratum(df2, "strat", "w", k=5,
                                         id_col="doc_id").toPandas()
     assert list(got["doc_id"]) == [4]
     import pytest as _pt

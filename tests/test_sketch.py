@@ -354,18 +354,19 @@ def test_hll_set_estimates(spark):
 
 def test_hist_bin_rule_and_clamp(spark):
     import math
-    vals = [-5.0, 0.0, 0.001, 31.25, 62.5, 99.99, 100.0, 250.0, None]
+    vals = [-5.0, 0.0, 0.001, 31.25, 62.5, 99.99, 100.0, 250.0, None,
+            float("nan")]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = dict((r["bin"], r["cnt"])
                for r in SK.hist_build(df, "v", 0.0, 100.0, 32).collect())
     exp = {}
     for v in vals:
-        if v is None:
+        if v is None or v != v:
             continue
         b = min(max(math.floor((v - 0.0) * 32.0 / 100.0), 0), 31)
         exp[b] = exp.get(b, 0) + 1
     assert got == exp
-    assert sum(got.values()) == 8          # NULL dropped
+    assert sum(got.values()) == 8          # NULL and NaN dropped
 
 
 def test_hist_merge_equals_rebuild(spark):
