@@ -397,6 +397,10 @@ def main() -> None:
     timed("hotspot_gi", lambda: force(getis_ord_gi_star(hot_cells, zoom=10)))
     from osm_poi_cloud_spark.operators.hotspot import kde_grid
     timed("kde_heatmap", lambda: force(kde_grid(hot_cells, zoom=10, radius=3)))
+    from osm_poi_cloud_spark.operators.tiling import render_heatmap_tiles
+    timed("heatmap_tiles", lambda: force(render_heatmap_tiles(
+        kde_grid(hot_cells, zoom=10, radius=3), zoom=2,
+        vmax_ppm=5_000_000)))
     from osm_poi_cloud_spark.operators.hull import convex_hulls
     _hpts = pois.select(
         ((_hx.cast("long") * F.lit(1024)) + _hy.cast("long")).alias("g"),

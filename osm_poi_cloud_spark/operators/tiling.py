@@ -113,3 +113,100 @@ def hll_tile_pyramid(pois: DataFrame, key_col: str,
 
     tiled = assign_tile_pyramid(pois, min_zoom, max_zoom, lon, lat)
     return hll_build_grouped(tiled, key_col, ["z", "x", "y"], p=p, seed=seed)
+
+
+def render_heatmap_tiles(cells: DataFrame, zoom: int, vmax_ppm: int,
+                         tile_px: int = 256, x_col: str = "x",
+                         y_col: str = "y", value_col: str = "kde_ppm",
+                         n_buckets: int = 64) -> DataFrame:
+    """Raster heat-map tiles from a fine-cell density field: the
+    serving-side counterpart of the vector MVT path (operators/mvt.py)
+    — what a slippy map overlays as semi-transparent density PNGs.
+    Input is
+    a sparse cell table (x, y, value) at fine zoom ``zoom +
+    log2(tile_px)`` (e.g. ``kde_grid`` output); each ``tile_px^2``
+    block becomes one grayscale PNG via the engine's from-spec encoder
+    (functions/png.py).
+
+    Intensity is a FIXED exact-integer quantization —
+
+        px = least(255, value * 255 DIV vmax_ppm)
+
+    — not per-tile normalization, so shades are comparable across
+    tiles and every byte is deterministic (``vmax_ppm`` is the "full
+    heat" calibration, e.g. a high percentile from ``hist_quantiles``).
+    Zero-intensity pixels are dropped natively before the Python
+    stage, so empty ocean tiles never materialize at all.
+
+    Returns ``(x, y, n_px, pixel_crc, png)`` at ``zoom`` where
+    ``n_px`` counts lit pixels and ``pixel_crc`` is the crc32 of the
+    raw canvas (content-pinnable without a second encoder — the
+    media_features precedent; the PNG wrapping itself is pinned by the
+    codec round-trip suite). Kernel runs per hash BUCKET of whole
+    tiles (the hull lesson: never one Python call per tiny group)."""
+    import zlib
+
+    shift = (tile_px - 1).bit_length()
+    if tile_px != 1 << shift or not 6 <= shift <= 10:
+        raise ValueError(f"tile_px must be a power of two in [64, 1024], "
+                         f"got {tile_px}")
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
+    if vmax_ppm < 1:
+        raise ValueError(f"need vmax_ppm >= 1, got {vmax_ppm}")
+    # EXACT integer quantization (SQL DIV, never a double division —
+    # the value*255 product can exceed 2^53 where float rounding
+    # drifts)
+    staged = cells.select(
+        F.col(x_col).cast("long").alias("_cx"),
+        F.col(y_col).cast("long").alias("_cy"),
+        (F.col(value_col).cast("long") * F.lit(255)).alias("_v255"))
+    lit = staged.select(
+        F.shiftright("_cx", shift).alias("tx"),
+        F.shiftright("_cy", shift).alias("ty"),
+        (F.col("_cx") % F.lit(tile_px)).alias("px"),
+        (F.col("_cy") % F.lit(tile_px)).alias("py"),
+        F.least(F.lit(255).cast("long"),
+                F.expr(f"_v255 DIV {int(vmax_ppm)}"))
+        .cast("int").alias("val"),
+    ).filter(F.col("val") > 0)
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.png import encode_png
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        pdf = pdf.sort_values(["tx", "ty", "py", "px"], kind="mergesort")
+        txs = pdf["tx"].to_numpy()
+        tys = pdf["ty"].to_numpy()
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=["x", "y", "n_px", "pixel_crc",
+                                         "png"])
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = (txs[1:] != txs[:-1]) | (tys[1:] != tys[:-1])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, n)
+        pxs = pdf["px"].to_numpy()
+        pys = pdf["py"].to_numpy()
+        vals = pdf["val"].to_numpy()
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            canvas = np.zeros((tile_px, tile_px), dtype=np.uint8)
+            canvas[pys[s:e], pxs[s:e]] = vals[s:e]
+            rows.append((int(txs[s]), int(tys[s]), int(e - s),
+                         zlib.crc32(canvas.tobytes()),
+                         encode_png(canvas)))
+        return pd.DataFrame(rows, columns=["x", "y", "n_px", "pixel_crc",
+                                           "png"])
+
+    return (
+        lit.withColumn("_b", F.pmod(F.xxhash64("tx", "ty"),
+                                    F.lit(n_buckets)))
+        .groupBy("_b")
+        .applyInPandas(bucket, "x long, y long, n_px long, "
+                               "pixel_crc long, png binary")
+    )

@@ -3918,6 +3918,35 @@ def _q_weighted_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def _q_heatmap_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster heat-map tiles (operators/tiling.py render_heatmap_tiles
+    over operators/hotspot.py kde_grid): PTS points -> z12 occupied
+    cells -> radius-3 integer-Epanechnikov KDE -> 256px grayscale PNG
+    tiles at z4 with the exact-DIV intensity quantization. Output pins
+    lit-pixel counts and the crc32 of each raw canvas (the
+    media_features content-crc precedent — PNG wrapping itself is
+    pinned by the codec round-trip suite). Golden: make_goldens
+    replays points/tiles/KDE/quantize/canvas with scalar dicts."""
+    from ..operators.hotspot import kde_grid
+    from ..operators.tiling import render_heatmap_tiles
+
+    _register(spark, sf_dir, ["customer"])
+    zf = 12
+    tx, ty = tm.tile_cols("lon", "lat", zf)
+    cells = (
+        spark.sql(PTS_SQL)
+        .select(tx.alias("x"), ty.alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v"))
+    )
+    kde = kde_grid(cells, zoom=zf, radius=3)
+    out = render_heatmap_tiles(kde, zoom=4, vmax_ppm=5_000_000,
+                               tile_px=256)
+    return out.select(
+        "x", "y", "n_px",
+        F.col("pixel_crc").cast("long").alias("pixel_crc"),
+    ).orderBy("x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4030,6 +4059,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hist_quantiles"] = _q_hist_quantiles_spark
     q["sitemap_frontier"] = _q_sitemap_frontier_spark
     q["weighted_sample"] = _q_weighted_sample_spark
+    q["heatmap_tiles"] = _q_heatmap_tiles_spark
     return q
 
 
@@ -4107,6 +4137,8 @@ _GOLDEN_SPECS = {
                    "SELECT SUM(doc_id * n_chars) FROM documents"),
     "convex_hulls": ("g, n_points, n_vertices, area2, hull_fp",
                      "SELECT COUNT(*) FROM customer"),
+    "heatmap_tiles": ("x, y, n_px, pixel_crc",
+                      "SELECT COUNT(*) FROM customer"),
 }
 
 

@@ -63,7 +63,7 @@ MIN_ROWS = {
     "polygon_intersection": 60, "kmv_setops": 1, "hll_setops": 1,
     "trajectory_stats": 10, "convex_hulls": 6,
     "hist_bins": 50, "hist_quantiles": 5, "sitemap_frontier": 400,
-    "weighted_sample": 150, "snapshot_history": 900,
+    "weighted_sample": 150, "snapshot_history": 900, "heatmap_tiles": 80,
     "zone_map_merge": 200, "kde_heatmap": 3000,
     "snap_nearest": 40,
     "doc_chunks": 1000, "ngram_topk": 200, "salted_join": 1000,

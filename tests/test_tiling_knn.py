@@ -231,3 +231,61 @@ def test_nearest_join_restores_shuffle_conf(spark):
                      cell0=10.0, x_col="x", y_col="y",
                      left_id="qid", right_id="rid").count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+# --- raster heat-map tile rendering ---
+
+def test_heatmap_tiles_scalar_parity(spark):
+    import zlib
+
+    import pytest
+    from osm_poi_cloud_spark.functions.png import decode_png
+
+    # cells straddle the (0,0)/(1,0) tile border at zoom 0, tile_px 64
+    # (fine zoom 6); vmax 1000 -> val = min(255, v*255 DIV 1000)
+    cells = [(0, 0, 500), (63, 63, 1000), (64, 0, 2000), (5, 7, 3),
+             (6, 7, 4), (70, 1, 1000)]
+    df = spark.createDataFrame(cells, "x long, y long, kde_ppm long")
+    out = {(r["x"], r["y"]): r
+           for r in tl.render_heatmap_tiles(
+               df, zoom=0, vmax_ppm=1000, tile_px=64).collect()}
+    assert set(out) == {(0, 0), (1, 0)}
+
+    canvases = {}
+    for cx, cy, v in cells:
+        val = min(255, v * 255 // 1000)
+        if val == 0:
+            continue
+        canvases.setdefault((cx // 64, cy // 64),
+                            np.zeros((64, 64), np.uint8))[cy % 64, cx % 64] = val
+    for key, canvas in canvases.items():
+        r = out[key]
+        assert r["pixel_crc"] == zlib.crc32(canvas.tobytes())
+        assert (decode_png(bytes(r["png"]))[:, :, 0] == canvas).all()
+        assert r["n_px"] == int((canvas > 0).sum())
+    # (5,7) quantizes to 0 (3*255 DIV 1000 = 0) -> dropped; (6,7) -> 1
+    assert out[(0, 0)]["n_px"] == 3
+
+    with pytest.raises(ValueError):
+        tl.render_heatmap_tiles(df, zoom=0, vmax_ppm=0)
+    with pytest.raises(ValueError):
+        tl.render_heatmap_tiles(df, zoom=0, vmax_ppm=10, tile_px=100)
+
+
+def test_heatmap_tiles_kde_composition_deterministic(spark):
+    from osm_poi_cloud_spark.operators.hotspot import kde_grid
+
+    pts = spark.range(3000).selectExpr(
+        "pmod(xxhash64(id), 512) AS x", "pmod(xxhash64(id, 1), 512) AS y",
+        "id % 5 + 1 AS v")
+    cells = pts.groupBy("x", "y").agg(F.sum("v").alias("v"))
+    kde = kde_grid(cells, zoom=9, radius=2)
+    a = tl.render_heatmap_tiles(kde, zoom=1, vmax_ppm=30_000_000,
+                                tile_px=256).toPandas()
+    b = tl.render_heatmap_tiles(kde.repartition(17), zoom=1,
+                                vmax_ppm=30_000_000,
+                                tile_px=256).toPandas()
+    ka = a.sort_values(["x", "y"]).reset_index(drop=True)
+    kb = b.sort_values(["x", "y"]).reset_index(drop=True)
+    assert list(ka["pixel_crc"]) == list(kb["pixel_crc"])
+    assert (ka["n_px"] > 0).all() and len(ka) >= 4

@@ -1245,6 +1245,56 @@ def expected_convex_hulls(custkeys: np.ndarray) -> pd.DataFrame:
                                        "area2", "hull_fp"])
 
 
+def expected_heatmap_tiles(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent heat-map tile recompute: PTS points from the closed
+    formula, z12 tiles from the RESTATED slippy-map formula, radius-3
+    integer-Epanechnikov KDE by scalar dict accumulation, exact-DIV
+    quantization and canvas crc32 — no Spark, no engine kernels."""
+    import math
+    import zlib
+
+    zf, r, vmax = 12, 3, 5_000_000
+    n = float(1 << zf)
+    cells: dict[tuple, int] = {}
+    for k in custkeys:
+        k = int(k)
+        lon = float((k * 7919) % 36000) / 100.0 - 180.0
+        lat = float((k * 104729) % 17000) / 100.0 - 85.0
+        lat_c = min(max(lat, -85.05112878), 85.05112878)
+        xm = int(min(max(math.floor((lon + 180.0) / 360.0 * n), 0.0),
+                     n - 1.0))
+        lr = lat_c / 180.0 * math.pi
+        ym = int(min(max(math.floor(
+            (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi)
+            / 2.0 * n), 0.0), n - 1.0))
+        cells[(xm, ym)] = cells.get((xm, ym), 0) + 1
+    r2, r2p = r * r, float(r * r + 1)
+    kde: dict[tuple, int] = {}
+    side = 1 << zf
+    for (x, y), v in cells.items():
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                d2 = dx * dx + dy * dy
+                if d2 > r2:
+                    continue
+                tx, ty = x + dx, y + dy
+                if not (0 <= tx < side and 0 <= ty < side):
+                    continue
+                w = math.floor(1_000_000.0 * (r2p - d2) / r2p)
+                kde[(tx, ty)] = kde.get((tx, ty), 0) + v * w
+    canvases: dict[tuple, np.ndarray] = {}
+    for (x, y), val in kde.items():
+        px = min(255, val * 255 // vmax)
+        if px <= 0:
+            continue
+        c = canvases.setdefault((x >> 8, y >> 8),
+                                np.zeros((256, 256), np.uint8))
+        c[y % 256, x % 256] = px
+    rows = [(tx, ty, int((c > 0).sum()), zlib.crc32(c.tobytes()))
+            for (tx, ty), c in sorted(canvases.items())]
+    return pd.DataFrame(rows, columns=["x", "y", "n_px", "pixel_crc"])
+
+
 def _contract_polyline(k: int) -> list[tuple[float, float]]:
     """The contract queries' closed integer-lattice polyline formula."""
     n = 24 + (k % 17) + 1
@@ -1573,7 +1623,8 @@ def main() -> None:
                                 "polyline_simplify", "simplify_pyramid",
                                 "dsir_scores", "hll_pyramid",
                                 "kmv_setops", "incremental_dedup",
-                                "hll_setops", "convex_hulls")}
+                                "hll_setops", "convex_hulls",
+                                "heatmap_tiles")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1686,6 +1737,10 @@ def main() -> None:
             _norm_sorted(results["convex_hulls"]),
             _norm_sorted(expected_convex_hulls(custkeys)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["heatmap_tiles"]),
+            _norm_sorted(expected_heatmap_tiles(custkeys)),
+            check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["incremental_dedup"]),
             _norm_sorted(expected_incremental_matches(docs)), check_dtype=False)
 
@@ -1716,7 +1771,8 @@ def main() -> None:
                   "kmv_setops": "documents",
                   "incremental_dedup": "documents",
                   "hll_setops": "documents",
-                  "convex_hulls": "customer"}
+                  "convex_hulls": "customer",
+                  "heatmap_tiles": "customer"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
