@@ -440,6 +440,31 @@ def hist_build(df: DataFrame, value_col: str, lo: float, hi: float,
     )
 
 
+def hist_build_grouped(df: DataFrame, value_col: str,
+                       group_cols: list[str], lo: float, hi: float,
+                       n_bins: int = 256) -> DataFrame:
+    """Per-group histograms ``(group_cols..., bin, cnt)`` — the
+    grouped form (the hll_build_grouped pattern): one shuffle, output
+    bounded by ``n_groups * n_bins`` however many rows land per group.
+    Same bin rule as ``hist_build`` (clamped edges, NULL/NaN dropped);
+    merging to coarser groups downstream is SUM per (group, bin)."""
+    if not group_cols:
+        raise ValueError("need at least one group column")
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins))
+                  / (F.lit(float(hi)) - F.lit(float(lo))))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def hist_merge(*hists: DataFrame) -> DataFrame:
     """Union histogram sketches -> one (SUM per bin). Addition is the
     whole merge algebra: merge(build(X), build(Y)) == build(X ∪ Y)

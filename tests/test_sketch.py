@@ -413,3 +413,24 @@ def test_hist_validation(spark):
         SK.hist_quantiles(h, [], 0.0, 1.0, 4)
     with pytest.raises(ValueError):
         SK.hist_quantiles(h, [0.0], 0.0, 1.0, 4)
+
+
+def test_hist_build_grouped(spark):
+    df = spark.range(6000).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp", "CAST(id % 977 AS DOUBLE) AS v")
+    grouped = SK.hist_build_grouped(df, "v", ["grp"], 0.0, 1000.0, 32) \
+        .toPandas()
+    # grouped == per-group build, group by group
+    for g in ("0", "1", "2"):
+        solo = sorted(map(tuple, SK.hist_build(
+            df.filter(F.col("grp") == g), "v", 0.0, 1000.0, 32).collect()))
+        sub = grouped[grouped["grp"] == g]
+        assert sorted(zip(sub["bin"], sub["cnt"])) == solo
+    # coarser rollup by SUM == ungrouped build
+    total = sorted(map(tuple, SK.hist_build(
+        df, "v", 0.0, 1000.0, 32).collect()))
+    roll = sorted(map(tuple, grouped.groupby("bin")["cnt"].sum()
+                      .reset_index().itertuples(index=False)))
+    assert roll == total
+    with pytest.raises(ValueError):
+        SK.hist_build_grouped(df, "v", [], 0.0, 1.0)
