@@ -150,3 +150,120 @@ def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
             # Scala setCheckpointDir wraps in Option(...): null clears
             # (same restore contract as connected_components)
             spark_ctx._jsc.sc().setCheckpointDir(prev_ckpt_dir)
+
+
+def hits(edges: DataFrame, iters: int = 20, src_col: str = "src",
+         dst_col: str = "dst", checkpoint_dir: str | None = None,
+         num_partitions: int | None = None,
+         rows_per_partition: int = 250_000) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — PageRank's
+    sibling link-analysis pass: a page is a good AUTHORITY when good
+    hubs link to it, a good HUB when it links to good authorities.
+    Crawl/curation pipelines use the pair where one number isn't
+    enough (directories and link farms score high hub / low authority;
+    canonical sources the reverse).
+
+    (src, dst) edge list -> ``(node, hub, authority)``, each score
+    vector L2-normalized (the classic formulation, so fixed ``iters``
+    is deterministic and golden-replayable). Per iteration:
+
+        auth'(v) = sum_{u->v} hub(u)          (then L2 normalize)
+        hub'(u)  = sum_{u->v} auth'(v)        (then L2 normalize)
+
+    — the standard sequencing (hubs update from the NEW authorities).
+    Parallel edges collapse; isolated directions score 0.
+
+    Same scaffolding contract as ``pagerank``: one eager checkpoint
+    per round (reliable-dir resume option), shuffle width derived from
+    the edge count via a map-only pre-count, norms as ONE-ROW
+    broadcast aggregates (zero per-round driver actions), loop state
+    a single (node, hub, authority) table so each round checkpoints
+    once."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    spark = edges.sparkSession
+    spark_ctx = spark.sparkContext
+    prev_ckpt_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        prev_opt = spark_ctx._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+        spark_ctx.setCheckpointDir(
+            f"{checkpoint_dir.rstrip('/')}/hits-{uuid.uuid4().hex}")
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
+
+    e_raw = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             .persist())
+    e = nodes = None
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if num_partitions is None:
+            import math
+
+            num_partitions = max(
+                1, math.ceil(e_raw.count() / rows_per_partition))
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        e = e_raw.distinct().persist()
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct().persist())
+        n = nodes.count()
+        if n == 0:
+            return (nodes.withColumn("hub", F.lit(0.0))
+                    .withColumn("authority", F.lit(0.0)))
+
+        import math as _m
+
+        state = _checkpoint(
+            nodes.withColumn("hub", F.lit(1.0 / _m.sqrt(n)))
+            .withColumn("authority", F.lit(1.0 / _m.sqrt(n))))
+
+        def _normalized(scores: DataFrame, col: str) -> DataFrame:
+            norm = scores.agg(
+                F.sqrt(F.coalesce(F.sum(F.col(col) * F.col(col)),
+                                  F.lit(0.0))).alias("_nrm"))
+            return (scores.crossJoin(F.broadcast(norm))
+                    .select("node",
+                            F.when(F.col("_nrm") > 0.0,
+                                   F.col(col) / F.col("_nrm"))
+                            .otherwise(F.lit(0.0)).alias(col)))
+
+        for _ in range(iters):
+            auth_in = (
+                e.join(state.select(F.col("node").alias("src"), "hub"),
+                       "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority"))
+            )
+            auth = _normalized(
+                nodes.join(auth_in, "node", "left")
+                .select("node", F.coalesce("authority", F.lit(0.0))
+                        .alias("authority")),
+                "authority")
+            hub_in = (
+                e.join(auth.select(F.col("node").alias("dst"), "authority"),
+                       "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub"))
+            )
+            hub = _normalized(
+                nodes.join(hub_in, "node", "left")
+                .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+                "hub")
+            state = _checkpoint(hub.join(auth, "node"))
+        return state.select("node", "hub", "authority")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        e_raw.unpersist()
+        for cached in (e, nodes):
+            if cached is not None:
+                cached.unpersist()
+        if checkpoint_dir is not None:
+            spark_ctx._jsc.sc().setCheckpointDir(prev_ckpt_dir)

@@ -3918,6 +3918,36 @@ def _q_weighted_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def _q_link_hits_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits): the SAME
+    synthetic link graph as link_pagerank (3 out-links per doc via
+    chained xxhash64, self-loops dropped), 10 iterations of the
+    classic L2-normalized updates — the two link-analysis passes are
+    graded over one fixture so their signals are directly comparable.
+    Golden oracle: make_goldens rebuilds the edges with from-spec
+    XXH64 and runs an independent dense numpy HITS (<= 1e-7 gate)."""
+    from ..operators.graph import hits
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(
+        F.col("doc_id") < 2000).select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select("doc_id",
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("j")),
+                   F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    out = hits(edges, iters=10)
+    return out.select(
+        "node", F.round("hub", 7).alias("hub7"),
+        F.round("authority", 7).alias("auth7")).orderBy("node")
+
+
 def _q_heatmap_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster heat-map tiles (operators/tiling.py render_heatmap_tiles
     over operators/hotspot.py kde_grid): PTS points -> z12 occupied
@@ -4060,6 +4090,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sitemap_frontier"] = _q_sitemap_frontier_spark
     q["weighted_sample"] = _q_weighted_sample_spark
     q["heatmap_tiles"] = _q_heatmap_tiles_spark
+    q["link_hits"] = _q_link_hits_spark
     return q
 
 
@@ -4139,6 +4170,8 @@ _GOLDEN_SPECS = {
                      "SELECT COUNT(*) FROM customer"),
     "heatmap_tiles": ("x, y, n_px, pixel_crc",
                       "SELECT COUNT(*) FROM customer"),
+    "link_hits": ("node, hub7, auth7",
+                  "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 

@@ -1135,6 +1135,45 @@ def expected_kmv_setops(doc_ids: np.ndarray, k: int = 256,
                  "intersection_est"])
 
 
+def check_hits(doc_ids: np.ndarray, result: pd.DataFrame,
+               iters: int = 10) -> None:
+    """Independent HITS check over the link_pagerank edge fixture:
+    from-spec XXH64 edges, dense numpy auth-then-hub updates with L2
+    normalization, <= 1e-7 agreement with the engine's rounded pair."""
+    ids = sorted(int(x) for x in doc_ids if int(x) < 2000)
+    n = len(ids)
+    edges = set()
+    for s in ids:
+        h1 = xxh64(int(s).to_bytes(8, "little", signed=True), 42)
+        for j in (1, 2, 3):
+            h = xxh64(int(j).to_bytes(4, "little"), h1)
+            hs = h - (1 << 64) if h >= 1 << 63 else h
+            t = hs % n
+            if t != s:
+                edges.add((s, t))
+    present = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(present)}
+    m = len(present)
+    hub = np.full(m, 1.0 / np.sqrt(m))
+    for _ in range(iters):
+        auth = np.zeros(m)
+        for s, t in edges:
+            auth[idx[t]] += hub[idx[s]]
+        nrm = np.sqrt((auth * auth).sum())
+        auth = auth / nrm if nrm > 0 else auth
+        hub = np.zeros(m)
+        for s, t in edges:
+            hub[idx[s]] += auth[idx[t]]
+        nrm = np.sqrt((hub * hub).sum())
+        hub = hub / nrm if nrm > 0 else hub
+    got = result.set_index("node")
+    assert sorted(got.index) == present, "node set mismatch"
+    assert np.allclose(got.loc[present]["hub7"].to_numpy(), hub,
+                       atol=1e-7), "hub diverges from independent HITS"
+    assert np.allclose(got.loc[present]["auth7"].to_numpy(), auth,
+                       atol=1e-7), "authority diverges from independent HITS"
+
+
 def expected_hll_setops(doc_ids: np.ndarray, p: int = 12,
                         seed: int = 7) -> pd.DataFrame:
     """Independent HLL set-ops recompute: from-spec chained XXH64
@@ -1624,7 +1663,7 @@ def main() -> None:
                                 "dsir_scores", "hll_pyramid",
                                 "kmv_setops", "incremental_dedup",
                                 "hll_setops", "convex_hulls",
-                                "heatmap_tiles")}
+                                "heatmap_tiles", "link_hits")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1684,6 +1723,7 @@ def main() -> None:
             _norm_sorted(results["training_shards"]),
             _norm_sorted(expected_training_shards(con)), check_dtype=False)
         check_pagerank(docs["doc_id"].to_numpy(), results["link_pagerank"])
+        check_hits(docs["doc_id"].to_numpy(), results["link_hits"])
         docs_chars = con.execute(
             "SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000 "
             "ORDER BY doc_id").df()
@@ -1772,7 +1812,8 @@ def main() -> None:
                   "incremental_dedup": "documents",
                   "hll_setops": "documents",
                   "convex_hulls": "customer",
-                  "heatmap_tiles": "customer"}
+                  "heatmap_tiles": "customer",
+                  "link_hits": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
