@@ -185,3 +185,38 @@ def test_kde_grid_single_shuffle_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
     assert "EvalPython" not in plan and "Generate" in plan
+
+
+def test_weighted_sample_one_shuffle_no_python(spark):
+    from osm_poi_cloud_spark.operators.sampling import \
+        weighted_sample_per_stratum
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "CAST(id % 5 AS STRING) AS strat",
+        "CAST(id % 10 + 1 AS DOUBLE) AS w")
+    plan = weighted_sample_per_stratum(docs, "strat", "w", k=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "EvalPython" not in plan
+
+
+def test_hist_build_one_shuffle_map_side_combine(spark):
+    from osm_poi_cloud_spark.operators.sketch import hist_build
+
+    df = spark.range(5000).selectExpr("CAST(id % 997 AS DOUBLE) AS v")
+    plan = hist_build(df, "v", 0.0, 1000.0, 64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "partial_count" in plan          # map-side combine
+    assert "EvalPython" not in plan
+
+
+def test_sitemap_directives_map_only_native(spark):
+    from osm_poi_cloud_spark.functions.robots import sitemap_directives
+
+    r = spark.createDataFrame([("h", "Sitemap: https://h/x.xml")],
+                              "host string, content string")
+    plan = sitemap_directives(r)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "Generate" in plan
