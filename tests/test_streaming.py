@@ -335,3 +335,32 @@ def test_trajectory_stream_matches_batch(spark, tmp_path):
         ga = got[col].astype(object).where(got[col].notna(), None).tolist()
         ea = exp[col].astype(object).where(exp[col].notna(), None).tolist()
         assert ga == ea, col
+
+
+def test_histogram_stream_matches_batch(spark, tmp_path):
+    """Streaming histogram maintenance == batch hist_build: the bin
+    rule is a map-only expression, so the streaming form is just the
+    same groupBy in complete mode — per-micro-batch increments merge
+    by the sketch's own addition algebra."""
+    import pyspark.sql.functions as F
+
+    from osm_poi_cloud_spark.operators.sketch import hist_build
+
+    pdf = pd.DataFrame({"v": [float((i * i) % 997) for i in range(4000)]})
+    src = str(tmp_path / "hist_stream")
+    df = spark.createDataFrame(pdf)
+    df.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema("v double").parquet(src)
+    q = (
+        hist_build(stream, "v", 0.0, 1000.0, 64)
+        .writeStream.format("memory").queryName("hist_c")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM hist_c").toPandas()
+           .sort_values("bin").reset_index(drop=True))
+    batch = (hist_build(df, "v", 0.0, 1000.0, 64).toPandas()
+             .sort_values("bin").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch)
+    assert int(got["cnt"].sum()) == 4000
