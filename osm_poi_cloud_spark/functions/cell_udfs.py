@@ -19,6 +19,15 @@ from . import s2_cell as s2
 
 DEFAULT_CELL_LEVEL = 12  # north rule: S2 level-12 (~3-6 km², H3 r8 analog)
 
+#: The production multi-resolution ladder — the S2 analog of the
+#: reference's SEVEN H3 resolutions r3..r9 (process.py:149-165). Each
+#: H3 step is a 7x area change and each S2 step 4x, so r maps to
+#: roughly l12 - 1.4*(8 - r): r3,4,5,6,7,8,9 -> l5,6,8,9,11,12,13.
+#: Only the FINEST level costs a UDF pass; the other six are native
+#: prefix truncations of it (see ``with_s2_cells``), so the ladder is
+#: ~free relative to a single-level encode.
+DEFAULT_CELL_LADDER = (5, 6, 8, 9, 11, 12, 13)
+
 
 def make_s2_cell_udf(level: int = DEFAULT_CELL_LEVEL):
     @F.pandas_udf(T.LongType())

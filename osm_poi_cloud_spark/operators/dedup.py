@@ -792,6 +792,143 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     return out
 
 
+def _char_span_windows(df: DataFrame, k: int, text_col: str, id_col: str,
+                       fingerprint: str) -> DataFrame:
+    """(id, win_pos, fp) — fingerprint of every k-CHAR window. The
+    coordinate system is the whitespace-NORMALIZED text (runs of
+    whitespace collapsed to one space, trimmed) so whitespace-variant
+    duplicates fingerprint identically; matching is case-insensitive
+    (the window is lowercased inside the fingerprint only, keeping
+    positions valid against the case-preserving normalized text).
+    ``win_pos`` is 0-based in normalized-char coordinates. Documents
+    shorter than k chars produce no rows."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fingerprint == "xxhash64":
+        fp = lambda c: F.xxhash64(c)
+        empty = F.array().cast("array<bigint>")
+    elif fingerprint == "md5":
+        fp = lambda c: F.md5(c)
+        empty = F.array().cast("array<string>")
+    else:
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'md5', got {fingerprint!r}")
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    wins = F.when(
+        F.length("_norm") >= k,
+        F.transform(F.sequence(F.lit(1), F.length("_norm") - (k - 1)),
+                    lambda j: fp(F.lower(F.substring(F.col("_norm"), j, F.lit(k))))),
+    ).otherwise(empty)
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .select(F.col(id_col), F.posexplode(wins).alias("win_pos", "fp"))
+    )
+
+
+def duplicated_char_spans(df: DataFrame, k: int = 40, text_col: str = "text",
+                          id_col: str = "doc_id", min_docs: int = 2,
+                          fingerprint: str = "xxhash64") -> DataFrame:
+    """Catalog of duplicated CHAR spans: (fp, n_docs, n_occurrences)
+    for every k-char window appearing in >= ``min_docs`` distinct
+    documents — the char-granularity twin of ``duplicated_spans``.
+    Lee et al. 2022 (ExactSubstr) define duplication on character
+    n-grams (their threshold: 50 chars); the word-window variant
+    misses any duplicated run shorter than k WORDS, however long in
+    chars. Row volume is O(total chars) — same asymptotic class as
+    tokenizing the corpus, shuffle is the one fingerprint groupBy."""
+    wins = _char_span_windows(df, k, text_col, id_col, fingerprint)
+    return (
+        wins.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicated_char_spans(df: DataFrame, k: int = 40,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id", min_docs: int = 2,
+                                 fingerprint: str = "xxhash64",
+                                 spans: DataFrame | None = None) -> DataFrame:
+    """Char-level ExactSubstr removal (Lee et al. 2022 operate on char
+    n-grams): cut every k-char window occurring in >= ``min_docs``
+    distinct docs out of the text. Closes the two word-window gaps the
+    r5 verdict names: sub-k-word duplicated runs (a 45-char 5-word
+    slogan escapes k=8 words but not k=40 chars) and whitespace-variant
+    duplicates (fingerprints live in whitespace-normalized coordinates,
+    so ``"a  b"`` and ``"a b"`` match).
+
+    Same all-native plan as ``remove_duplicated_spans`` — fingerprint
+    windows, flag, per-doc sort + one ``aggregate`` HOF interval merge
+    — except the rewrite concatenates the complement SUBSTRINGS of the
+    normalized text (an ``aggregate`` over the merged intervals with a
+    (kept_text, cursor) accumulator) instead of filtering a token
+    array: O(len) per doc, no char-array explosion.
+
+    Untouched documents keep their text byte-identical; rewritten ones
+    come back whitespace-normalized (the fingerprint coordinate
+    system). ``chars_removed`` counts versus the normalized form."""
+    wins = _char_span_windows(df, k, text_col, id_col, fingerprint)
+    if spans is None:
+        spans = duplicated_char_spans(df, k, text_col, id_col, min_docs,
+                                      fingerprint)
+    flagged = wins.join(spans.select("fp"), "fp", "left_semi")
+    intervals = (
+        flagged.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("win_pos")).alias("ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                "ps",
+                F.array().cast("array<struct<s:int,e:int>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) == F.lit(0)) | (p > F.element_at(acc, -1)["e"]),
+                    F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e")))),
+                ).otherwise(
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(F.element_at(acc, -1)["e"], p + k).alias("e"),
+                        )),
+                    )
+                ),
+            ).alias("ivs"),
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # complement concat: walk the merged intervals with a (text, cursor)
+    # accumulator, emitting the gap before each interval, then the tail
+    kept = F.aggregate(
+        "ivs",
+        F.struct(F.lit("").alias("t"), F.lit(0).alias("cur")),
+        lambda acc, iv: F.struct(
+            F.concat(acc["t"], F.substring(
+                F.col("_norm"), acc["cur"] + 1, iv["s"] - acc["cur"])).alias("t"),
+            iv["e"].alias("cur")),
+        lambda acc: F.concat(acc["t"], F.substring(
+            F.col("_norm"), acc["cur"] + 1,
+            F.length("_norm") - acc["cur"])),
+    )
+    out = (
+        df.join(intervals, id_col, "left")
+        .withColumn("_norm", norm)
+        .withColumn("_kept", F.when(F.col("ivs").isNull(),
+                                    F.col("_norm")).otherwise(kept))
+        .withColumn(
+            "chars_removed",
+            F.when(F.col("ivs").isNull(), F.lit(0)).otherwise(
+                F.length("_norm") - F.length("_kept")).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("ivs").isNull(), F.col(text_col))
+            .otherwise(F.col("_kept")),
+        )
+        .drop("ivs", "_norm", "_kept")
+    )
+    return out
+
+
 def span_dedup_stats(df: DataFrame, k: int = 8, text_col: str = "text",
                      id_col: str = "doc_id", min_docs: int = 2,
                      fingerprint: str = "xxhash64") -> DataFrame:

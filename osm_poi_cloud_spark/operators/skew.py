@@ -51,7 +51,11 @@ def detect_heavy_keys(df: DataFrame, key: str,
     pattern)."""
     if threshold < 1:
         raise ValueError(f"need threshold >= 1, got {threshold}")
-    rows = (df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    # NULL keys are excluded up front: a NULL can never match in an
+    # equi-join, so salting it is useless — and None is unorderable
+    # against real keys in the sorted() below.
+    rows = (df.filter(F.col(key).isNotNull())
+            .groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > threshold).select(key).collect())
     return sorted(r[0] for r in rows)
 
@@ -75,7 +79,13 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
         raise ValueError(f"need n_salts >= 2, got {n_salts}")
 
     heavy_lit = F.array(*[F.lit(k) for k in heavy_keys])
-    is_heavy = F.array_contains(heavy_lit, F.col(key))
+    # array_contains is NULL (not false) for a NULL key, and a NULL
+    # predicate fails BOTH filter branches — a left join would then
+    # silently drop NULL-key left rows that a plain left join keeps.
+    # coalesce to false so NULL keys ride the light branch (where the
+    # ordinary join gives them the correct how= semantics).
+    is_heavy = F.coalesce(
+        F.array_contains(heavy_lit, F.col(key)), F.lit(False))
 
     # Light branch: the ordinary join (AQE/broadcast free to pick the
     # physical strategy).

@@ -1885,6 +1885,51 @@ def _q_span_removal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_span_removal_chars_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR-level ExactSubstr removal (operators/dedup.py
+    remove_duplicated_char_spans — Lee et al. 2022 operate on char
+    n-grams, not word windows): every 24-char window of the
+    whitespace-normalized text occurring in >= 2 distinct docs is cut
+    out. The fixture PLANTS a 29-char FIVE-word slogan in every
+    doc_id % 5 == 0 document — word-level k=8 windows provably cannot
+    see it (5 < 8 words; pinned by test_dedup's side-by-side), char
+    windows catch it including a whitespace-variant. Golden oracle:
+    tools/make_goldens.py replants the slogan and recomputes removal
+    independently in pure Python keyed on the lowercased window
+    STRINGS (no hashing), from-scratch interval sweep, md5 of the
+    rewritten text."""
+    from ..operators.dedup import remove_duplicated_char_spans
+
+    _register(spark, sf_dir, ["documents"])
+    slogan = " limited time offer ends soon! visit our store "
+    docs = (
+        spark.table("documents").filter(F.col("doc_id") < 1500)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         F.lit(slogan),
+                         F.lit("ref"), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("text")).alias("text"),
+            (F.col("doc_id") % 5 == 0).alias("planted"),
+        )
+    )
+    out = remove_duplicated_char_spans(docs.select("doc_id", "text"),
+                                       k=24, min_docs=2)
+    return (
+        out.join(docs.select("doc_id", "planted"), "doc_id")
+        .select(
+            "doc_id", "planted",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+            .alias("n_chars_after"),
+            "chars_removed",
+            F.md5(F.coalesce(F.col("text"), F.lit("\x00__NULL_TEXT__")))
+            .alias("text_fp"),
+        ).orderBy("doc_id")
+    )
+
+
 def _q_training_shards_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining sink (plans/curation.py
     curate_to_training_shards): curate -> BPE tokenize -> dense
@@ -3394,6 +3439,47 @@ def _q_image_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a", "b")
 
 
+def _q_cell_ladder_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full default cell ladder (functions/cell_udfs.py
+    DEFAULT_CELL_LADDER — the 7-resolution analog of the reference's
+    h3_r3..r9, process.py:149-165): one row per level with point/cell
+    counts, the exact-integer XOR fingerprint of the cell ids, and
+    ``encode_mismatches`` — rows where a DIRECT S2 encode at that level
+    disagrees with the ladder's prefix-truncation of the finest level
+    (the parent-child nesting identity; must be 0 everywhere). Golden
+    oracle: make_goldens recomputes every level with the independent
+    slow-path S2 (leaf id via face projection + Hilbert walk, parent
+    via from-spec lsb math) — counts, distinct cells and XOR must all
+    agree."""
+    from ..functions.cell_udfs import DEFAULT_CELL_LADDER, make_s2_cell_udf, with_s2_cells
+
+    _register(spark, sf_dir, ["customer"])
+    pts = spark.sql(PTS_SQL)
+    df = with_s2_cells(pts, "lat", "lon", levels=DEFAULT_CELL_LADDER)
+    # direct per-level encodes land in ONE projection -> one fused
+    # Arrow stage; each must equal the ladder's truncation-derived id
+    direct = [make_s2_cell_udf(l)(F.col("lat"), F.col("lon")).alias(f"d{l}")
+              for l in DEFAULT_CELL_LADDER[:-1]]
+    df = df.select("*", *direct)
+    per_level = [
+        df.agg(
+            F.lit(l).cast("long").alias("level"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct(f"cell_l{l}").alias("n_cells"),
+            F.bit_xor(F.col(f"cell_l{l}")).alias("cell_xor"),
+            (F.sum(F.when(F.col(f"d{l}") != F.col(f"cell_l{l}"), 1)
+                   .otherwise(0)).cast("long")
+             if l != DEFAULT_CELL_LADDER[-1] else F.lit(0).cast("long"))
+            .alias("encode_mismatches"),
+        )
+        for l in DEFAULT_CELL_LADDER
+    ]
+    out = per_level[0]
+    for p in per_level[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("level")
+
+
 def _q_s2_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/P8 analog: vectorized S2 cell encode (pandas UDF) + multi-level
     hierarchy + per-cell count. No offline DuckDB S2/H3 oracle exists;
@@ -4013,6 +4099,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_scrub"] = _q_pii_scrub_spark
     q["lang_id_counts"] = _q_lang_id_spark
     q["s2_cell_counts"] = _q_s2_cells_spark
+    q["cell_ladder_rollup"] = _q_cell_ladder_spark
     q["dedup_minhash_pairs"] = _q_minhash_pairs_spark
     q["dedup_simhash_pairs"] = _q_simhash_pairs_spark
     q["ann_lsh_topk"] = _q_ann_lsh_spark
@@ -4044,6 +4131,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["training_shards"] = _q_training_shards_spark
     q["span_dedup"] = _q_span_dedup_spark
     q["span_removal"] = _q_span_removal_spark
+    q["span_removal_chars"] = _q_span_removal_chars_spark
     q["link_pagerank"] = _q_link_pagerank_spark
     q["kmv_quantiles"] = _q_kmv_quantiles_spark
     q["mixture_sample"] = _q_mixture_sample_spark
@@ -4113,6 +4201,8 @@ _GOLDEN_DIR = os.path.abspath(
 _GOLDEN_SPECS = {
     # name: (projected columns, corpus-key subquery)
     "s2_cell_counts": ("cell_l8, n, subcells", "SELECT COUNT(*) FROM customer"),
+    "cell_ladder_rollup": ("level, n_points, n_cells, cell_xor, encode_mismatches",
+                           "SELECT COUNT(*) FROM customer"),
     "dedup_minhash_pairs": ("a, b, jaccard_est", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "dedup_simhash_pairs": ("a, b, hamming", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "ann_lsh_topk": ("query_id, vec_id, cos_sim, rn", "SELECT SUM(vec_id * label) FROM embeddings"),
@@ -4145,6 +4235,8 @@ _GOLDEN_SPECS = {
     "bpe_token_count": ("doc_id, bpe_tokens", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "span_removal": ("doc_id, n_tokens_after, tokens_removed, chars_removed, "
                      "text_fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "span_removal_chars": ("doc_id, planted, n_chars_after, chars_removed, "
+                           "text_fp", "SELECT SUM(doc_id * n_chars) FROM documents"),
     "image_near_dup": ("a, b, hamming", "SELECT COUNT(*) FROM customer"),
     "semantic_dedup": ("vec_id, centroid_id, keep, dup_of, max_cos7",
                        "SELECT SUM(vec_id * label) FROM embeddings"),

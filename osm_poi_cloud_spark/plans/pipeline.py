@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from ..functions import extract as fx
 from ..functions import tile_math as tm
-from ..functions.cell_udfs import DEFAULT_CELL_LEVEL, make_s2_token_udf, with_s2_cells
+from ..functions.cell_udfs import (DEFAULT_CELL_LADDER, DEFAULT_CELL_LEVEL,
+                                   make_s2_token_udf, with_s2_cells)
 from ..functions.classify import PASSTHROUGH_KEYS, TAG_KEYS, class_col
 
 ENTITY_SCHEMA = (
@@ -118,7 +119,7 @@ def classify_entities(entities: DataFrame) -> DataFrame:
 def encode_pois(
     classified: DataFrame,
     tile_zoom: int = DEFAULT_TILE_ZOOM,
-    cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
+    cell_levels: tuple[int, ...] = DEFAULT_CELL_LADDER,
     with_token: bool = False,
 ) -> DataFrame:
     """Add S2 cell ids, z/x/y tile key, shard id, bucket pruning keys.
@@ -154,7 +155,7 @@ def build_pois(
     pages: DataFrame,
     lang: str | None = "en",
     tile_zoom: int = DEFAULT_TILE_ZOOM,
-    cell_levels: tuple[int, ...] = (DEFAULT_CELL_LEVEL,),
+    cell_levels: tuple[int, ...] = DEFAULT_CELL_LADDER,
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full pages -> POIs plan. Output schema mirrors the reference POI

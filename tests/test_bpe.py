@@ -179,3 +179,24 @@ def test_oov_byte_fallback_lossless_and_error_mode(spark):
     # bytes mode without byte tokens in the vocab: caught at plan time
     with _pytest.raises(ValueError, match="BYTE_TOKENS"):
         B.encode_token_ids(toks_new, B.build_vocab(toks_train), fallback="bytes")
+
+
+def test_build_vocab_bounds_the_global_sort(spark):
+    """r5 verdict nit #1: the single-partition id-assignment window is
+    only safe on a bounded subword vocabulary — an over-bound input
+    must raise BEFORE the window runs, and the message must name the
+    knob. Call sites (curation plan, tests) pass vocab-bounded inputs
+    and are unchanged."""
+    import pytest as _pytest
+
+    toks = spark.range(64).selectExpr(
+        "array(concat('tok', CAST(id AS STRING))) AS tokens")
+    # 64 distinct tokens over a bound of 10: raises, names max_vocab
+    with _pytest.raises(ValueError, match="max_vocab"):
+        B.build_vocab(toks, max_vocab=10)
+    with _pytest.raises(ValueError, match="max_vocab"):
+        B.build_vocab(toks, max_vocab=0)
+    # at or under the bound: dense lexicographic ids as before
+    vp = B.build_vocab(toks, max_vocab=64).toPandas()
+    assert len(vp) == 64 and vp["token_id"].is_unique
+    assert vp.sort_values("token")["token_id"].tolist() == list(range(64))

@@ -52,6 +52,7 @@ MIN_ROWS = {
     "pip_donut_multipoly": 2, "polygon_centroid": 25, "url_canonical_dedup": 9,
     "mvt_tile_stats": 4, "media_features": 64, "curated_packing": 30,
     "training_shards": 4, "span_dedup": 400, "span_removal": 400,
+    "span_removal_chars": 400, "cell_ladder_rollup": 7,
     "link_pagerank": 400, "link_hits": 400,
     "kmv_quantiles": 8, "mixture_sample": 4, "radius_pairs": 100,
     "quality_classifier": 400, "quality_classifier_ext": 400,

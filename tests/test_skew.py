@@ -81,6 +81,30 @@ def test_empty_heavy_falls_back(spark):
     assert out.count() == facts.join(dims, "k").count()
 
 
+def test_null_keys_survive_left_join_and_detection(spark):
+    """r5 ADVICE: array_contains(heavy, NULL) is NULL, which used to
+    fail BOTH branch filters and drop NULL-key left rows under
+    how='left'; and a heavy NULL key used to TypeError in
+    detect_heavy_keys' sorted(). NULL keys must ride the light branch
+    (plain-left semantics) and never be reported heavy."""
+    facts = spark.createDataFrame(
+        [(i, 7 if i < 300 else None, i * 3) for i in range(320)],
+        "row_id: long, k: long, payload: long")
+    dims = spark.range(20).selectExpr(
+        "id AS k", "concat('dim', CAST(id AS STRING)) AS label")
+    # detection: 20 NULL rows over threshold must not raise / appear
+    assert SK.detect_heavy_keys(facts, "k", threshold=10) == [7]
+    plain = facts.join(dims, on="k", how="left").toPandas()
+    salted = SK.salted_join(facts, dims, "k", [7], "row_id",
+                            n_salts=4, how="left").toPandas()
+    key = ["row_id"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True)[sorted(plain.columns)],
+        salted.sort_values(key).reset_index(drop=True)[sorted(salted.columns)])
+    assert (salted.k.isna().sum() == 20
+            and salted[salted.k.isna()]["label"].isna().all())
+
+
 def test_validation(spark):
     facts, dims = _skewed_tables(spark)
     with pytest.raises(ValueError):

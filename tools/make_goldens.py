@@ -510,6 +510,29 @@ def expected_s2_counts(custkeys: np.ndarray) -> pd.DataFrame:
     return agg.astype({"cell_l8": "int64", "n": "int64", "subcells": "int64"}).reset_index(drop=True)
 
 
+def expected_cell_ladder(custkeys: np.ndarray) -> pd.DataFrame:
+    """Independent recompute of the 7-level default ladder: slow-path
+    leaf ids + from-spec parent truncation at EVERY level (the engine
+    derives coarse levels from its finest UDF level; this recompute
+    derives each level straight from the leaf — agreement pins the
+    nesting identity from the outside too)."""
+    from osm_poi_cloud_spark.functions.cell_udfs import DEFAULT_CELL_LADDER
+
+    lon = (custkeys * 7919 % 36000).astype(np.float64) / 100.0 - 180.0
+    lat = (custkeys * 104729 % 17000).astype(np.float64) / 100.0 - 85.0
+    leaves = _s2_leaf_ids(lat, lon)
+    rows = []
+    for l in DEFAULT_CELL_LADDER:
+        cells = [_signed(_parent(c, l)) for c in leaves]
+        xor = 0
+        for c in cells:
+            xor ^= c & ((1 << 64) - 1)
+        rows.append((l, len(cells), len(set(cells)),
+                     xor - (1 << 64) if xor >= (1 << 63) else xor, 0))
+    return pd.DataFrame(rows, columns=["level", "n_points", "n_cells",
+                                       "cell_xor", "encode_mismatches"])
+
+
 # ---------------------------------------------------------------------------
 # independent ANN cross-checks (numpy; float tolerance, exact pair sets)
 # ---------------------------------------------------------------------------
@@ -870,6 +893,78 @@ def expected_span_removal(docs: pd.DataFrame, k: int = 8,
     return pd.DataFrame(rows, columns=["doc_id", "n_tokens_after",
                                        "tokens_removed", "chars_removed",
                                        "text_fp"])
+
+
+def expected_span_removal_chars(docs: pd.DataFrame, k: int = 24,
+                                min_docs: int = 2) -> pd.DataFrame:
+    """Independent CHAR-level ExactSubstr recompute (hash-free: dup
+    windows keyed on the lowercased 24-char STRINGS). Replants the
+    contract query's slogan on doc_id % 5 == 0 docs, normalizes
+    whitespace (ASCII \\s+ -> one space, trimmed — the engine's
+    coordinate system), sweeps sorted positions into merged intervals,
+    concatenates the complement substrings, md5s the result."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    ws = re.compile(r"\s+", re.ASCII)
+    slogan = " limited time offer ends soon! visit our store "
+    docs = docs[docs["doc_id"] < 1500]  # the contract query's slice
+
+    norm_map: dict[int, str | None] = {}
+    orig_map: dict[int, str | None] = {}
+    docs_of: dict[str, set] = defaultdict(set)
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        t = r["text"]
+        isnull = t is None or (isinstance(t, float) and math.isnan(t))
+        if did % 5 == 0:
+            t = ("" if isnull else t) + slogan + f"ref{did}"
+            isnull = False
+        if isnull:
+            norm_map[did] = None
+            orig_map[did] = None
+            continue
+        orig_map[did] = t
+        norm = ws.sub(" ", t).strip()
+        norm_map[did] = norm
+        low = norm.lower()
+        for i in range(len(low) - k + 1):
+            docs_of[low[i:i + k]].add(did)
+    dup = {w for w, ds in docs_of.items() if len(ds) >= min_docs}
+
+    rows = []
+    for did in sorted(norm_map):
+        planted = did % 5 == 0
+        norm = norm_map[did]
+        if norm is None:
+            rows.append((did, planted, 0, 0,
+                         hashlib.md5(b"\x00__NULL_TEXT__").hexdigest()))
+            continue
+        low = norm.lower()
+        pos = [i for i in range(len(low) - k + 1) if low[i:i + k] in dup]
+        if not pos:
+            txt = orig_map[did]
+            rows.append((did, planted, len(txt), 0,
+                         hashlib.md5(txt.encode()).hexdigest()))
+            continue
+        ivs: list[list[int]] = []
+        for p in pos:
+            if ivs and p <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], p + k)
+            else:
+                ivs.append([p, p + k])
+        kept = []
+        cur = 0
+        for s, e in ivs:
+            kept.append(norm[cur:s])
+            cur = e
+        kept.append(norm[cur:])
+        new_text = "".join(kept)
+        rows.append((did, planted, len(new_text), len(norm) - len(new_text),
+                     hashlib.md5(new_text.encode()).hexdigest()))
+    return pd.DataFrame(rows, columns=["doc_id", "planted", "n_chars_after",
+                                       "chars_removed", "text_fp"])
 
 
 def check_pagerank(doc_ids: np.ndarray, result: pd.DataFrame,
@@ -1646,7 +1741,8 @@ def main() -> None:
         custkeys = con.execute("SELECT c_custkey FROM customer ORDER BY 1").df()["c_custkey"].to_numpy()
 
         results = {name: queries[name](spark, sf_dir).toPandas()
-                   for name in ("s2_cell_counts", "dedup_minhash_pairs",
+                   for name in ("s2_cell_counts", "cell_ladder_rollup",
+                                "dedup_minhash_pairs",
                                 "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
                                 "mvt_tile_stats", "dedup_components",
                                 "dedup_jaccard_verify", "fingerprint_hashes",
@@ -1657,6 +1753,7 @@ def main() -> None:
                                 "curated_packing", "training_shards",
                                 "link_pagerank", "kmv_quantiles",
                                 "mixture_sample", "span_removal",
+                                "span_removal_chars",
                                 "image_near_dup", "semantic_dedup",
                                 "hashed_embedding", "polygon_intersection",
                                 "polyline_simplify", "simplify_pyramid",
@@ -1669,6 +1766,9 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["s2_cell_counts"].astype("int64")),
             _norm_sorted(expected_s2_counts(custkeys)), check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["cell_ladder_rollup"].astype("int64")),
+            _norm_sorted(expected_cell_ladder(custkeys)), check_dtype=False)
         pd.testing.assert_frame_equal(
             _norm_sorted(results["dedup_minhash_pairs"]),
             _norm_sorted(expected_minhash_pairs(docs)), check_dtype=False)
@@ -1737,6 +1837,9 @@ def main() -> None:
             _norm_sorted(results["span_removal"]),
             _norm_sorted(expected_span_removal(docs)), check_dtype=False)
         pd.testing.assert_frame_equal(
+            _norm_sorted(results["span_removal_chars"]),
+            _norm_sorted(expected_span_removal_chars(docs)), check_dtype=False)
+        pd.testing.assert_frame_equal(
             _norm_sorted(results["image_near_dup"].astype(
                 {"hamming": "int64"})),
             _norm_sorted(expected_image_near_dup()), check_dtype=False)
@@ -1789,7 +1892,9 @@ def main() -> None:
             rerun = queries[name](spark, sf_dir).toPandas()
             pd.testing.assert_frame_equal(_norm_sorted(results[name]), _norm_sorted(rerun))
 
-        key_of = {"s2_cell_counts": "customer", "dedup_minhash_pairs": "documents",
+        key_of = {"s2_cell_counts": "customer",
+                  "cell_ladder_rollup": "customer",
+                  "dedup_minhash_pairs": "documents",
                   "dedup_simhash_pairs": "documents", "ann_lsh_topk": "embeddings",
                   "ann_ivf_topk": "embeddings", "mvt_tile_stats": "customer",
                   "dedup_components": "documents", "dedup_jaccard_verify": "documents",
@@ -1800,7 +1905,9 @@ def main() -> None:
                   "media_features": "customer", "curated_packing": "documents",
                   "training_shards": "documents", "link_pagerank": "documents",
                   "kmv_quantiles": "documents", "mixture_sample": "documents",
-                  "span_removal": "documents", "image_near_dup": "customer",
+                  "span_removal": "documents",
+                  "span_removal_chars": "documents",
+                  "image_near_dup": "customer",
                   "semantic_dedup": "embeddings",
                   "hashed_embedding": "documents",
                   "polygon_intersection": "customer",
