@@ -220,6 +220,9 @@ def main() -> None:
     timed("pagerank", lambda: force(pagerank(pr_edges, iters=3)))
     from osm_poi_cloud_spark.operators.graph import hits as hits_op
     timed("link_hits", lambda: force(hits_op(pr_edges, iters=3)))
+    from osm_poi_cloud_spark.operators.graph import label_communities
+    timed("link_communities", lambda: force(
+        label_communities(pr_edges, iters=3)))
 
     # incremental dedup: odd-id batch probes the even-id signature index
     # (index build untimed — it amortizes across batches in production)

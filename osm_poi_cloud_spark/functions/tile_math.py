@@ -160,3 +160,46 @@ def tile_key_col(lon_name: str, lat_name: str, zoom: int) -> "Column":
 def shard_id_col(zoom_col: "Column", x_col: "Column", y_col: "Column") -> "Column":
     """Reference-format shard id ``"z-x-y"`` (``main.rs:285``)."""
     return F.concat_ws("-", zoom_col.cast("string"), x_col.cast("string"), y_col.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Bing/Azure quadkeys (interop encoding over the same XYZ tile grid)
+# ---------------------------------------------------------------------------
+
+def sql_quadkey(x_expr: str, y_expr: str, zoom: int, div: str = "DIV") -> str:
+    """Quadkey string from (x, y) tile coordinates at ``zoom`` — the
+    Bing Maps tile id (one base-4 digit per level, MSB first:
+    ``digit = x_bit + 2 * y_bit``). Generated as a z-term CONCAT so
+    the one formula runs in BOTH engines; the only dialect token is
+    integer division (Spark ``DIV`` / DuckDB ``//``), wired through
+    ``div`` — the established identical-IEEE dialect-split pattern
+    (here it's exact ints throughout). Published anchor: tile (3, 5)
+    at level 3 is quadkey ``"213"`` (pinned in tests)."""
+    if zoom < 1:
+        raise ValueError(f"zoom must be >= 1, got {zoom}")
+    parts = []
+    for i in range(zoom):
+        k = 1 << (zoom - 1 - i)
+        d = (f"((({x_expr}) {div} {k}) % 2 + 2 * ((({y_expr}) {div} {k}) % 2))")
+        parts.append(f"CAST({d} AS STRING)")
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
+def quadkey_col(x_name: str, y_name: str, zoom: int) -> "Column":
+    """Native quadkey Column from tile x/y column *names* (codegen'd —
+    the CONCAT of 2*zoom exact integer ops, no UDF)."""
+    return F.expr(sql_quadkey(x_name, y_name, zoom))
+
+
+def quadkey_to_tile_cols(qk_name: str) -> tuple["Column", "Column", "Column"]:
+    """(x, y, zoom) decoded from a quadkey column name — MSB-first
+    fold (``acc * 2 + bit``) over the digit characters via native
+    ``aggregate`` HOFs; zoom is just the string length. Exact inverse
+    of ``quadkey_col`` for any zoom (round-trip property-tested)."""
+    x = F.expr(
+        f"aggregate(sequence(1, length({qk_name})), 0L, "
+        f"(acc, i) -> acc * 2L + CAST(substring({qk_name}, i, 1) AS BIGINT) % 2)")
+    y = F.expr(
+        f"aggregate(sequence(1, length({qk_name})), 0L, "
+        f"(acc, i) -> acc * 2L + CAST(substring({qk_name}, i, 1) AS BIGINT) DIV 2)")
+    return x, y, F.length(F.expr(qk_name)).cast("int")

@@ -717,8 +717,18 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
        (indexed ``filter`` HOF; O(tokens x intervals) per doc — the
        interval list is already gap-merged so it is small).
 
-    Shuffle shape: the span groupBy + one per-doc regroup + one hash
-    join back to ``df`` — same cost class as ``span_dedup_stats``.
+    Shuffle shape: one id-hash exchange of the INPUT + the span
+    groupBy + one per-doc regroup; the final join reuses the input
+    exchange. The input barrier exists because this plan consumes
+    ``df`` three times (window branch, catalog branch, rewrite join):
+    without an exchange in between, Spark re-executes the whole input
+    LINEAGE per consumer — map-only upstreams (the curation cascade)
+    have no shuffle to reuse, so the r6 composition scaling pair
+    measured the cascade evaluating 3x inside this operator. One
+    explicit ``repartition(id)`` turns all three reads into
+    ``ReusedExchange`` of one materialized shuffle; the window rows
+    likewise pass through a single fp-hash exchange that BOTH the
+    catalog groupBy and the semi-join consume exchange-free.
 
     Rewritten documents come back whitespace-normalized (tokens
     re-joined with single spaces; that is the coordinate system the
@@ -727,9 +737,13 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     untouched docs; ``chars_removed`` counts versus the normalized
     form). Documents shorter than k tokens are never touched.
     """
-    wins = _span_windows(df, k, text_col, id_col, fingerprint)
+    df = df.repartition(F.col(id_col))
+    wins = _span_windows(df, k, text_col, id_col, fingerprint) \
+        .repartition("fp")
     if spans is None:
-        spans = duplicated_spans(df, k, text_col, id_col, min_docs, fingerprint)
+        spans = (wins.groupBy("fp")
+                 .agg(F.countDistinct(id_col).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
     flagged = wins.join(spans.select("fp"), "fp", "left_semi")
     intervals = (
         flagged.groupBy(id_col)
@@ -867,10 +881,17 @@ def remove_duplicated_char_spans(df: DataFrame, k: int = 40,
     Untouched documents keep their text byte-identical; rewritten ones
     come back whitespace-normalized (the fingerprint coordinate
     system). ``chars_removed`` counts versus the normalized form."""
-    wins = _char_span_windows(df, k, text_col, id_col, fingerprint)
+    # input barrier + single fp exchange: same three-consumer shape as
+    # remove_duplicated_spans — without these the input lineage (often
+    # the map-only curation cascade) re-executes per consumer (r6
+    # composition pair finding; see the word-level twin's docstring)
+    df = df.repartition(F.col(id_col))
+    wins = _char_span_windows(df, k, text_col, id_col, fingerprint) \
+        .repartition("fp")
     if spans is None:
-        spans = duplicated_char_spans(df, k, text_col, id_col, min_docs,
-                                      fingerprint)
+        spans = (wins.groupBy("fp")
+                 .agg(F.countDistinct(id_col).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
     flagged = wins.join(spans.select("fp"), "fp", "left_semi")
     intervals = (
         flagged.groupBy(id_col)

@@ -2950,6 +2950,195 @@ def _q_pmi_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST_TERMS = ("junk", "slow", "spam")
+
+_Q_BLOCKLIST_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE doc_id < 2000
+), hit AS (
+  SELECT doc_id, len(tk) AS n_tok,
+         list_filter(tk, x -> list_contains(['junk', 'slow', 'spam'], x)) AS hits
+  FROM toked
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens_bl,
+       CAST(len(hits) AS BIGINT) AS n_blocked,
+       CAST(len(hits) AS DOUBLE) / GREATEST(n_tok, 1) AS blocked_frac,
+       md5(COALESCE(array_to_string(list_sort(list_distinct(hits)), '|'), '')) AS blocked_terms_fp,
+       len(hits) * 50 <= GREATEST(n_tok, 1) AS kept
+FROM hit ORDER BY doc_id
+"""
+
+
+def _q_blocklist_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist (bad-words) gate (functions/text_analysis.py
+    blocklist_features): exact whole-token case-insensitive matching
+    against a bounded term list — one tokenize + one ``filter`` HOF
+    against an array literal, map-only. ``kept`` uses the EXACT
+    integer form of the 2% threshold (``n_blocked * 50 <= n_tokens``)
+    — 0.02 is not binary-representable, so a float comparison could
+    flip at the boundary across engines; the integer rule cannot.
+    Dialect-split oracle: DuckDB list_filter/list_contains over the
+    same whitespace tokenization, same md5 of the sorted distinct
+    matched terms, same integer keep rule."""
+    from ..functions.text_analysis import blocklist_features
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    out = blocklist_features(docs, _BLOCKLIST_TERMS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens_bl").cast("long").alias("n_tokens_bl"),
+        F.col("n_blocked").cast("long").alias("n_blocked"),
+        "blocked_frac", "blocked_terms_fp",
+        (F.col("n_blocked") * 50
+         <= F.greatest(F.col("n_tokens_bl"), F.lit(1))).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _quadkey_oracle() -> str:
+    z = 8
+    tx = tm.sql_tile_x("lon", z)
+    ty = tm.sql_tile_y("lat", z)
+    qk = tm.sql_quadkey("x", "y", z, div="//")
+    return (
+        f"WITH pts AS ({PTS_SQL}), "
+        f"t AS (SELECT poi_id, {tx} AS x, {ty} AS y FROM pts) "
+        f"SELECT {qk} AS quadkey, CAST(x AS BIGINT) AS x, "
+        "CAST(y AS BIGINT) AS y, COUNT(*) AS n, "
+        "CAST(MIN(poi_id) AS BIGINT) AS min_poi "
+        "FROM t GROUP BY quadkey, x, y ORDER BY quadkey"
+    )
+
+
+def _q_quadkey_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing/Azure quadkey interop encoding (functions/tile_math.py
+    sql_quadkey / quadkey_col / quadkey_to_tile_cols): per-tile
+    histogram keyed by the base-4 quadkey at z8 over the PTS point
+    cloud. The Spark side RE-DERIVES x/y by DECODING the quadkey
+    (aggregate-HOF MSB fold) after the groupBy, while the oracle
+    emits the tile formula's x/y directly — matching rows prove
+    encode and decode are exact inverses, not just that both sides
+    encode identically. Dialect split is the single integer-division
+    token (Spark DIV / DuckDB //); every op is exact ints."""
+    _register(spark, sf_dir, ["customer"])
+    z = 8
+    txc, tyc = tm.tile_cols("lon", "lat", z)
+    t = (spark.sql(PTS_SQL)
+         .select("poi_id", txc.alias("x"), tyc.alias("y"))
+         .withColumn("quadkey", tm.quadkey_col("x", "y", z)))
+    xb, yb, _zb = tm.quadkey_to_tile_cols("quadkey")
+    return (
+        t.groupBy("quadkey")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("poi_id").cast("long").alias("min_poi"))
+        .select("quadkey", xb.alias("x"), yb.alias("y"), "n", "min_poi")
+        .orderBy("quadkey")
+    )
+
+
+_Q_GAZETTEER_ORACLE = """
+WITH nm AS (
+  SELECT p_partkey AS poi_id,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(
+             p_name || ' store ' || CAST(p_partkey % 97 AS VARCHAR)),
+             '[^a-z0-9]+'),
+           x -> x <> ''))) AS toks
+  FROM part WHERE p_partkey < 2000
+), gz0 AS (
+  SELECT p_partkey + 100000 AS gaz_id,
+         array_to_string(list_slice(string_split(p_name, ' '), 2,
+                                    len(string_split(p_name, ' '))),
+                         ' ')
+         || ' store ' || CAST(p_partkey % 97 AS VARCHAR) AS gname
+  FROM part WHERE p_partkey < 2000 AND p_partkey % 2 = 0
+), gz AS (
+  SELECT gaz_id,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(gname), '[^a-z0-9]+'),
+           x -> x <> ''))) AS toks
+  FROM gz0
+), le AS (
+  SELECT poi_id, len(toks) AS n_tokens, UNNEST(toks) AS tok
+  FROM nm WHERE len(toks) > 0
+), re AS (
+  SELECT gaz_id, len(toks) AS n_gaz_tokens, UNNEST(toks) AS tok
+  FROM gz WHERE len(toks) > 0
+), heavy AS (
+  SELECT tok FROM re GROUP BY tok HAVING COUNT(*) > 200
+), le2 AS (
+  SELECT * FROM le WHERE tok NOT IN (SELECT tok FROM heavy)
+), re2 AS (
+  SELECT * FROM re WHERE tok NOT IN (SELECT tok FROM heavy)
+), pairs AS (
+  SELECT poi_id, gaz_id, COUNT(*) AS inter,
+         MIN(n_tokens) AS n_tokens, MIN(n_gaz_tokens) AS n_gaz_tokens
+  FROM le2 JOIN re2 USING (tok) GROUP BY poi_id, gaz_id
+), scored AS (
+  SELECT poi_id, gaz_id, inter, n_tokens, n_gaz_tokens,
+         CAST((1000000 * inter) // (n_tokens + n_gaz_tokens - inter)
+              AS BIGINT) AS jaccard_ppm
+  FROM pairs
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY poi_id
+                               ORDER BY jaccard_ppm DESC, gaz_id) AS rn
+  FROM scored WHERE jaccard_ppm >= 400000
+)
+SELECT CAST(poi_id AS BIGINT) AS poi_id, CAST(gaz_id AS BIGINT) AS gaz_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_gaz_tokens AS BIGINT) AS n_gaz_tokens,
+       CAST(inter AS BIGINT) AS inter, jaccard_ppm
+FROM ranked WHERE rn = 1 ORDER BY poi_id
+"""
+
+
+def _q_gazetteer_match_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy venue-name geocoding (operators/geocode.py
+    gazetteer_match): token-set blocking join + exact integer-ppm
+    Jaccard + deterministic per-name argmax, with the df>200 blocking
+    cap exercised. Fixture: venue names are ``p_name || ' store ' ||
+    partkey%97`` (the 2-word testdata p_name alone is too thin to
+    match on); the gazetteer is the even-keyed parts with their FIRST
+    word dropped (a deterministic 'abbreviated listing'
+    perturbation). At sf0.01 the universal token 'store' (gaz df
+    1000) crosses the cap and drops out of the blocking+intersection,
+    so a self-match scores inter={noun, numkey}=2 of union 5 —
+    exactly the inclusive 400000 threshold boundary; at sf0.001 the
+    cap is inactive (gaz df <= 100) and self-matches score 750000 —
+    one query exercises both cap regimes. Dialect-split oracle: same
+    normalize/block/cap/score/argmax chain in DuckDB list SQL
+    (`//` == Spark DIV on positive ints)."""
+    from ..operators.geocode import gazetteer_match
+
+    _register(spark, sf_dir, ["part"])
+    part = spark.table("part").filter(F.col("p_partkey") < 2000)
+    numkey = F.pmod(F.col("p_partkey"), 97).cast("string")
+    names = part.select(
+        F.col("p_partkey").alias("poi_id"),
+        F.concat_ws(" ", F.col("p_name"), F.lit("store"), numkey)
+        .alias("name"))
+    words = F.split(F.col("p_name"), " ")
+    gaz = (part.filter(F.col("p_partkey") % 2 == 0)
+           .select((F.col("p_partkey") + 100000).alias("gaz_id"),
+                   F.concat_ws(
+                       " ",
+                       F.array_join(F.slice(words, 2, F.size(words)), " "),
+                       F.lit("store"), numkey).alias("gaz_name")))
+    out = gazetteer_match(names, gaz, id_col="poi_id", name_col="name",
+                          min_jaccard_ppm=400_000, max_block_df=200)
+    return out.select(
+        F.col("poi_id").cast("long").alias("poi_id"),
+        F.col("gaz_id").cast("long").alias("gaz_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_gaz_tokens").cast("long").alias("n_gaz_tokens"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+    ).orderBy("poi_id")
+
+
 def _q_hll_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-distinct visitors per tile at every zoom (operators/
     tiling.py hll_tile_pyramid): ONE pass builds the z2-z6 pyramid of
@@ -4034,6 +4223,41 @@ def _q_link_hits_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("authority", 7).alias("auth7")).orderBy("node")
 
 
+def _q_host_communities_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py label_communities —
+    synchronous deterministic LPA, Raghavan et al. 2007): a planted
+    block-community graph over the documents (community = 10-doc
+    block; within-block ring + step-3 chord keep LOCAL density
+    SF-invariant, every 4th block bridged to the next — the
+    bbox_dissolve fixture lesson), 8 synchronous rounds with the
+    (max weight, min label) tie-break. The bridges must NOT merge
+    blocks: intra-block degree 4 outvotes the single bridge edge.
+    Golden oracle: make_goldens rebuilds the same integer-arithmetic
+    edges and replays LPA with an independent pure-Python dict/tally
+    implementation (exact label equality, no tolerance)."""
+    from ..operators.graph import label_communities
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(
+        F.col("doc_id") < 2000).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    base = d - F.pmod(d, 10)
+    p = F.pmod(d, 10)
+    ring = docs.select(d.alias("src"),
+                       (base + F.pmod(p + 1, 10)).alias("dst"))
+    chord = docs.select(d.alias("src"),
+                        (base + F.pmod(p + 3, 10)).alias("dst"))
+    bridge = docs.filter((p == 9) & (F.pmod(F.floor(d / 10), 4) == 0)) \
+        .select(d.alias("src"), (d + 1).alias("dst"))
+    edges = ring.union(chord).union(bridge) \
+        .filter((F.col("dst") < n) & (F.col("dst") >= 0))
+    out = label_communities(edges, iters=8)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("community").cast("long").alias("community")) \
+        .orderBy("node")
+
+
 def _q_heatmap_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster heat-map tiles (operators/tiling.py render_heatmap_tiles
     over operators/hotspot.py kde_grid): PTS points -> z12 occupied
@@ -4158,6 +4382,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_schedule"] = _q_crawl_schedule_spark
     q["bm25_topk"] = _q_bm25_topk_spark
     q["pmi_topk"] = _q_pmi_topk_spark
+    q["blocklist_filter"] = _q_blocklist_filter_spark
+    q["gazetteer_match"] = _q_gazetteer_match_spark
+    q["quadkey_tiles"] = _q_quadkey_tiles_spark
     q["hll_pyramid"] = _q_hll_pyramid_spark
     q["trajectory_steps"] = _q_trajectory_steps_spark
     q["trajectory_stats"] = _q_trajectory_stats_spark
@@ -4179,6 +4406,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["weighted_sample"] = _q_weighted_sample_spark
     q["heatmap_tiles"] = _q_heatmap_tiles_spark
     q["link_hits"] = _q_link_hits_spark
+    q["host_communities"] = _q_host_communities_spark
     return q
 
 
@@ -4264,6 +4492,8 @@ _GOLDEN_SPECS = {
                       "SELECT COUNT(*) FROM customer"),
     "link_hits": ("node, hub7, auth7",
                   "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "host_communities": ("node, community",
+                         "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 
@@ -4320,6 +4550,9 @@ def build_oracles() -> dict[str, str]:
     o["crawl_schedule"] = _Q_CRAWL_SCHEDULE_ORACLE
     o["bm25_topk"] = _Q_BM25_ORACLE
     o["pmi_topk"] = _Q_PMI_ORACLE
+    o["blocklist_filter"] = _Q_BLOCKLIST_ORACLE
+    o["gazetteer_match"] = _Q_GAZETTEER_ORACLE
+    o["quadkey_tiles"] = _quadkey_oracle()
     o["trajectory_steps"] = _Q_TRAJ_STEPS_ORACLE
     o["trajectory_stats"] = _Q_TRAJ_STATS_ORACLE
     o["hotspot_gi"] = _hotspot_oracle()

@@ -46,6 +46,8 @@ def curate_documents(
     span_min_docs: int = 2,
     classifier_weights=None,
     classifier_bias: float | None = None,
+    blocklist_terms: tuple[str, ...] | list[str] | None = None,
+    max_blocked_frac: float = 0.0,
 ) -> DataFrame:
     """Curate a raw document table for pretraining.
 
@@ -64,6 +66,13 @@ def curate_documents(
     the dedup. Adds ``tokens_removed``/``chars_removed`` audit columns.
     Cost: two extra shuffles (span groupBy + per-doc regroup); default
     off, and the default path's plan is unchanged.
+
+    ``blocklist_terms``/``max_blocked_frac``: when set, the bad-words
+    gate (``functions.text_analysis.blocklist_filter``) runs after
+    the heuristic thresholds — exact whole-token matching, drop when
+    the hit fraction exceeds ``max_blocked_frac`` (default 0.0, the
+    C4 any-hit rule). Map-only; audit columns (``n_blocked``,
+    ``blocked_frac``, ``blocked_terms_fp``) kept on survivors.
 
     ``classifier_weights``/``classifier_bias``: when set, the learned
     quality filter (``operators.classifier``, e.g.
@@ -93,6 +102,13 @@ def curate_documents(
         out = out.withColumn(
             "logit", lr_logit_col(classifier_weights, classifier_bias))
         out = out.filter(F.col("logit") > 0)
+    if blocklist_terms:
+        from ..functions.text_analysis import blocklist_filter
+
+        # map-only like every other gate; folds into the same
+        # WholeStageCodegen pass (audit columns kept on survivors)
+        out = blocklist_filter(out, blocklist_terms, text_col=text_col,
+                               max_frac=max_blocked_frac)
     clean = scrub_pii_col(F.col(text_col)) if scrub else F.col(text_col)
     out = out.withColumn("text_clean", clean)
     if span_k is not None:

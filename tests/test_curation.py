@@ -156,3 +156,24 @@ def test_learned_classifier_leg(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="classifier_bias"):
         curate_documents(docs, classifier_weights=DEFAULT_QUALITY_WEIGHTS)
+
+
+def test_curation_blocklist_gate(spark):
+    docs = spark.createDataFrame(pd.DataFrame([
+        (0, GOOD),
+        (1, GOOD + " casino casino"),       # 2 hits of 30 tokens -> 6.7%
+        (2, GOOD + " casino jackpot"),      # 2 distinct hits
+        (3, GOOD.replace("fox", "casino")), # 1 hit of 28 -> 3.6%
+    ], columns=["doc_id", "text"]))
+    terms = ("casino", "jackpot")
+    # default any-hit rule: only the clean doc survives
+    strict = curate_documents(docs, blocklist_terms=terms).toPandas()
+    assert strict["doc_id"].tolist() == [0]
+    assert strict.loc[0, "n_blocked"] == 0
+    # 5% tolerance re-admits the single-hit doc only
+    loose = curate_documents(docs, blocklist_terms=terms,
+                             max_blocked_frac=0.05).toPandas()
+    assert sorted(loose["doc_id"]) == [0, 3]
+    # no terms -> no blocklist columns, plan unchanged
+    off = curate_documents(docs).toPandas()
+    assert "n_blocked" not in off.columns

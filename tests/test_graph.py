@@ -160,3 +160,147 @@ def test_hits_parallel_edges_and_validation(spark):
                                once["hub"].to_numpy(), rtol=1e-12)
     with pytest.raises(ValueError):
         hits(dup, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+def _python_lpa(edges, iters, weights=None):
+    """Independent pure-Python synchronous LPA, written from the
+    definition: symmetrize, drop self-loops, merge parallel edges
+    (unweighted: one vote per distinct undirected pair; weighted: sum
+    across both orientations), per round every node adopts the
+    max-total-weight neighbor label, ties to the MIN label."""
+    adj = {}
+    for i, (a, b) in enumerate(edges):
+        if a == b:
+            continue
+        w = 1.0 if weights is None else float(weights[i])
+        for x, y in ((a, b), (b, a)):
+            adj.setdefault(x, {})
+            if weights is None:
+                adj[x][y] = 1.0
+            else:
+                adj[x][y] = adj[x].get(y, 0.0) + w
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            tally = {}
+            for u, w in nbrs.items():
+                tally[labels[u]] = tally.get(labels[u], 0.0) + w
+            new[v] = min(tally, key=lambda l: (-tally[l], l))
+        labels = new
+    return labels
+
+
+def _run_lpa(spark, edges, iters=10, weights=None, **kw):
+    from osm_poi_cloud_spark.operators.graph import label_communities
+
+    if weights is None:
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        got = label_communities(df, iters=iters, **kw)
+    else:
+        df = spark.createDataFrame(
+            pd.DataFrame([(a, b, w) for (a, b), w in zip(edges, weights)],
+                         columns=["src", "dst", "w"]))
+        got = label_communities(df, iters=iters, weight_col="w", **kw)
+    got = got.toPandas().set_index("node")["community"].to_dict()
+    exp = _python_lpa(edges, iters, weights=weights)
+    assert got == exp
+    return got
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two planted 5-cliques + one bridge edge: LPA must keep them in
+    two distinct communities, each converging to its min node id."""
+    import itertools
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    edges = c1 + c2 + [(4, 10)]
+    got = _run_lpa(spark, edges, iters=8)
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(10, 15)}) == 1
+    assert got[0] != got[10]
+
+
+def test_lpa_parallel_and_reverse_edges_collapse(spark):
+    base = [(0, 1), (1, 2), (2, 0), (3, 4)]
+    noisy = base + [(1, 0), (0, 1), (2, 1), (4, 3)]
+    assert _run_lpa(spark, base, iters=6) == _run_lpa(spark, noisy, iters=6)
+
+
+def test_lpa_weighted_pull(spark):
+    """Node 6 bridges cliques {0,1,2} and {3,4,5} with a BALANCED pair
+    of edges: unweighted, its vote ties and the min label (community
+    0) wins; raising the 6-3 edge to weight 2 pulls it into community
+    3. (Heavily asymmetric shapes — star/appendage — oscillate under
+    synchronous LPA, which the operator documents; this fixture was
+    verified convergent by the pure-Python dynamics.)"""
+    import itertools
+
+    c1 = list(itertools.combinations(range(3), 2))
+    c2 = list(itertools.combinations(range(3, 6), 2))
+    edges = c1 + c2 + [(6, 2), (6, 3)]
+    unw = _run_lpa(spark, edges, iters=8)
+    assert unw[6] == unw[0] == 0            # tie -> min label
+    wtd = _run_lpa(spark, edges, iters=8,
+                   weights=[1.0] * (len(c1) + len(c2)) + [1.0, 2.0])
+    assert wtd[6] == wtd[3] == 3            # weight flips the vote
+    assert wtd[0] == wtd[1] == wtd[2] == 0  # cliques unaffected
+
+
+def test_lpa_string_nodes_and_validation(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")]
+    got = _run_lpa(spark, edges, iters=5)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    # an isolated PAIR is the canonical synchronous-LPA 2-cycle: the
+    # two nodes swap labels every round (odd iters -> swapped). The
+    # engine==oracle equality above is the contract; here just pin the
+    # documented oscillation so nobody "fixes" it into silent merging
+    assert got["x"] == "y" and got["y"] == "x"
+    even = _run_lpa(spark, edges, iters=4)
+    assert even["x"] == "x" and even["y"] == "y"
+    from osm_poi_cloud_spark.operators.graph import label_communities
+
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises(ValueError):
+        label_communities(df, iters=0)
+
+
+def test_lpa_self_loops_and_nulls_dropped(spark):
+    edges = [(0, 1), (1, 0), (2, 2)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges + [(None, 5), (5, None)], columns=["src", "dst"]),
+        "src long, dst long")
+    from osm_poi_cloud_spark.operators.graph import label_communities
+
+    got = label_communities(df, iters=4).toPandas().set_index("node")["community"].to_dict()
+    # node 2 has only a self-loop -> not in the graph at all; 5 only
+    # null-partnered edges -> dropped too. (0, 1) is an isolated pair
+    # -> the sync-LPA 2-cycle: even iters land on own labels.
+    assert got == {0: 0, 1: 1}
+    odd = label_communities(df, iters=3).toPandas() \
+        .set_index("node")["community"].to_dict()
+    assert odd == {0: 1, 1: 0}
+
+
+def test_lpa_checkpoint_dir_restore(spark, tmp_path):
+    from osm_poi_cloud_spark.operators.graph import label_communities
+
+    sc = spark.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev = prev.get() if prev.isDefined() else None
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 2)], columns=["src", "dst"]))
+    out = label_communities(df, iters=4,
+                            checkpoint_dir=str(tmp_path)).toPandas()
+    # the point here is the checkpoint-dir restore contract, not the
+    # dynamics; just require a full, valid labelling
+    assert len(out) == 3 and set(out["community"]) <= {0, 1, 2}
+    now = sc._jsc.sc().getCheckpointDir()
+    now = now.get() if now.isDefined() else None
+    assert now == prev

@@ -492,3 +492,34 @@ def test_ngram_counts_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         ngram_counts(df, n=0)
+
+
+def test_blocklist_features_hand_computed(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the SPAM king eats spam daily",   # 2 hits, case-insensitive
+                 "a perfectly clean document",       # 0 hits
+                 "class assignment",                 # whole-token: no 'ass' trip
+                 "junk junk junk"],                  # all tokens blocked
+    }))
+    out = ta.blocklist_features(df, ("spam", "junk", "ass")) \
+        .toPandas().set_index("doc_id")
+    assert out.loc[0, "n_blocked"] == 2
+    assert out.loc[0, "n_tokens_bl"] == 6
+    assert out.loc[0, "blocked_frac"] == 2 / 6
+    assert out.loc[1, "n_blocked"] == 0
+    assert out.loc[2, "n_blocked"] == 0            # substring never matches
+    assert out.loc[3, "n_blocked"] == 3
+    assert out.loc[3, "blocked_frac"] == 1.0
+    # fingerprint = md5 of sorted distinct matched terms joined with |
+    import hashlib
+    assert out.loc[0, "blocked_terms_fp"] == hashlib.md5(b"spam").hexdigest()
+    assert out.loc[1, "blocked_terms_fp"] == hashlib.md5(b"").hexdigest()
+    assert out.loc[3, "blocked_terms_fp"] == hashlib.md5(b"junk").hexdigest()
+
+    kept = ta.blocklist_filter(df, ("spam", "junk"), max_frac=0.0) \
+        .toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [1, 2]
+
+    with pytest.raises(ValueError):
+        ta.blocklist_features(df, ())

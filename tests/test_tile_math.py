@@ -128,3 +128,58 @@ def test_sql_fragments_match_numpy(spark):
     ).df()
     assert (ddf["x"].to_numpy() == nx).all()
     assert (ddf["y"].to_numpy() == ny).all()
+
+
+def _py_quadkey(x: int, y: int, z: int) -> str:
+    """Independent from-spec recompute (Bing tile-system doc)."""
+    out = []
+    for i in range(z, 0, -1):
+        mask = 1 << (i - 1)
+        d = (1 if x & mask else 0) + (2 if y & mask else 0)
+        out.append(str(d))
+    return "".join(out)
+
+
+def test_quadkey_bing_anchor_and_roundtrip(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    # published Bing example: tile (3, 5) at level 3 -> "213"
+    assert _py_quadkey(3, 5, 3) == "213"
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y"]))
+    enc = df.withColumn("qk", tm.quadkey_col("x", "y", 3))
+    got = enc.toPandas()
+    for r in got.itertuples():
+        assert r.qk == _py_quadkey(r.x, r.y, 3), (r.x, r.y)
+    assert got.set_index(["x", "y"]).loc[(3, 5), "qk"] == "213"
+    # decode is the exact inverse (and zoom = length)
+    xb, yb, zb = tm.quadkey_to_tile_cols("qk")
+    back = enc.select("x", "y", xb.alias("xb"), yb.alias("yb"),
+                      zb.alias("zb")).toPandas()
+    assert (back["x"] == back["xb"]).all()
+    assert (back["y"] == back["yb"]).all()
+    assert (back["zb"] == 3).all()
+
+
+def test_quadkey_sql_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    z = 9
+    pdf = pd.DataFrame({"x": rng.randint(0, 1 << z, 300),
+                        "y": rng.randint(0, 1 << z, 300)})
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.selectExpr(f"{tm.sql_quadkey('x', 'y', z)} AS qk") \
+        .toPandas()["qk"].tolist()
+    exp = duckdb.connect().execute(
+        f"SELECT {tm.sql_quadkey('x', 'y', z, div='//')} AS qk FROM pdf"
+    ).df()["qk"].tolist()
+    assert got == exp
+    assert got[0] == _py_quadkey(int(pdf.x[0]), int(pdf.y[0]), z)
+    import pytest
+
+    with pytest.raises(ValueError):
+        tm.sql_quadkey("x", "y", 0)

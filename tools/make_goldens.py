@@ -1269,6 +1269,41 @@ def check_hits(doc_ids: np.ndarray, result: pd.DataFrame,
                        atol=1e-7), "authority diverges from independent HITS"
 
 
+def expected_host_communities(doc_ids: np.ndarray,
+                              iters: int = 8) -> pd.DataFrame:
+    """Independent pure-Python LPA over the planted block-community
+    graph (community = 10-doc block, within-block ring + step-3 chord,
+    every 4th block bridged to the next): rebuild the same
+    integer-arithmetic edges, symmetrize into a dict adjacency, then
+    ``iters`` synchronous rounds of the (max vote count, min label)
+    argmax — written from the LPA definition, no Spark anywhere."""
+    ids = sorted(int(x) for x in doc_ids if int(x) < 2000)
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        base, p = d - d % 10, d % 10
+        for t in (base + (p + 1) % 10, base + (p + 3) % 10):
+            if 0 <= t < n and t != d:
+                edges.add((d, t))
+        if p == 9 and (d // 10) % 4 == 0 and d + 1 < n:
+            edges.add((d, d + 1))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            tally: dict[int, int] = {}
+            for u in nbrs:
+                tally[labels[u]] = tally.get(labels[u], 0) + 1
+            new[v] = min(tally, key=lambda l: (-tally[l], l))
+        labels = new
+    return pd.DataFrame(sorted(labels.items()),
+                        columns=["node", "community"]).astype("int64")
+
+
 def expected_hll_setops(doc_ids: np.ndarray, p: int = 12,
                         seed: int = 7) -> pd.DataFrame:
     """Independent HLL set-ops recompute: from-spec chained XXH64
@@ -1760,7 +1795,8 @@ def main() -> None:
                                 "dsir_scores", "hll_pyramid",
                                 "kmv_setops", "incremental_dedup",
                                 "hll_setops", "convex_hulls",
-                                "heatmap_tiles", "link_hits")}
+                                "heatmap_tiles", "link_hits",
+                                "host_communities")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1824,6 +1860,10 @@ def main() -> None:
             _norm_sorted(expected_training_shards(con)), check_dtype=False)
         check_pagerank(docs["doc_id"].to_numpy(), results["link_pagerank"])
         check_hits(docs["doc_id"].to_numpy(), results["link_hits"])
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["host_communities"].astype("int64")),
+            _norm_sorted(expected_host_communities(docs["doc_id"].to_numpy())),
+            check_dtype=False)
         docs_chars = con.execute(
             "SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000 "
             "ORDER BY doc_id").df()
@@ -1920,7 +1960,8 @@ def main() -> None:
                   "hll_setops": "documents",
                   "convex_hulls": "customer",
                   "heatmap_tiles": "customer",
-                  "link_hits": "documents"}
+                  "link_hits": "documents",
+                  "host_communities": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
