@@ -224,6 +224,28 @@ def main() -> None:
     timed("link_communities", lambda: force(
         label_communities(pr_edges, iters=3)))
 
+    # ---- 6c. POI conflation: 3 name-variant mentions per entity over
+    # the fat doc ids (75k mentions / 25k entities at sf0.1), cell
+    # co-blocked token self-join -> jaccard edges -> star CC closure ----
+    from osm_poi_cloud_spark.operators.geocode import conflate_pois
+    _w = lambda i: F.element_at(  # noqa: E731 — pool word by arithmetic
+        F.array(*[F.lit(f"w{k}") for k in range(512)]),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(512)).cast("int") + 1)
+    conf_names = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("m"))
+        .select(
+            (F.col("doc_id") * 3 + F.col("m")).alias("poi_id"),
+            F.concat_ws(
+                " ", F.concat(F.lit("v"), F.col("doc_id").cast("string")),
+                _w(1),
+                F.when(F.col("m") == 2, _w(4)).otherwise(_w(2)),
+                F.when(F.col("m") == 0, _w(3)).otherwise(F.lit("")),
+            ).alias("name"),
+            F.pmod(F.col("doc_id"), F.lit(8192)).alias("cell"))
+    )
+    timed("poi_conflation", lambda: force(conflate_pois(
+        conf_names, cell_col="cell", min_jaccard_ppm=500_000)))
+
     # incremental dedup: odd-id batch probes the even-id signature index
     # (index build untimed — it amortizes across batches in production)
     inc_index = dd.minhash_banded_signatures(
@@ -316,6 +338,10 @@ def main() -> None:
         bc_t, uc_t, v_t = lm_fn.train_bigram_lm(docs)
         force(lm_fn.score_bigram_lm(docs, bc_t, uc_t, v_t))
     timed("bigram_lm", run_bigram_lm)
+    def run_trigram_lm():
+        tc_t, bc_t, uc_t, n_t = lm_fn.train_trigram_lm(docs)
+        force(lm_fn.score_trigram_backoff(docs, tc_t, bc_t, uc_t, n_t))
+    timed("trigram_lm", run_trigram_lm)
     rb_rules = spark.createDataFrame(
         [(f"h{i}.example", "/p/", i % 3 == 0, 3) for i in range(16)],
         "host string, prefix string, allow boolean, rule_len int")

@@ -116,6 +116,132 @@ def score_bigram_lm(df: DataFrame, bigram_counts: DataFrame,
     )
 
 
+def _trigrams_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, w1, w2, w3) — consecutive lowercased whitespace-token
+    triples. Documents with < 3 tokens produce no rows. The
+    ``size >= 3`` guard keeps the ``sequence`` ascending (F.sequence
+    DESCENDS when end < start — the r4 window-enumeration rule)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    tri = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+                F.element_at(F.col("toks"), i + 2).alias("w3"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), F.posexplode(tri).alias("pos", "t"))
+        .select(id_col, "pos", F.col("t.w1").alias("w1"),
+                F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3"))
+    )
+
+
+def train_trigram_lm(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """-> (trigram_counts, bigram_counts, unigram_counts,
+    total_tokens) for stupid-backoff scoring (Brants et al. 2007 —
+    the web-scale LM recipe that skips normalization entirely, which
+    is exactly what makes it EXACT-integer-oracle-able here). Three
+    partial-aggregated groupBys, vocabulary-bounded outputs; the token
+    total is one bounded scalar (training pass, same contract as the
+    bigram trainer)."""
+    tg = _trigrams_df(df, text_col, id_col)
+    trigram_counts = tg.groupBy("w1", "w2", "w3") \
+        .agg(F.count(F.lit(1)).alias("c3"))
+    bg = _bigrams_df(df, text_col, id_col)
+    bigram_counts = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    toks = (
+        df.select(F.explode(F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "")).alias("tok"))
+    )
+    unigram_counts = toks.groupBy(F.col("tok").alias("prev")) \
+        .agg(F.count(F.lit(1)).alias("c1"))
+    total_tokens = unigram_counts.agg(F.sum("c1")).collect()[0][0] or 0
+    return trigram_counts, bigram_counts, unigram_counts, int(total_tokens)
+
+
+def score_trigram_backoff(df: DataFrame, trigram_counts: DataFrame,
+                          bigram_counts: DataFrame,
+                          unigram_counts: DataFrame, total_tokens: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          alpha_ppm: int = 400_000,
+                          broadcast_counts: bool = False) -> DataFrame:
+    """(id, n_trigrams, sum_s_ppm, mean_s_ppm) — per-document stupid
+    backoff scores,
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)        if c(w1w2w3) > 0
+                      = a   * c(w2w3)/c(w2)      elif c(w2w3) > 0
+                      = a^2 * c(w3)/N            otherwise,
+
+    quantized per trigram as ppm BEFORE summing — and unlike the
+    bigram LM's float chain, every branch here is PURE integer
+    arithmetic (``(1000000*c3) DIV c12``, ``(a_ppm*c23) DIV c2u``,
+    ``(a_ppm^2*c1) DIV (1000000*N)``), so the scores are exact by
+    construction in any engine: no IEEE step at all. a = 0.4 is the
+    published constant (``alpha_ppm`` = 400000). OOV w3 scores 0 via
+    the final branch. Documents with < 3 tokens report 0/0/0;
+    ``mean_s_ppm`` is the integer-divide mean.
+
+    Scale shape: one explode + four hash joins against vocabulary-
+    bounded count tables (broadcast them when small) + one
+    per-document regroup. Nothing collects."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    if not 0 < alpha_ppm <= PPM:
+        raise ValueError(f"alpha_ppm must be in (0, 1e6], got {alpha_ppm}")
+    tg = _trigrams_df(df, text_col, id_col)
+    b = F.broadcast if broadcast_counts else (lambda x: x)
+    tc = b(trigram_counts)
+    ctx = b(bigram_counts.select(F.col("prev").alias("w1"),
+                                 F.col("w").alias("w2"),
+                                 F.col("c2").alias("c12")))
+    cont = b(bigram_counts.select(F.col("prev").alias("w2"),
+                                  F.col("w").alias("w3"),
+                                  F.col("c2").alias("c23")))
+    uni2 = b(unigram_counts.select(F.col("prev").alias("w2"),
+                                   F.col("c1").alias("c2u")))
+    uni3 = b(unigram_counts.select(F.col("prev").alias("w3"),
+                                   F.col("c1").alias("c3u")))
+    a2_num = alpha_ppm * alpha_ppm  # exact: q3 = (a_ppm^2*c1) DIV (1e6*N)
+    joined = (
+        tg.join(tc, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(cont, ["w2", "w3"], "left")
+        .join(uni2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+        .select(
+            id_col,
+            F.expr(
+                "CAST(CASE "
+                "WHEN coalesce(c3, 0L) > 0L THEN (1000000L * c3) DIV c12 "
+                f"WHEN coalesce(c23, 0L) > 0L THEN ({alpha_ppm}L * c23) DIV c2u "
+                f"ELSE ({a2_num}L * coalesce(c3u, 0L)) DIV (1000000L * {total_tokens}L) "
+                "END AS BIGINT)").alias("q"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("q").alias("sum_s_ppm"),
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce("sum_s_ppm", F.lit(0)).cast("long").alias("sum_s_ppm"),
+            F.when(F.coalesce(F.col("n_trigrams"), F.lit(0)) > 0,
+                   F.expr("sum_s_ppm DIV n_trigrams"))
+            .otherwise(F.lit(0)).cast("long").alias("mean_s_ppm"),
+        )
+    )
+
+
 def lm_filter(df: DataFrame, scored: DataFrame, min_mean_p_ppm: int,
               id_col: str = "doc_id") -> DataFrame:
     """Keep documents whose quantized mean bigram probability clears

@@ -132,3 +132,98 @@ def gazetteer_match(names: DataFrame, gazetteer: DataFrame,
         .select(F.col("_lid").alias(id_col), F.col("_rid").alias(gaz_id_col),
                 "n_tokens", "n_gaz_tokens", "inter", "jaccard_ppm")
     )
+
+
+def conflate_pois(pois: DataFrame, id_col: str = "poi_id",
+                  name_col: str = "name", cell_col: str | None = None,
+                  min_jaccard_ppm: int = 500_000,
+                  max_block_df: int | None = None,
+                  max_iter: int = 20,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """POI conflation: collapse the per-page venue mentions the
+    extraction pipeline emits (the same cafe scraped from its own
+    site, a directory page, and a review page) into canonical
+    entities — the classic geospatial entity-resolution step
+    downstream of the reference's POI table (its merge step dedups
+    per tile by exact key; conflation is the fuzzy-name analog every
+    production POI stack runs next).
+
+    Pipeline (all native until the component step):
+
+        normalize (``normalize_name_col``) -> token[-x-cell] blocking
+        SELF-join (a < b; the join COUNT is the intersection) ->
+        exact integer-ppm Jaccard -> threshold -> edges ->
+        ``connected_components`` (large-star/small-star, O(log n)
+        rounds) -> canonical id = MIN id per component.
+
+    Returns one row per input id — including records whose normalized
+    name is empty and records that matched nothing (singleton
+    clusters): ``(id_col, canonical_id, cluster_size)``. The
+    transitive closure is the point: A~B and B~C conflate A with C
+    even when Jaccard(A, C) is below the threshold (chains of
+    listing-style abbreviations), which is why the component step is
+    a real CC and not a pairwise argmax.
+
+    Scale shape: one explode per record, the blocking self-equi-join
+    (bounded by shared distinct tokens; ``cell_col`` adds the spatial
+    equality that keeps dense name tokens from fanning out across a
+    whole country — a venue only conflates with candidates in the
+    SAME cell), one groupBy(pair), then CC at its edge-count-derived
+    width with per-round eager checkpoints (``checkpoint_dir`` for
+    reliable cluster resume). ``max_block_df`` drops tokens whose
+    document frequency exceeds the cap from blocking — same
+    conservative-underestimate semantics as ``gazetteer_match``
+    (dropped tokens still count in the union denominator).
+    """
+    if min_jaccard_ppm < 1 or min_jaccard_ppm > 1_000_000:
+        raise ValueError(
+            f"min_jaccard_ppm must be in [1, 1e6], got {min_jaccard_ppm}")
+    from .dedup import connected_components
+
+    cell = [F.col(cell_col).alias("_cell")] if cell_col else []
+    base = (pois.select(F.col(id_col).alias("_id"),
+                        normalize_name_col(F.col(name_col)).alias("_toks"),
+                        *cell)
+            .withColumn("_n", F.size("_toks")))
+    ex = base.filter(F.col("_n") > 0).select(
+        "_id", "_n", *(["_cell"] if cell_col else []),
+        F.explode("_toks").alias("_tok"))
+    if max_block_df is not None:
+        if max_block_df < 1:
+            raise ValueError(f"max_block_df must be >= 1, got {max_block_df}")
+        heavy = (ex.groupBy("_tok")
+                 .agg(F.count(F.lit(1)).alias("_df"))
+                 .filter(F.col("_df") > max_block_df)
+                 .select("_tok"))
+        ex = ex.join(F.broadcast(heavy), "_tok", "left_anti")
+
+    # self-join needs fresh alias projections (ambiguous-self-join)
+    lhs = ex.select(F.col("_id").alias("_a"), F.col("_n").alias("_na"),
+                    *(["_cell"] if cell_col else []), "_tok")
+    rhs = ex.select(F.col("_id").alias("_b"), F.col("_n").alias("_nb"),
+                    *(["_cell"] if cell_col else []), "_tok")
+    join_keys = ["_tok"] + (["_cell"] if cell_col else [])
+    edges = (
+        lhs.join(rhs, join_keys)
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_inter"),
+             F.min("_na").alias("_na"), F.min("_nb").alias("_nb"))
+        .withColumn("_j", F.expr("CAST((1000000 * _inter) DIV "
+                                 "(_na + _nb - _inter) AS BIGINT)"))
+        .filter(F.col("_j") >= min_jaccard_ppm)
+        .select("_a", "_b")
+    )
+    comp = connected_components(edges, id_a="_a", id_b="_b",
+                                max_iter=max_iter,
+                                checkpoint_dir=checkpoint_dir)
+    ids = pois.select(F.col(id_col).alias("_id"))
+    labeled = (ids.join(comp.withColumnRenamed("node", "_id"), "_id", "left")
+               .select("_id",
+                       F.coalesce("component", F.col("_id"))
+                       .alias("canonical_id")))
+    sizes = labeled.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labeled.join(sizes, "canonical_id")
+            .select(F.col("_id").alias(id_col), "canonical_id",
+                    "cluster_size"))

@@ -1351,6 +1351,83 @@ def _q_bigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+_Q_TRIGRAM_LM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 2000
+),
+tg AS (
+  SELECT doc_id, toks[j.g] AS w1, toks[j.g + 1] AS w2, toks[j.g + 2] AS w3
+  FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                         THEN generate_series(1, len(toks) - 2)
+                         ELSE [] END) AS j(g)
+),
+bgl AS (
+  SELECT toks[j.g] AS a, toks[j.g + 1] AS b
+  FROM docs, UNNEST(CASE WHEN len(toks) >= 2
+                         THEN generate_series(1, len(toks) - 1)
+                         ELSE [] END) AS j(g)
+),
+uni AS (
+  SELECT u.t AS w, COUNT(*) AS c1
+  FROM docs, UNNEST(toks) AS u(t) GROUP BY u.t
+),
+big AS (SELECT a, b, COUNT(*) AS c2 FROM bgl GROUP BY a, b),
+tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+q AS (
+  SELECT tg.doc_id,
+         CAST(CASE
+           WHEN COALESCE(tri.c3, 0) > 0
+             THEN (1000000 * tri.c3) // ctx.c2
+           WHEN COALESCE(cont.c2, 0) > 0
+             THEN (400000 * cont.c2) // u2.c1
+           ELSE (160000000000 * COALESCE(u3.c1, 0)) // (1000000 * tot.n)
+         END AS BIGINT) AS qs
+  FROM tg
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN big ctx ON ctx.a = tg.w1 AND ctx.b = tg.w2
+  LEFT JOIN big cont ON cont.a = tg.w2 AND cont.b = tg.w3
+  LEFT JOIN uni u2 ON u2.w = tg.w2
+  LEFT JOIN uni u3 ON u3.w = tg.w3, tot
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams, CAST(SUM(qs) AS BIGINT) AS sum_s_ppm
+  FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(p.sum_s_ppm, 0) AS BIGINT) AS sum_s_ppm,
+       CASE WHEN COALESCE(p.n_trigrams, 0) > 0
+            THEN CAST(p.sum_s_ppm // p.n_trigrams AS BIGINT)
+            ELSE 0 END AS mean_s_ppm
+FROM docs d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _q_trigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (functions/lm.py
+    score_trigram_backoff, Brants et al. 2007): the web-scale LM
+    filter next to the add-one bigram — no normalization, so every
+    branch is PURE integer arithmetic ((1e6*c3) DIV c12,
+    (400000*c23) DIV c2u, (160000000000*c1) DIV (1e6*N)) and the
+    per-trigram scores are exact in any engine by construction (no
+    IEEE step anywhere, unlike the bigram chain). Dialect-split
+    oracle: identical counts/joins/integer-DIV chain in DuckDB list
+    SQL (`//` == Spark DIV on the non-negative operands here)."""
+    from ..functions.lm import score_trigram_backoff, train_trigram_lm
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "text")
+    tc, bc, uc, n = train_trigram_lm(docs)
+    return score_trigram_backoff(docs, tc, bc, uc, n,
+                                 broadcast_counts=True).orderBy("doc_id")
+
+
 _Q_SNAPSHOT_UPSERT_ORACLE = """
 WITH old AS (
   SELECT doc_id, md5(text) AS fp, n_chars
@@ -4258,6 +4335,51 @@ def _q_host_communities_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
 
 
+def _q_poi_conflation_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI conflation (operators/geocode.py conflate_pois): fuzzy
+    venue entity-resolution — token-x-cell blocking self-join, exact
+    integer-ppm Jaccard edges, connected-components closure, MIN-id
+    canonical. Planted fixture over documents: each 4-doc block is one
+    venue scraped four ways in cell g = doc_id DIV 4 —
+
+        m0 'g{g} alpha beta gamma'   J(m0,m1) = 3/4 = 750000
+        m1 'g{g} alpha beta'         J(m1,m2) = 2/4 = 500000 (boundary,
+        m2 'g{g} alpha delta'                   INCLUSIVE)
+        m3 = m0's name, DIFFERENT cell (g + 10^6)
+
+    J(m0, m2) = 2/5 = 400000 sits BELOW the threshold, so m2 joins the
+    cluster only through the transitive closure — the query fails on
+    any pairwise-argmax shortcut. m3 proves the spatial gate: an
+    identical name in another cell stays a singleton. The corpus-wide
+    tokens (alpha/beta/gamma/delta) are shared by every block, so
+    WITHOUT cell co-blocking the fixture would fan out quadratically —
+    the blocking design is load-bearing, not decoration. Golden
+    oracle: make_goldens replays names/cells from doc_ids and runs an
+    independent brute-force within-cell Jaccard + union-find."""
+    from ..operators.geocode import conflate_pois
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(
+        F.col("doc_id") < 2000).select("doc_id")
+    d = F.col("doc_id")
+    g = F.floor(d / 4).cast("long")
+    m = F.pmod(d, 4)
+    gtok = F.concat(F.lit("g"), g.cast("string"))
+    name = (F.when(m == 0, F.concat_ws(" ", gtok, F.lit("alpha beta gamma")))
+            .when(m == 1, F.concat_ws(" ", gtok, F.lit("alpha beta")))
+            .when(m == 2, F.concat_ws(" ", gtok, F.lit("alpha delta")))
+            .otherwise(F.concat_ws(" ", gtok, F.lit("alpha beta gamma"))))
+    cell = F.when(m == 3, g + 1_000_000).otherwise(g).cast("long")
+    pois = docs.select(d.alias("poi_id"), name.alias("name"),
+                       cell.alias("cell"))
+    out = conflate_pois(pois, cell_col="cell", min_jaccard_ppm=500_000)
+    return out.select(
+        F.col("poi_id").cast("long").alias("poi_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    ).orderBy("poi_id")
+
+
 def _q_heatmap_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster heat-map tiles (operators/tiling.py render_heatmap_tiles
     over operators/hotspot.py kde_grid): PTS points -> z12 occupied
@@ -4407,6 +4529,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["heatmap_tiles"] = _q_heatmap_tiles_spark
     q["link_hits"] = _q_link_hits_spark
     q["host_communities"] = _q_host_communities_spark
+    q["poi_conflation"] = _q_poi_conflation_spark
+    q["trigram_lm_scores"] = _q_trigram_lm_spark
     return q
 
 
@@ -4494,6 +4618,8 @@ _GOLDEN_SPECS = {
                   "SELECT SUM(doc_id * n_chars) FROM documents"),
     "host_communities": ("node, community",
                          "SELECT SUM(doc_id * n_chars) FROM documents"),
+    "poi_conflation": ("poi_id, canonical_id, cluster_size",
+                       "SELECT SUM(doc_id * n_chars) FROM documents"),
 }
 
 
@@ -4541,6 +4667,7 @@ def build_oracles() -> dict[str, str]:
     o["quality_classifier_ext"] = _quality_classifier_ext_oracle()
     o["snapshot_upsert"] = _Q_SNAPSHOT_UPSERT_ORACLE
     o["bigram_lm_scores"] = _Q_BIGRAM_LM_ORACLE
+    o["trigram_lm_scores"] = _Q_TRIGRAM_LM_ORACLE
     o["robots_filter"] = _robots_filter_oracle()
     o["page_links"] = _page_links_oracle()
     o["anchor_texts"] = _anchor_texts_oracle()

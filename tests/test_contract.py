@@ -54,9 +54,11 @@ MIN_ROWS = {
     "training_shards": 4, "span_dedup": 400, "span_removal": 400,
     "span_removal_chars": 400, "cell_ladder_rollup": 7,
     "link_pagerank": 400, "link_hits": 400, "host_communities": 400,
+    "poi_conflation": 400,
     "kmv_quantiles": 8, "mixture_sample": 4, "radius_pairs": 100,
     "quality_classifier": 400, "quality_classifier_ext": 400,
     "snapshot_upsert": 400, "bigram_lm_scores": 400,
+    "trigram_lm_scores": 400,
     "robots_filter": 400, "page_links": 800, "anchor_texts": 25,
     "boilerplate_removal": 400, "blocklist_filter": 400,
     "gazetteer_match": 80, "quadkey_tiles": 100,

@@ -155,3 +155,106 @@ def test_plan_shape_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+# ---------------------------------------------------------------------------
+# conflate_pois
+# ---------------------------------------------------------------------------
+
+def _conflate(spark, rows, cols=("poi_id", "name"), **kw):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+    from osm_poi_cloud_spark.operators.geocode import conflate_pois
+
+    return (conflate_pois(df, **kw)
+            .toPandas().sort_values("poi_id").reset_index(drop=True))
+
+
+def test_conflate_transitive_chain(spark):
+    # J(1,2) = 3/4, J(2,3) = 2/4 = exactly the inclusive threshold,
+    # J(1,3) = 2/5 BELOW it: 3 joins the cluster only via transitivity
+    rows = [(1, "g7 alpha beta gamma"),
+            (2, "g7 alpha beta"),
+            (3, "g7 alpha delta"),
+            (9, "totally unrelated venue")]
+    got = _conflate(spark, rows, min_jaccard_ppm=500_000)
+    by = got.set_index("poi_id")
+    assert by.loc[1, "canonical_id"] == 1
+    assert by.loc[2, "canonical_id"] == 1
+    assert by.loc[3, "canonical_id"] == 1       # transitive closure
+    assert by.loc[9, "canonical_id"] == 9       # singleton kept
+    assert by.loc[1, "cluster_size"] == 3 and by.loc[9, "cluster_size"] == 1
+
+
+def test_conflate_cell_gate_blocks_cross_cell(spark):
+    rows = [(1, "blue bottle coffee", "cA"),
+            (2, "blue bottle coffee", "cA"),
+            (3, "blue bottle coffee", "cB")]   # identical name, other cell
+    got = _conflate(spark, rows, cols=("poi_id", "name", "cell"),
+                    cell_col="cell")
+    by = got.set_index("poi_id")
+    assert by.loc[1, "canonical_id"] == 1 and by.loc[2, "canonical_id"] == 1
+    assert by.loc[3, "canonical_id"] == 3 and by.loc[3, "cluster_size"] == 1
+
+
+def test_conflate_empty_names_and_threshold_validation(spark):
+    rows = [(1, "cafe roma"), (2, "!!!"), (3, "cafe roma")]
+    got = _conflate(spark, rows)
+    by = got.set_index("poi_id")
+    assert by.loc[2, "canonical_id"] == 2 and by.loc[2, "cluster_size"] == 1
+    assert by.loc[3, "canonical_id"] == 1
+    with pytest.raises(ValueError):
+        _conflate(spark, rows, min_jaccard_ppm=0)
+    with pytest.raises(ValueError):
+        _conflate(spark, rows, max_block_df=0)
+
+
+def test_conflate_matches_python_union_find(spark):
+    """Independent recompute: brute-force all-pairs jaccard over a
+    deterministic pseudo-corpus + union-find closure."""
+    # Planted mix (a congruence over a 12-word vocab degenerates: any
+    # linear one is a period-4 lattice of identical names, and 4 draws
+    # from 12 words overlap so much that even scrambled variants leave
+    # no singletons — verified in Python before wiring, per the
+    # CLAUDE.md planted-fixture rule). Blocks of 3 chained variants
+    # (m1-m2 below threshold, joined only transitively through m0) +
+    # unique-token singletons.
+    rows = []
+    for i in range(36):
+        c, m = i // 3, i % 3
+        words = {0: (f"c{c}a", f"c{c}b", f"c{c}c"),
+                 1: (f"c{c}a", f"c{c}b"),
+                 2: (f"c{c}b", f"c{c}c", f"c{c}x")}[m]
+        rows.append((i, " ".join(words)))
+    rows += [(i, f"solo{i} only{i}") for i in range(36, 60)]
+    got = _conflate(spark, rows, min_jaccard_ppm=400_000)
+
+    import re
+
+    def norm(s):
+        return {t for t in re.sub("[^a-z0-9]+", " ", s.lower()).split() if t}
+
+    toks = {i: norm(s) for i, s in rows}
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, ti in toks.items():
+        for j, tj in toks.items():
+            if i < j and ti and tj:
+                inter = len(ti & tj)
+                if inter and 1_000_000 * inter // (len(ti) + len(tj) - inter) >= 400_000:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    exp_can = {i: find(i) for i, _ in rows}
+    sizes = {}
+    for c in exp_can.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    got_d = {int(r.poi_id): (int(r.canonical_id), int(r.cluster_size))
+             for r in got.itertuples()}
+    assert got_d == {i: (c, sizes[c]) for i, c in exp_can.items()}
+    # the fixture must actually exercise non-trivial clusters
+    assert max(sizes.values()) >= 3 and min(sizes.values()) == 1

@@ -106,8 +106,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
+    # bench.py's width: max(4 * CPUS, 32) unless overridden
+    partitions = int(os.environ.get("SPARK_GRAFT_PARTITIONS",
+                                    str(max(4 * args.cpus, 32))))
     code = CHILD.format(cpus=args.cpus, repeats=args.repeats,
-                        partitions=args.cpus)
+                        partitions=partitions)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     cmd = ["taskset", "-c", f"0-{args.cpus - 1}", sys.executable, "-c", code]
@@ -118,7 +121,12 @@ def main() -> None:
     ref = {}
     for rnd in ("r04", "r05"):
         with open(os.path.join(REPO, f"BENCH_{rnd}.json")) as f:
-            ref[rnd] = json.load(f)["queries"]
+            blob = json.load(f)
+        # driver files nest the bench line under "parsed"
+        blob = blob.get("parsed", blob)
+        if isinstance(blob, str):
+            blob = json.loads(blob)
+        ref[rnd] = blob["queries"]
     report = {"isolated": got}
     for k in ("knn", "pip_distributed", "robots_filter", "radius_join"):
         report[k] = {"r4": ref["r04"].get(k), "r5": ref["r05"].get(k),

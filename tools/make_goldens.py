@@ -1304,6 +1304,53 @@ def expected_host_communities(doc_ids: np.ndarray,
                         columns=["node", "community"]).astype("int64")
 
 
+def expected_poi_conflation(doc_ids: np.ndarray) -> pd.DataFrame:
+    """Independent POI-conflation recompute over the planted 4-doc
+    venue blocks (contract._q_poi_conflation_spark): replay the names
+    and cells from doc_ids with plain Python, brute-force the
+    within-cell pairwise token-set Jaccard (integer ppm, inclusive
+    500000 threshold), close the edges with union-find, canonical =
+    min id per component — no Spark, no blocking, no shared code."""
+    ids = sorted(int(x) for x in doc_ids if int(x) < 2000)
+    toks: dict[int, frozenset] = {}
+    cell: dict[int, int] = {}
+    for d in ids:
+        g, m = d // 4, d % 4
+        words = {0: ("alpha", "beta", "gamma"), 1: ("alpha", "beta"),
+                 2: ("alpha", "delta"), 3: ("alpha", "beta", "gamma")}[m]
+        toks[d] = frozenset((f"g{g}",) + words)
+        cell[d] = g + 1_000_000 if m == 3 else g
+    parent = {d: d for d in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_cell: dict[int, list[int]] = {}
+    for d in ids:
+        by_cell.setdefault(cell[d], []).append(d)
+    for members in by_cell.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                inter = len(toks[a] & toks[b])
+                if inter == 0:
+                    continue
+                union = len(toks[a]) + len(toks[b]) - inter
+                if 1_000_000 * inter // union >= 500_000:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    canon = {d: find(d) for d in ids}
+    sizes: dict[int, int] = {}
+    for c in canon.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return pd.DataFrame(
+        [(d, canon[d], sizes[canon[d]]) for d in ids],
+        columns=["poi_id", "canonical_id", "cluster_size"]).astype("int64")
+
+
 def expected_hll_setops(doc_ids: np.ndarray, p: int = 12,
                         seed: int = 7) -> pd.DataFrame:
     """Independent HLL set-ops recompute: from-spec chained XXH64
@@ -1796,7 +1843,7 @@ def main() -> None:
                                 "kmv_setops", "incremental_dedup",
                                 "hll_setops", "convex_hulls",
                                 "heatmap_tiles", "link_hits",
-                                "host_communities")}
+                                "host_communities", "poi_conflation")}
 
         # --- independent verification ---
         pd.testing.assert_frame_equal(
@@ -1863,6 +1910,10 @@ def main() -> None:
         pd.testing.assert_frame_equal(
             _norm_sorted(results["host_communities"].astype("int64")),
             _norm_sorted(expected_host_communities(docs["doc_id"].to_numpy())),
+            check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm_sorted(results["poi_conflation"].astype("int64")),
+            _norm_sorted(expected_poi_conflation(docs["doc_id"].to_numpy())),
             check_dtype=False)
         docs_chars = con.execute(
             "SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000 "
@@ -1961,7 +2012,8 @@ def main() -> None:
                   "convex_hulls": "customer",
                   "heatmap_tiles": "customer",
                   "link_hits": "documents",
-                  "host_communities": "documents"}
+                  "host_communities": "documents",
+                  "poi_conflation": "documents"}
         for name, df in results.items():
             df = df.copy()
             df["corpus_key"] = np.int64(keys[key_of[name]])
