@@ -726,9 +726,15 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     have no shuffle to reuse, so the r6 composition scaling pair
     measured the cascade evaluating 3x inside this operator. One
     explicit ``repartition(id)`` turns all three reads into
-    ``ReusedExchange`` of one materialized shuffle; the window rows
-    likewise pass through a single fp-hash exchange that BOTH the
-    catalog groupBy and the semi-join consume exchange-free.
+    ``ReusedExchange`` of one materialized shuffle. The window
+    explode re-runs per consumer (map-only on top of the reused
+    exchange) — deliberately: an explicit fp-hash exchange of the RAW
+    window rows was tried in its place and measured ~2x slower in
+    isolation (6.8 s -> 12.7 s at sf0.1), because it forwards every
+    (fp, id, pos) row unreduced while the groupBy path collapses
+    duplicates map-side before its (cheaper) exchange, and AQE can
+    broadcast the small flagged-span catalog into the semi-join,
+    skipping the window exchange entirely.
 
     Rewritten documents come back whitespace-normalized (tokens
     re-joined with single spaces; that is the coordinate system the
@@ -738,8 +744,7 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     form). Documents shorter than k tokens are never touched.
     """
     df = df.repartition(F.col(id_col))
-    wins = _span_windows(df, k, text_col, id_col, fingerprint) \
-        .repartition("fp")
+    wins = _span_windows(df, k, text_col, id_col, fingerprint)
     if spans is None:
         spans = (wins.groupBy("fp")
                  .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -881,13 +886,14 @@ def remove_duplicated_char_spans(df: DataFrame, k: int = 40,
     Untouched documents keep their text byte-identical; rewritten ones
     come back whitespace-normalized (the fingerprint coordinate
     system). ``chars_removed`` counts versus the normalized form."""
-    # input barrier + single fp exchange: same three-consumer shape as
-    # remove_duplicated_spans — without these the input lineage (often
+    # input barrier: same three-consumer shape as
+    # remove_duplicated_spans — without it the input lineage (often
     # the map-only curation cascade) re-executes per consumer (r6
-    # composition pair finding; see the word-level twin's docstring)
+    # composition pair finding; see the word-level twin's docstring,
+    # incl. why the raw window rows deliberately do NOT get their own
+    # fp exchange)
     df = df.repartition(F.col(id_col))
-    wins = _char_span_windows(df, k, text_col, id_col, fingerprint) \
-        .repartition("fp")
+    wins = _char_span_windows(df, k, text_col, id_col, fingerprint)
     if spans is None:
         spans = (wins.groupBy("fp")
                  .agg(F.countDistinct(id_col).alias("n_docs"))
