@@ -127,6 +127,29 @@ def main() -> None:
         force(tl.build_tiles(capped))
     timed("tile_pyramid", run_pyramid)
 
+    # ---- 4a2. incremental tile refresh: base counts held materialized
+    # (production keeps the tile table), timed region = diff -> deltas ->
+    # merge for ~12% churn (deletes/moves/inserts via id-hash congruences)
+    def _tile_churn():
+        h = F.pmod(F.xxhash64("poi_id"), F.lit(17))
+        old = pois.select("poi_id", "lon", "lat")
+        kept = old.filter(h != 0)
+        moved = kept.withColumn(
+            "lon", F.when(h == 1, ((F.col("lon") + 200.0) % 360.0) - 180.0)
+                    .otherwise(F.col("lon")))
+        inserts = old.filter(h == 2).select(
+            F.concat("poi_id", F.lit("#new")).alias("poi_id"),
+            (((F.col("lon") + 90.0) % 360.0) - 180.0).alias("lon"), "lat")
+        return old, moved.unionByName(inserts)
+    tile_old, tile_new = _tile_churn()
+    tile_base = (tl.assign_tile_pyramid(tile_old, 2, 14)
+                 .groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+                 .persist())
+    tile_base.count()  # untimed: the stored tile table
+    timed("incremental_tiles", lambda: force(tl.incremental_tile_counts(
+        tile_base, tile_old, tile_new, min_zoom=2, max_zoom=14)))
+    tile_base.unpersist()
+
     # ---- 4b. binary MVT tile encode (z2-10) ----
     from osm_poi_cloud_spark.operators import mvt as mvt_op
     def run_mvt():
@@ -182,6 +205,10 @@ def main() -> None:
         dd.minhash_lsh_pairs(docs, num_perm=64, bands=16, jaccard_threshold=0.5)))
     timed("span_dedup", lambda: force(dd.span_dedup_stats(docs, k=8)))
     timed("span_removal", lambda: force(dd.remove_duplicated_spans(docs, k=8)))
+    # asymmetric quote-inclusion pairs (fat corpus: every replica group
+    # shares its whole window set -> real pair volume); hot-shingle cap on
+    timed("containment", lambda: force(dd.containment_pairs(
+        docs, k=8, min_containment_ppm=600_000, max_fp_df=64)))
     # sliding-window chunking (map-only: split + slice windows, no shuffle)
     from osm_poi_cloud_spark.operators.packing import chunk_documents
     timed("doc_chunks", lambda: force(chunk_documents(docs, max_tokens=64, overlap=16)))
@@ -416,6 +443,10 @@ def main() -> None:
     timed("bm25_topk", lambda: force(bm25_topk(
         docs, ["spark", "merge", "window", "vector"], k=1000)))
     timed("pmi_topk", lambda: force(pmi_topk(docs, k=1000, min_count=5)))
+    # exact-phrase tagging scan (map-only; cost is tokenize+slide, not hits)
+    from osm_poi_cloud_spark.operators.retrieval import phrase_occurrences
+    timed("phrase_scan", lambda: force(phrase_occurrences(
+        docs, "the quick brown fox")))
     timed("hll_pyramid", lambda: force(hll_tile_pyramid(
         pois.withColumn("visitor", F.pmod(F.xxhash64("poi_id"), F.lit(5000))
             .cast("string")),

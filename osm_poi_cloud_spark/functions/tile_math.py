@@ -203,3 +203,106 @@ def quadkey_to_tile_cols(qk_name: str) -> tuple["Column", "Column", "Column"]:
         f"aggregate(sequence(1, length({qk_name})), 0L, "
         f"(acc, i) -> acc * 2L + CAST(substring({qk_name}, i, 1) AS BIGINT) DIV 2)")
     return x, y, F.length(F.expr(qk_name)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Geohash (base-32 interleaved lat/lon — the third interop cell encoding,
+# alongside quadkeys and S2 tokens; Niemeyer 2008 / geohash.org convention)
+# ---------------------------------------------------------------------------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid_bits(precision: int) -> tuple[int, int]:
+    """(n_lon_bits, n_lat_bits) for ``precision`` base-32 chars: 5 bits
+    per char, alternating lon-first, so lon gets the extra bit when
+    5 * precision is odd."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    nbits = 5 * precision
+    return (nbits + 1) // 2, nbits // 2
+
+
+def sql_geohash_cells(lon_expr: str, lat_expr: str,
+                      precision: int) -> tuple[str, str]:
+    """(xi_expr, yi_expr) — integer lon/lat cell indexes at the geohash
+    grid resolution for ``precision``. Exactly the quadkey/tile float
+    discipline: one multiply + one divide in fixed textual order, then
+    ``FLOOR``-then-cast (DuckDB's bare CAST double->BIGINT ROUNDS),
+    clamped so the +180/+90 edges stay in range. The text is the
+    shared Spark/DuckDB dialect subset."""
+    nlon, nlat = geohash_grid_bits(precision)
+    xi = (f"LEAST(CAST(FLOOR((({lon_expr}) + 180.0) * {1 << nlon} / 360.0) "
+          f"AS BIGINT), {(1 << nlon) - 1})")
+    yi = (f"LEAST(CAST(FLOOR((({lat_expr}) + 90.0) * {1 << nlat} / 180.0) "
+          f"AS BIGINT), {(1 << nlat) - 1})")
+    return xi, yi
+
+
+def sql_geohash(xi_expr: str, yi_expr: str, precision: int,
+                div: str = "DIV") -> str:
+    """Geohash string from the INTEGER cell indexes of
+    ``sql_geohash_cells`` — one CONCAT of ``precision`` base-32 digit
+    expressions, each summing its 5 interleaved bits (lon on even
+    global bit positions, MSB first) with exact integer ops only. Same
+    two-dialect template contract as ``sql_quadkey`` (``div`` is the
+    only dialect token); pass the xi/yi through a CTE / withColumn so
+    the float cell math is evaluated once, not per bit."""
+    nlon, nlat = geohash_grid_bits(precision)
+    chars = []
+    for i in range(precision):
+        terms = []
+        for j in range(5):
+            b = 5 * i + j
+            if b % 2 == 0:
+                src, shift = xi_expr, nlon - 1 - b // 2
+            else:
+                src, shift = yi_expr, nlat - 1 - (b - 1) // 2
+            terms.append(f"((({src}) {div} {1 << shift}) % 2) * {1 << (4 - j)}")
+        v = " + ".join(terms)
+        chars.append(f"SUBSTRING('{_GEOHASH32}', CAST(({v}) AS INT) + 1, 1)")
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+def geohash_col(lon_name: str, lat_name: str, precision: int) -> "Column":
+    """Native geohash Column from lon/lat column names (codegen'd; the
+    cell indexes are inlined — fine for Column use, Catalyst CSEs the
+    repeated subexpression; use sql_geohash_cells + withColumn when
+    generating shared SQL text)."""
+    xi, yi = sql_geohash_cells(lon_name, lat_name, precision)
+    return F.expr(sql_geohash(f"({xi})", f"({yi})", precision))
+
+
+def geohash_to_cell_cols(gh_name: str) -> tuple["Column", "Column", "Column"]:
+    """(xi, yi, precision) decoded from a geohash column — exact
+    inverse of ``geohash_col`` for any precision. One ``aggregate``
+    HOF: each char contributes 3 bits to one axis and 2 to the other,
+    ALTERNATING per char (5 is odd, so the interleave parity flips
+    every char: even chars are lon-major). The fold carries a
+    (x, y, i) struct; digit value via ``instr`` on the base-32
+    alphabet (1-based, so the -1 recovers 0..31)."""
+    v = f"CAST(instr('{_GEOHASH32}', substring({gh_name}, i, 1)) AS BIGINT) - 1"
+    hi3 = f"(({v}) DIV 16) % 2 * 4 + (({v}) DIV 4) % 2 * 2 + ({v}) % 2"
+    lo2 = f"(({v}) DIV 8) % 2 * 2 + (({v}) DIV 2) % 2"
+    fold = F.expr(
+        f"aggregate(sequence(1, length({gh_name})), "
+        f"named_struct('x', 0L, 'y', 0L, 'i', 0), "
+        f"(acc, i) -> IF(acc.i % 2 = 0, "
+        f"named_struct('x', acc.x * 8 + ({hi3}), "
+        f"'y', acc.y * 4 + ({lo2}), 'i', acc.i + 1), "
+        f"named_struct('x', acc.x * 4 + ({lo2}), "
+        f"'y', acc.y * 8 + ({hi3}), 'i', acc.i + 1)))")
+    return fold["x"], fold["y"], F.length(F.expr(gh_name)).cast("int")
+
+
+def geohash_cell_bounds(xi: "Column", yi: "Column",
+                        precision: int) -> tuple["Column", "Column", "Column", "Column"]:
+    """(lon_lo, lat_lo, lon_hi, lat_hi) of a geohash cell from its
+    integer indexes — exact inverse of the cell quantization (the
+    tile_bbox analog)."""
+    nlon, nlat = geohash_grid_bits(precision)
+    lon_w, lat_w = 360.0 / (1 << nlon), 180.0 / (1 << nlat)
+    return (xi.cast("double") * lon_w - 180.0,
+            yi.cast("double") * lat_w - 90.0,
+            (xi.cast("double") + 1.0) * lon_w - 180.0,
+            (yi.cast("double") + 1.0) * lat_w - 90.0)

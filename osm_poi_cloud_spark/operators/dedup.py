@@ -1087,3 +1087,67 @@ def remove_boilerplate_lines(df: DataFrame, host_col: str = "host",
         .withColumn(text_col, new_text)
         .drop("_new_text", "_n_kept")
     )
+
+
+def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_containment_ppm: int = 600_000,
+                      max_fp_df: int | None = None,
+                      fingerprint: str = "xxhash64") -> DataFrame:
+    """ASYMMETRIC shingle containment — the quote-inclusion detector
+    Jaccard-style near-dup misses.
+
+        C(A -> B) = |S(A) ∩ S(B)| / |S(A)|
+
+    over distinct k-word window fingerprints S(.). A short document
+    quoted whole inside a long one scores C = 1.0 while its Jaccard
+    vs the container is tiny (|S(B)| dominates the union), so
+    ``dedup_minhash_pairs``/``dedup_jaccard_verify`` never surface the
+    pair; containment is how RefinedWeb/Dolma-style curation catches
+    wholesale quotation, syndication wrappers and subset pages.
+
+    Plan (all native): one ``_span_windows`` explode -> distinct
+    (id, fp) -> per-doc window counts (one partial-agg groupBy) ->
+    fp equi-self-join (ordered pairs; the join COUNT over (a, b) IS
+    the intersection size — the gazetteer blocking identity) -> exact
+    integer-ppm score ``1000000 * n_shared DIV n_windows(a)``.
+
+    Scale levers, same contract as the rest of the dedup family:
+    * candidate fan-out is bounded by per-fp doc frequency, never n²;
+    * ``max_fp_df`` drops corpus-hot shingles (boilerplate) from pair
+      GENERATION — a conservative underestimate exactly like
+      gazetteer_match's ``max_block_df`` (dropped shingles still count
+      in the |S(A)| denominator), documented so oracles can mirror it;
+    * output rows are ordered pairs above ``min_containment_ppm``.
+
+    Returns (contained_id, container_id, n_shared, n_windows,
+    containment_ppm) — n_windows is |S(contained_id)|.
+    """
+    if not 0 < min_containment_ppm <= 1_000_000:
+        raise ValueError(f"min_containment_ppm must be in (0, 1e6], got "
+                         f"{min_containment_ppm}")
+    wins = (_span_windows(df, k, text_col, id_col, fingerprint)
+            .select(id_col, "fp").distinct())
+    sizes = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    pair_wins = wins
+    if max_fp_df is not None:
+        if max_fp_df < 2:
+            raise ValueError(f"max_fp_df must be >= 2, got {max_fp_df}")
+        cool = (wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_fp_df).select("fp"))
+        pair_wins = wins.join(cool, "fp", "left_semi")
+    a = pair_wins.select(F.col(id_col).alias("contained_id"), "fp")
+    b = pair_wins.select(F.col(id_col).alias("container_id"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "contained_id"),
+                   "contained_id")
+        .withColumn("containment_ppm",
+                    F.expr("CAST(1000000 AS BIGINT) * n_shared DIV n_windows"))
+        .filter(F.col("containment_ppm") >= min_containment_ppm)
+    )

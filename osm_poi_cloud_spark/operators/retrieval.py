@@ -119,3 +119,85 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 100,
     dls = doc_lengths(docs, id_col, text_col)
     return (bm25_scores(postings, dls, query_terms, k1, b)
             .orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(k))
+
+
+def build_positional_index(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Positional posting rows ``(term, doc_id, pos)`` (0-based token
+    index, same tokenization as the BM25 index). One posexplode, no
+    shuffle of its own; persist bucketed/sorted by ``term`` so a
+    phrase query's per-term slices arrive partition-pruned."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "term"))
+
+
+def _phrase_terms(phrase) -> list[str]:
+    import re
+
+    terms = (re.split("[^a-z0-9]+", phrase.lower().strip())
+             if isinstance(phrase, str) else [str(t).lower() for t in phrase])
+    terms = [t for t in terms if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    return terms
+
+
+def phrase_occurrences(docs: DataFrame, phrase, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-phrase match per document — the MAP-ONLY batch form:
+    ``(doc_id, n_occurrences, first_pos)`` for docs containing the
+    token sequence (0-based ``first_pos``; overlapping occurrences all
+    count).
+
+    The whole predicate is one codegen'd expression per row (tokenize
+    once, slide a window with ``filter`` over an index ``sequence``,
+    compare ``slice`` to the literal phrase array) — no explode, no
+    shuffle, no Python; filters/pruning push into the scan. This is
+    the right plan when the corpus is scanned anyway (curation-time
+    tagging at 100 TB); ``phrase_search_indexed`` is the serving-time
+    plan over a prebuilt positional index (parity between the two is
+    test-pinned)."""
+    terms = _phrase_terms(phrase)
+    n = len(terms)
+    lit = F.array(*[F.lit(t) for t in terms])
+    toks = _tokens(text_col)
+    hits = F.when(
+        F.size("_tk") >= n,
+        F.filter(F.sequence(F.lit(0), F.size("_tk") - n),
+                 lambda j: F.slice(F.col("_tk"), j + 1, n) == lit),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+        .select("doc_id", hits.alias("_hits"))
+        .filter(F.size("_hits") > 0)
+        .select(
+            "doc_id",
+            F.size("_hits").cast("long").alias("n_occurrences"),
+            F.element_at("_hits", 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+def phrase_search_indexed(positional: DataFrame, phrase) -> DataFrame:
+    """Exact-phrase match from a PREBUILT positional index — the
+    serving-time plan: classic positional intersection, anchored on
+    the first term's postings and narrowed by one equi-join per
+    remaining term on ``(doc_id, pos + i)``.
+
+    Every join side is a single term's postings (an IN-filter that
+    prunes partitions/buckets when the index is stored by term), so
+    cost tracks the RAREST term's selectivity, not the corpus. Output
+    is identical to ``phrase_occurrences`` run over the raw docs."""
+    terms = _phrase_terms(phrase)
+    anchor = (positional.filter(F.col("term") == terms[0])
+              .select("doc_id", F.col("pos").alias("_p")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("_p"))
+        anchor = anchor.join(nxt, ["doc_id", "_p"], "left_semi")
+    return (
+        anchor.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.min("_p").cast("long").alias("first_pos"))
+    )

@@ -365,6 +365,183 @@ def _tile_pyramid_oracle() -> str:
     )
 
 
+# Incremental tile maintenance: two POI snapshots derived from events by
+# exact-integer congruences (shared Spark/DuckDB dialect). The NEW
+# snapshot plants all three churn kinds against OLD: deletes
+# (event_id % 17 == 0 dropped), moves (% 13 == 0 relocated to an
+# independent congruence) and inserts (% 19 == 0 re-emitted under fresh
+# ids at a third congruence).
+_TILE_OLD_SQL = (
+    "SELECT event_id AS poi_id, "
+    "CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon, "
+    "CAST((event_id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat "
+    "FROM events"
+)
+_TILE_NEW_SQL = (
+    "SELECT event_id AS poi_id, "
+    "CASE WHEN event_id % 13 = 0 "
+    "THEN CAST((event_id * 31337) % 36000 AS DOUBLE) / 100.0 - 180.0 "
+    "ELSE CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 END AS lon, "
+    "CAST((event_id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat "
+    "FROM events WHERE event_id % 17 <> 0 "
+    "UNION ALL "
+    "SELECT event_id + 1000000 AS poi_id, "
+    "CAST((event_id * 48271) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon, "
+    "CAST((event_id * 69621) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat "
+    "FROM events WHERE event_id % 19 = 0"
+)
+
+
+def _q_incremental_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-driven tile-table refresh: base counts built from OLD, then
+    ``incremental_tile_counts`` folds only the old->new churn in. The
+    oracle REBUILDS the pyramid from NEW directly in DuckDB, so rows
+    match only if merge(counts(old), deltas(old, new)) == counts(new)
+    — the merge==rebuild identity across engines (the strongest oracle
+    class for incremental operators; hll_setops precedent)."""
+    from ..operators.tiling import assign_tile_pyramid, incremental_tile_counts
+
+    _register(spark, sf_dir, ["events"])
+    old = spark.sql(_TILE_OLD_SQL)
+    new = spark.sql(_TILE_NEW_SQL)
+    base = (
+        assign_tile_pyramid(old, min_zoom=2, max_zoom=6)
+        .groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = incremental_tile_counts(base, old, new, min_zoom=2, max_zoom=6)
+    return (
+        out.select(F.col("z").cast("int").alias("z"), "x", "y",
+                   F.col("n").cast("long").alias("n"))
+        .orderBy("z", "x", "y")
+        .limit(20000)
+    )
+
+
+def _incremental_tiles_oracle() -> str:
+    tx6 = tm.sql_tile_x("lon", 6)
+    ty6 = tm.sql_tile_y("lat", 6)
+    return (
+        f"WITH newsnap AS ({_TILE_NEW_SQL}), keyed AS "
+        f"(SELECT {tx6} AS x6, {ty6} AS y6 FROM newsnap), "
+        "tiled AS (SELECT z, x6 >> (6 - z) AS x, y6 >> (6 - z) AS y "
+        "FROM keyed, (SELECT unnest(generate_series(2, 6)) AS z) zs) "
+        "SELECT CAST(z AS INT) AS z, x, y, COUNT(*) AS n FROM tiled "
+        "GROUP BY 1, x, y ORDER BY z, x, y LIMIT 20000"
+    )
+
+
+# Containment (quote-inclusion) corpus: base documents + full 40-word
+# quotes (containment 1.0 in their base) + composite partials (two
+# 20-word slices of the base glued together — the 26 of 33 windows that
+# don't straddle the junction are shared, ~787k ppm). Same corpus
+# restated in each dialect (slice semantics: Spark slice(a, start, LEN)
+# vs DuckDB 1-based INCLUSIVE list_slice).
+_CONTAIN_CORPUS_SPARK = (
+    "WITH toks AS (SELECT doc_id, "
+    "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '') AS tk "
+    "FROM documents WHERE length(text) > 0) "
+    "SELECT doc_id, text FROM documents WHERE length(text) > 0 "
+    "UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, concat_ws(' ', slice(tk, 1, 40)) AS text "
+    "FROM toks WHERE size(tk) >= 48 AND doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 20000 AS doc_id, concat_ws(' ', "
+    "concat(slice(tk, 11, 20), slice(tk, size(tk) - 19, 20))) AS text "
+    "FROM toks WHERE size(tk) >= 60 AND doc_id % 3 = 0"
+)
+_CONTAIN_CORPUS_DUCK = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '') AS tk "
+    "FROM documents WHERE length(text) > 0), "
+    "corpus AS ("
+    "SELECT doc_id, text FROM documents WHERE length(text) > 0 "
+    "UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, array_to_string(list_slice(tk, 1, 40), ' ') AS text "
+    "FROM toks WHERE len(tk) >= 48 AND doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 20000 AS doc_id, array_to_string(list_concat("
+    "list_slice(tk, 11, 30), list_slice(tk, len(tk) - 19, len(tk))), ' ') AS text "
+    "FROM toks WHERE len(tk) >= 60 AND doc_id % 3 = 0)"
+)
+
+
+# Phrase search: the 5-token phrase appended once to every 4th doc and
+# twice to every 8th (plus any natural occurrences — the oracle counts
+# the same way). Tokenization is the retrieval convention ([^a-z0-9]+).
+_PHRASE = "the quick brown fox jumps"
+_PHRASE_CORPUS_SPARK = (
+    "SELECT doc_id, CASE "
+    f"WHEN doc_id % 8 = 0 THEN concat(text, ' {_PHRASE} {_PHRASE}') "
+    f"WHEN doc_id % 4 = 0 THEN concat(text, ' {_PHRASE}') "
+    "ELSE text END AS text FROM documents WHERE length(text) > 0"
+)
+
+
+def _q_phrase_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counting (map-only batch form; the
+    indexed postings-join form is parity-pinned in tests)."""
+    from ..operators.retrieval import phrase_occurrences
+
+    _register(spark, sf_dir, ["documents"])
+    corpus = spark.sql(_PHRASE_CORPUS_SPARK)
+    return (
+        phrase_occurrences(corpus, _PHRASE)
+        .orderBy("doc_id")
+        .limit(20000)
+    )
+
+
+_Q_PHRASE_SEARCH_ORACLE = (
+    "WITH corpus AS (SELECT doc_id, CASE "
+    f"WHEN doc_id % 8 = 0 THEN concat(text, ' {_PHRASE} {_PHRASE}') "
+    f"WHEN doc_id % 4 = 0 THEN concat(text, ' {_PHRASE}') "
+    "ELSE text END AS text FROM documents WHERE length(text) > 0), "
+    "ctoks AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'), t -> t != '') AS tk "
+    "FROM corpus), "
+    "hits AS (SELECT doc_id, j FROM ctoks, "
+    "UNNEST(generate_series(1, len(tk) - 4)) AS u(j) "
+    f"WHERE len(tk) >= 5 AND array_to_string(list_slice(tk, j, j + 4), ' ') = '{_PHRASE}') "
+    "SELECT doc_id, COUNT(*) AS n_occurrences, MIN(j) - 1 AS first_pos "
+    "FROM hits GROUP BY doc_id ORDER BY doc_id LIMIT 20000"
+)
+
+
+def _q_containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quote-inclusion detection over the planted corpus."""
+    from ..operators.dedup import containment_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    corpus = spark.sql(_CONTAIN_CORPUS_SPARK)
+    return (
+        containment_pairs(corpus, k=8, min_containment_ppm=600_000)
+        .select("contained_id", "container_id", "n_shared", "n_windows",
+                "containment_ppm")
+        .orderBy("contained_id", "container_id")
+        .limit(20000)
+    )
+
+
+_Q_CONTAINMENT_ORACLE = (
+    f"WITH {_CONTAIN_CORPUS_DUCK}, "
+    "ctoks AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '') AS tk "
+    "FROM corpus), "
+    "wins AS (SELECT DISTINCT doc_id, array_to_string(list_slice(tk, j, j + 7), ' ') AS w "
+    "FROM ctoks, UNNEST(generate_series(1, len(tk) - 7)) AS u(j) WHERE len(tk) >= 8), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id, "
+    "COUNT(*) AS n_shared FROM wins a JOIN wins b ON a.w = b.w "
+    "AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+    "SELECT i.contained_id, i.container_id, i.n_shared, s.n_windows, "
+    "(1000000 * i.n_shared) // s.n_windows AS containment_ppm "
+    "FROM inter i JOIN sizes s ON s.doc_id = i.contained_id "
+    "WHERE (1000000 * i.n_shared) // s.n_windows >= 600000 "
+    "ORDER BY contained_id, container_id LIMIT 20000"
+)
+
+
 # Non-rectangular PIP: triangle with off-grid vertices (derived points sit
 # on a 0.01-degree grid, so none land within float noise of an edge).
 _TRI = [(-120.0003, -60.0007), (60.0011, -50.0013), (-10.0017, 70.0019)]
@@ -3075,6 +3252,46 @@ def _q_blocklist_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_geohash_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash interop encoding (functions/tile_math.py sql_geohash /
+    geohash_to_cell_cols): per-cell histogram keyed by the precision-5
+    base-32 geohash over the PTS cloud. Same proof shape as
+    quadkey_tiles: the Spark side DECODES xi/yi back out of the hash
+    (aggregate-HOF fold with per-char alternating interleave parity)
+    while the oracle emits the cell formula directly — rows match only
+    if encode∘decode == id. Cell quantization is FLOOR-then-cast in
+    one shared text (DuckDB bare CAST rounds); digits are exact ints."""
+    _register(spark, sf_dir, ["customer"])
+    p = 5
+    xi, yi = tm.sql_geohash_cells("lon", "lat", p)
+    t = (spark.sql(PTS_SQL)
+         .withColumn("xi", F.expr(xi))
+         .withColumn("yi", F.expr(yi))
+         .withColumn("geohash", F.expr(tm.sql_geohash("xi", "yi", p))))
+    xb, yb, _pb = tm.geohash_to_cell_cols("geohash")
+    return (
+        t.groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("poi_id").cast("long").alias("min_poi"))
+        .select("geohash", xb.alias("xi"), yb.alias("yi"), "n", "min_poi")
+        .orderBy("geohash")
+    )
+
+
+def _geohash_oracle() -> str:
+    p = 5
+    xi, yi = tm.sql_geohash_cells("lon", "lat", p)
+    gh = tm.sql_geohash("xi", "yi", p, div="//")
+    return (
+        f"WITH pts AS ({PTS_SQL}), "
+        f"t AS (SELECT poi_id, {xi} AS xi, {yi} AS yi FROM pts) "
+        f"SELECT {gh} AS geohash, CAST(xi AS BIGINT) AS xi, "
+        "CAST(yi AS BIGINT) AS yi, COUNT(*) AS n, "
+        "CAST(MIN(poi_id) AS BIGINT) AS min_poi "
+        "FROM t GROUP BY geohash, xi, yi ORDER BY geohash"
+    )
+
+
 def _quadkey_oracle() -> str:
     z = 8
     tx = tm.sql_tile_x("lon", z)
@@ -4436,6 +4653,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly_window"] = _q_events_hourly_spark
     q["text_quality"] = _q_text_quality_spark
     q["tile_pyramid_counts"] = _q_tile_pyramid_spark
+    q["incremental_tiles"] = _q_incremental_tiles_spark
+    q["containment_pairs"] = _q_containment_spark
+    q["phrase_search"] = _q_phrase_search_spark
+    q["geohash_cells"] = _q_geohash_cells_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -4641,6 +4862,10 @@ def build_oracles() -> dict[str, str]:
     o["events_hourly_window"] = _Q_EVENTS_HOURLY_ORACLE
     o["text_quality"] = _Q_TEXT_QUALITY_ORACLE
     o["tile_pyramid_counts"] = _tile_pyramid_oracle()
+    o["incremental_tiles"] = _incremental_tiles_oracle()
+    o["containment_pairs"] = _Q_CONTAINMENT_ORACLE
+    o["phrase_search"] = _Q_PHRASE_SEARCH_ORACLE
+    o["geohash_cells"] = _geohash_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE

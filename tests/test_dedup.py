@@ -465,3 +465,90 @@ def test_remove_duplicated_char_spans(spark):
         dd.duplicated_char_spans(df, k=1)
     with pytest.raises(ValueError):
         dd.remove_duplicated_char_spans(df, fingerprint="sha1")
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_quote_inclusion(spark):
+    # 10-word quote fully inside a 40-word container; k=8 -> quote has
+    # 3 windows, all present in the container -> containment 1.0 one
+    # way, small the other way (the asymmetry Jaccard misses)
+    quote_words = [f"q{i}" for i in range(10)]
+    container_words = (
+        [f"pre{i}" for i in range(15)] + quote_words + [f"post{i}" for i in range(15)]
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, " ".join(quote_words)), (2, " ".join(container_words)), (3, other)],
+        "doc_id long, text string")
+    rows = {(r["contained_id"], r["container_id"]): r
+            for r in dd.containment_pairs(df, k=8, min_containment_ppm=90_000).collect()}
+    assert set(rows) == {(1, 2), (2, 1)}
+    full = rows[(1, 2)]
+    assert full["n_windows"] == 3 and full["n_shared"] == 3
+    assert full["containment_ppm"] == 1_000_000
+    back = rows[(2, 1)]
+    assert back["n_windows"] == 33 and back["n_shared"] == 3
+    assert back["containment_ppm"] == 1_000_000 * 3 // 33
+    # threshold gates the weak direction
+    strict = {(r["contained_id"], r["container_id"])
+              for r in dd.containment_pairs(df, k=8, min_containment_ppm=600_000).collect()}
+    assert strict == {(1, 2)}
+
+
+def test_containment_max_fp_df_drops_hot_shingles(spark):
+    # the same 8-word run in 4 docs; max_fp_df=3 drops it from pair
+    # generation entirely -> no pairs (conservative underestimate), but
+    # it still counts in each doc's n_windows denominator
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c " + shared) for i in range(4)],
+        "doc_id long, text string")
+    assert dd.containment_pairs(df, k=8, min_containment_ppm=100_000,
+                                max_fp_df=3).count() == 0
+    hot = dd.containment_pairs(df, k=8, min_containment_ppm=100_000)
+    # without the cap every ordered pair appears (4 windows per doc,
+    # exactly the last one — the pure 8-word shared run — matching)
+    got = hot.collect()
+    assert len(got) == 12
+    assert all(r["n_windows"] == 4 and r["n_shared"] == 1 for r in got)
+
+    with pytest.raises(ValueError):
+        dd.containment_pairs(df, min_containment_ppm=0)
+    with pytest.raises(ValueError):
+        dd.containment_pairs(df, max_fp_df=1)
+
+
+def test_containment_independent_recompute(spark):
+    # brute-force python recompute over a pseudo-corpus with planted
+    # quotes and overlapping composites
+    rng = np.random.RandomState(5)
+    pool = [f"w{i}" for i in range(60)]
+    docs = {}
+    for i in range(30):
+        docs[i] = [pool[j] for j in rng.randint(0, 60, 25)]
+    for i in range(10):  # quotes: 12-word slice of doc i
+        docs[100 + i] = docs[i][5:17]
+    k = 8
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string")
+    got = {(r["contained_id"], r["container_id"]): (r["n_shared"], r["n_windows"], r["containment_ppm"])
+           for r in dd.containment_pairs(df, k=k, min_containment_ppm=400_000).collect()}
+
+    def wins(ws):
+        return {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
+    exp = {}
+    for a, aw in docs.items():
+        for b, bw in docs.items():
+            if a == b:
+                continue
+            sa, sb = wins(aw), wins(bw)
+            if not sa:
+                continue
+            inter = len(sa & sb)
+            ppm = 1_000_000 * inter // len(sa)
+            if inter and ppm >= 400_000:
+                exp[(a, b)] = (inter, len(sa), ppm)
+    assert got == exp
+    assert len(exp) >= 10  # every quote found

@@ -155,3 +155,54 @@ def test_pmi_partitioning_independent(spark):
 def test_pmi_validation(spark):
     with pytest.raises(ValueError):
         ta.pmi_bigrams(None, min_count=0)
+
+
+# ------------------------------------------------------------ phrase search
+
+
+def test_phrase_occurrences_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha the quick brown fox jumps beta"),
+         (2, "the quick brown fox jumps the quick brown fox jumps"),
+         (3, "the quick brown fox sleeps"),
+         (4, "a a a"),                       # overlap probe corpus below
+         (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in rt.phrase_occurrences(df, "The quick, brown FOX jumps!").collect()}
+    assert got == {1: (1, 1), 2: (2, 0)}
+    # overlapping occurrences all count
+    ov = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+          for r in rt.phrase_occurrences(df, "a a").collect()}
+    assert ov == {4: (2, 0)}
+    with pytest.raises(ValueError):
+        rt.phrase_occurrences(df, "!!!")
+
+
+def test_phrase_indexed_parity(spark):
+    # the serving-time postings-join plan returns exactly the map-only
+    # scan's rows, including repeated-term phrases and overlaps
+    import numpy as np
+    rng = np.random.RandomState(11)
+    pool = ["the", "quick", "brown", "fox", "dog", "a"]
+    rows = [(i, " ".join(pool[j] for j in rng.randint(0, 6, 30)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = rt.build_positional_index(df)
+    for phrase in ("the quick", "a a", "quick brown fox"):
+        scan = {(r["doc_id"], r["n_occurrences"], r["first_pos"])
+                for r in rt.phrase_occurrences(df, phrase).collect()}
+        served = {(r["doc_id"], r["n_occurrences"], r["first_pos"])
+                  for r in rt.phrase_search_indexed(idx, phrase).collect()}
+        assert scan == served, phrase
+        assert scan  # non-trivial: the pool guarantees matches
+        # independent python recompute
+        exp = set()
+        for did, text in rows:
+            tk = text.split()
+            p = phrase.split()
+            hits = [j for j in range(len(tk) - len(p) + 1)
+                    if tk[j:j + len(p)] == p]
+            if hits:
+                exp.add((did, len(hits), hits[0]))
+        assert scan == exp, phrase

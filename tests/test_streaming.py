@@ -364,3 +364,51 @@ def test_histogram_stream_matches_batch(spark, tmp_path):
              .sort_values("bin").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, batch)
     assert int(got["cnt"].sum()) == 4000
+
+
+def test_tile_delta_stream_matches_batch_merge(spark, tmp_path):
+    """Streaming tile maintenance: snapshot-diff delta rows arrive as an
+    append stream; the running per-tile sum in complete mode equals the
+    batch merge_tile_counts fold (the delta algebra is associative and
+    commutative, so micro-batch boundaries can't change the result)."""
+    import pyspark.sql.functions as F
+
+    from osm_poi_cloud_spark.operators import tiling as tl
+
+    old = spark.range(300).selectExpr(
+        "id AS poi_id",
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat")
+    new = spark.range(300).filter("id % 5 <> 0").selectExpr(
+        "id AS poi_id",
+        "CASE WHEN id % 3 = 0 THEN CAST((id * 31337) % 36000 AS DOUBLE) / 100.0 - 180.0 "
+        "ELSE CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 END AS lon",
+        "CAST((id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat")
+    base = (tl.assign_tile_pyramid(old, 2, 7).groupBy("z", "x", "y")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+    deltas = tl.tile_count_deltas(old, new, min_zoom=2, max_zoom=7)
+    src = str(tmp_path / "tile_deltas")
+    deltas.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema("z int, x long, y long, delta long").parquet(src)
+    q = (
+        stream.groupBy("z", "x", "y").agg(F.sum("delta").alias("delta"))
+        .writeStream.format("memory").queryName("tile_deltas_c")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT * FROM tile_deltas_c WHERE delta <> 0")
+    got = (tl.merge_tile_counts(base, streamed).toPandas()
+           .sort_values(["z", "x", "y"]).reset_index(drop=True))
+    exp = (tl.merge_tile_counts(base, deltas).toPandas()
+           .sort_values(["z", "x", "y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # and both equal the from-scratch rebuild
+    rebuilt = (tl.assign_tile_pyramid(new, 2, 7).groupBy("z", "x", "y")
+               .agg(F.count(F.lit(1)).alias("n")).toPandas()
+               .sort_values(["z", "x", "y"]).reset_index(drop=True))
+    got["n"] = got["n"].astype("int64")
+    rebuilt["n"] = rebuilt["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, rebuilt)

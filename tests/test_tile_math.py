@@ -4,6 +4,7 @@ stack/batch/common.py:82-97)."""
 import math
 
 import numpy as np
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -183,3 +184,78 @@ def test_quadkey_sql_matches_duckdb(spark):
 
     with pytest.raises(ValueError):
         tm.sql_quadkey("x", "y", 0)
+
+
+# ----------------------------------------------------------------- geohash
+
+
+def _py_geohash(lon, lat, p):
+    """From-spec recompute (Niemeyer convention): bisection == integer
+    cell index bits, lon first, 5 bits per base-32 char."""
+    a = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = 5 * p
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    xi = min(int(math.floor((lon + 180.0) * (1 << nlon) / 360.0)), (1 << nlon) - 1)
+    yi = min(int(math.floor((lat + 90.0) * (1 << nlat) / 180.0)), (1 << nlat) - 1)
+    out = []
+    for i in range(p):
+        v = 0
+        for j in range(5):
+            b = 5 * i + j
+            bit = ((xi >> (nlon - 1 - b // 2)) if b % 2 == 0
+                   else (yi >> (nlat - 1 - (b - 1) // 2))) & 1
+            v = v * 2 + bit
+        out.append(a[v])
+    return "".join(out), xi, yi
+
+
+def test_geohash_published_anchors(spark):
+    # geohash.org canonical examples: these strings are published
+    # anchors, not round-trip artifacts
+    df = spark.createDataFrame(
+        [(-5.6, 42.6), (10.40744, 57.64911)], "lon double, lat double")
+    got5 = [r[0] for r in df.select(tm.geohash_col("lon", "lat", 5)).collect()]
+    assert got5[0] == "ezs42"
+    got11 = [r[0] for r in df.select(tm.geohash_col("lon", "lat", 11)).collect()]
+    assert got11[1] == "u4pruydqqvj"
+    # edge clamps
+    edge = spark.createDataFrame([(180.0, 90.0), (-180.0, -90.0)],
+                                 "lon double, lat double")
+    assert [r[0] for r in edge.select(tm.geohash_col("lon", "lat", 6)).collect()] \
+        == ["zzzzzz", "000000"]
+
+
+def test_geohash_roundtrip_and_python_parity(spark):
+    rng = np.random.RandomState(3)
+    pdf = {
+        "lon": rng.uniform(-180, 180, 300),
+        "lat": rng.uniform(-90, 90, 300),
+    }
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(pdf))
+    for p in (1, 5, 8, 12):
+        enc = df.select("lon", "lat", tm.geohash_col("lon", "lat", p).alias("gh"))
+        xb, yb, pb = tm.geohash_to_cell_cols("gh")
+        rows = enc.select("lon", "lat", "gh", xb.alias("xi"),
+                          yb.alias("yi"), pb.alias("p")).collect()
+        for r in rows:
+            eg, exi, eyi = _py_geohash(r["lon"], r["lat"], p)
+            assert r["gh"] == eg
+            assert (r["xi"], r["yi"], r["p"]) == (exi, eyi, p)
+    # cell bounds contain the point (exact inverse of the quantization)
+    enc = df.select("lon", "lat", tm.geohash_col("lon", "lat", 6).alias("gh"))
+    xb, yb, _ = tm.geohash_to_cell_cols("gh")
+    b = tm.geohash_cell_bounds(xb, yb, 6)
+    chk = enc.select((
+        (b[0] <= F.col("lon")) & (F.col("lon") < b[2])
+        & (b[1] <= F.col("lat")) & (F.col("lat") < b[3])).alias("inside"))
+    assert all(r["inside"] for r in chk.collect())
+
+
+def test_geohash_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        tm.geohash_grid_bits(0)
+    with pytest.raises(ValueError):
+        tm.sql_geohash("x", "y", 13)

@@ -289,3 +289,84 @@ def test_heatmap_tiles_kde_composition_deterministic(spark):
     kb = b.sort_values(["x", "y"]).reset_index(drop=True)
     assert list(ka["pixel_crc"]) == list(kb["pixel_crc"])
     assert (ka["n_px"] > 0).all() and len(ka) >= 4
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def test_tile_count_deltas_hand_case(spark):
+    # one tile at z1 covers a lon/lat quadrant: points in the NE quadrant
+    # (lon>0, lat>0) share tile (1,0) at z1
+    old = spark.createDataFrame(
+        [("a", 10.0, 10.0),   # unchanged
+         ("b", 20.0, 20.0),   # deleted
+         ("c", 30.0, 30.0),   # moves within the same z1 tile (cancels)
+         ("d", 40.0, 40.0)],  # moves across tiles (lon sign flip)
+        "poi_id string, lon double, lat double")
+    new = spark.createDataFrame(
+        [("a", 10.0, 10.0),
+         ("c", 35.0, 35.0),
+         ("d", -40.0, 40.0),
+         ("e", 50.0, 50.0)],  # inserted
+        "poi_id string, lon double, lat double")
+    d = {(r["z"], r["x"], r["y"]): r["delta"]
+         for r in tl.tile_count_deltas(old, new, min_zoom=1, max_zoom=1).collect()}
+    # NE tile: -b, -d(moved out), +e, c cancels  -> -1 net
+    assert d[(1, 1, 0)] == -1
+    # NW tile: +d moved in
+    assert d[(1, 0, 0)] == 1
+    assert set(d) == {(1, 1, 0), (1, 0, 0)}
+
+
+def test_incremental_tile_counts_identity(spark):
+    # identity: merge(counts(old), deltas(old, new)) == counts rebuilt
+    # from new — with all three churn kinds planted
+    old = spark.range(400).selectExpr(
+        "id AS poi_id",
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat")
+    new = spark.range(400).filter("id % 7 <> 0").selectExpr(
+        "id AS poi_id",
+        "CASE WHEN id % 5 = 0 THEN CAST((id * 31337) % 36000 AS DOUBLE) / 100.0 - 180.0 "
+        "ELSE CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 END AS lon",
+        "CAST((id * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat").union(
+        spark.range(400).filter("id % 11 = 0").selectExpr(
+            "id + 100000 AS poi_id",
+            "CAST((id * 48271) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+            "CAST((id * 69621) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat"))
+
+    def counts(df):
+        return (tl.assign_tile_pyramid(df, 2, 8).groupBy("z", "x", "y")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    got = (tl.incremental_tile_counts(counts(old), old, new,
+                                      min_zoom=2, max_zoom=8)
+           .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True))
+    exp = (counts(new).toPandas()
+           .sort_values(["z", "x", "y"]).reset_index(drop=True))
+    got["n"] = got["n"].astype("int64")
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # non-trivial churn actually exercised
+    n_deltas = tl.tile_count_deltas(old, new, min_zoom=2, max_zoom=8).count()
+    assert n_deltas > 50
+
+
+def test_tile_deltas_attr_only_change_emits_nothing(spark):
+    old = spark.createDataFrame([("a", 10.0, 10.0, "cafe")],
+                                "poi_id string, lon double, lat double, class string")
+    new = spark.createDataFrame([("a", 10.0, 10.0, "bank")],
+                                "poi_id string, lon double, lat double, class string")
+    assert tl.tile_count_deltas(old, new, min_zoom=2, max_zoom=6).count() == 0
+
+
+def test_merge_drops_emptied_tiles_and_validates(spark):
+    base = spark.createDataFrame([(3, 1, 2, 1)], "z int, x long, y long, n long")
+    deltas = spark.createDataFrame([(3, 1, 2, -1), (3, 4, 4, 2)],
+                                   "z int, x long, y long, delta long")
+    got = {(r["z"], r["x"], r["y"]): r["n"]
+           for r in tl.merge_tile_counts(base, deltas).collect()}
+    assert got == {(3, 4, 4): 2}
+    import pytest
+    with pytest.raises(ValueError):
+        tl.tile_count_deltas(base, base, min_zoom=9, max_zoom=2)
