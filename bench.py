@@ -209,6 +209,10 @@ def main() -> None:
     # shares its whole window set -> real pair volume); hot-shingle cap on
     timed("containment", lambda: force(dd.containment_pairs(
         docs, k=8, min_containment_ppm=600_000, max_fp_df=64)))
+    # paragraph-granularity keep-first dedup (fat docs are single-paragraph,
+    # so the 5x replica groups are the duplicated-paragraph population)
+    timed("paragraph_dedup", lambda: force(
+        dd.remove_duplicated_paragraphs(docs.select("doc_id", "text"))))
     # sliding-window chunking (map-only: split + slice windows, no shuffle)
     from osm_poi_cloud_spark.operators.packing import chunk_documents
     timed("doc_chunks", lambda: force(chunk_documents(docs, max_tokens=64, overlap=16)))

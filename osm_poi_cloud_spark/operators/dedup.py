@@ -1151,3 +1151,101 @@ def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
                     F.expr("CAST(1000000 AS BIGINT) * n_shared DIV n_windows"))
         .filter(F.col("containment_ppm") >= min_containment_ppm)
     )
+
+
+def duplicated_paragraphs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_docs: int = 2) -> DataFrame:
+    """Corpus-wide duplicated-paragraph catalog: ``(p_hash, n_docs,
+    n_occurrences)`` for every paragraph (``\\n\\n``-separated block)
+    appearing in >= ``min_docs`` distinct documents. One posexplode +
+    one partial-aggregated groupBy, bounded by distinct paragraph
+    content — the paragraph-granularity member of the dedup family
+    (between line-level host boilerplate and whole-doc exact dedup;
+    the CCNet/Dolma paragraph-dedup stage)."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    inst = _paragraph_instances(df, text_col, id_col)
+    return (
+        inst.groupBy("p_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def _paragraph_instances(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, p_pos, paragraph, p_hash) — one row per paragraph instance,
+    0-based position. The '\\n\\n' split/join round trip is
+    byte-faithful (a literal-separator split keeps any residual
+    newlines inside the pieces), so untouched docs rebuild
+    byte-identically."""
+    return (
+        df.select(F.col(id_col),
+                  F.posexplode(F.split(F.col(text_col), "\n\n"))
+                  .alias("p_pos", "paragraph"))
+        .withColumn("p_hash", F.md5("paragraph"))
+    )
+
+
+def remove_duplicated_paragraphs(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id", min_docs: int = 2,
+                                 keep: str = "first") -> DataFrame:
+    """Paragraph-level dedup REWRITE: drop paragraphs that appear in >=
+    ``min_docs`` distinct documents, keeping (``keep="first"``) exactly
+    one canonical copy — the instance with the smallest (doc id,
+    position) — or (``keep="none"``) no copy at all (the boilerplate
+    posture). Whole-doc near-dup machinery misses this: syndicated
+    blocks ride inside otherwise-unique pages.
+
+    Plan (all native): posexplode paragraphs -> one p_hash groupBy
+    producing (n_docs, min (id, pos) struct) -> hash join back to the
+    instances -> per-doc regroup (sort_array on position, concat with
+    the original separator). Shuffle cost: one content-bounded groupBy
+    + one join + one per-doc regroup — the span-removal cost class.
+    Untouched documents rebuild byte-identically (literal-separator
+    round trip); ``paragraphs_removed`` counts cut instances."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    inst = _paragraph_instances(df, text_col, id_col)
+    stats = (
+        inst.groupBy("p_hash")
+        .agg(F.countDistinct(id_col).alias("_nd"),
+             F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col("p_pos").alias("p"))).alias("_first"))
+    )
+    j = inst.join(stats, "p_hash")
+    is_dup = F.col("_nd") >= min_docs
+    if keep == "first":
+        cut = is_dup & ~((F.col(id_col) == F.col("_first.i"))
+                         & (F.col("p_pos") == F.col("_first.p")))
+    else:
+        cut = is_dup
+    kept = (
+        j.withColumn("_cut", cut)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("_cut"),
+                               F.struct(F.col("p_pos").alias("p"),
+                                        F.col("paragraph").alias("t"))))),
+                    lambda s: s["t"])).alias("_new_text"),
+            F.sum(F.col("_cut").cast("long")).alias("paragraphs_removed"),
+        )
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    # left join: NULL-text docs produce no paragraph instances and
+    # must survive unchanged, not vanish through an inner join
+    return (
+        df.join(kept, id_col, "left")
+        .select(*out_cols,
+                F.coalesce(F.col("_new_text"), F.col(text_col)).alias(text_col),
+                F.coalesce(F.col("paragraphs_removed"), F.lit(0)).alias(
+                    "paragraphs_removed"))
+    )

@@ -431,6 +431,104 @@ def _incremental_tiles_oracle() -> str:
     )
 
 
+# Viewport tile query: a city-scale point cloud (all events mapped into
+# a 5x5-degree box) served through the tile table + the client's
+# viewport tile-range enumeration.
+_VIEWPORT_PTS_SQL = (
+    "SELECT event_id AS poi_id, "
+    "CAST((event_id * 7919) % 500 AS DOUBLE) / 100.0 - 2.5 AS lon, "
+    "CAST((event_id * 104729) % 500 AS DOUBLE) / 100.0 - 2.5 AS lat "
+    "FROM events"
+)
+_VIEWPORT = (-2.0, -2.0, 1.0, 1.0)
+_VIEWPORT_ZOOM = 10
+
+
+def _q_viewport_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map viewport serving: per-tile counts filtered to the
+    inclusive tile range a client enumerates for its bbox — the range
+    comes from the engine's bit-exact P9 kernel (query_api
+    viewport_tile_range) so it always agrees with the stored
+    assignments; the filter is z-equality + two integer BETWEENs
+    (PushedFilters; partition-pruned on the stage_tiles layout)."""
+    from ..plans.query_api import tiles_in_viewport
+
+    _register(spark, sf_dir, ["events"])
+    pts = spark.sql(_VIEWPORT_PTS_SQL)
+    tx, ty = tm.tile_cols("lon", "lat", _VIEWPORT_ZOOM)
+    tiles = (pts.select(tx.alias("x"), ty.alias("y"))
+             .withColumn("z", F.lit(_VIEWPORT_ZOOM))
+             .groupBy("z", "x", "y")
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = tiles_in_viewport(tiles, *_VIEWPORT, zoom=_VIEWPORT_ZOOM)
+    return (out.select(F.col("z").cast("int").alias("z"), "x", "y", "n")
+            .orderBy("x", "y"))
+
+
+def _viewport_tiles_oracle() -> str:
+    from ..plans.query_api import viewport_tile_range
+
+    x_lo, x_hi, y_lo, y_hi = viewport_tile_range(
+        *_VIEWPORT, zoom=_VIEWPORT_ZOOM)
+    tx = tm.sql_tile_x("lon", _VIEWPORT_ZOOM)
+    ty = tm.sql_tile_y("lat", _VIEWPORT_ZOOM)
+    return (
+        f"WITH pts AS ({_VIEWPORT_PTS_SQL}), "
+        f"t AS (SELECT {tx} AS x, {ty} AS y FROM pts) "
+        f"SELECT CAST({_VIEWPORT_ZOOM} AS INT) AS z, x, y, COUNT(*) AS n "
+        f"FROM t WHERE x BETWEEN {x_lo} AND {x_hi} "
+        f"AND y BETWEEN {y_lo} AND {y_hi} "
+        "GROUP BY x, y ORDER BY x, y"
+    )
+
+
+# Paragraph dedup: every doc carries a unique intro, one of 7 syndicated
+# blocks (shared corpus-wide) and its own text as the tail paragraph(s).
+# Shared text (real newline chars embed identically in both dialects).
+_PARA_CORPUS = (
+    "SELECT doc_id, concat('intro para ', CAST(doc_id AS STRING), '\n\n', "
+    "'syndicated block ', CAST(doc_id % 7 AS STRING), "
+    "' repeated across the corpus', '\n\n', text) AS text "
+    "FROM documents WHERE length(text) > 0"
+)
+
+
+def _q_paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (CCNet/Dolma stage), keep-first
+    semantics: the (min doc, min pos) instance of each duplicated
+    paragraph survives, every other copy is cut. md5 fingerprint of the
+    rebuilt text crosses the driver hash (array-free convention)."""
+    from ..operators.dedup import remove_duplicated_paragraphs
+
+    _register(spark, sf_dir, ["documents"])
+    corpus = spark.sql(_PARA_CORPUS)
+    out = remove_duplicated_paragraphs(corpus, min_docs=2)
+    return (
+        out.select("doc_id", F.md5("text").alias("text_md5"),
+                   "paragraphs_removed")
+        .orderBy("doc_id")
+    )
+
+
+_Q_PARAGRAPH_DEDUP_ORACLE = (
+    f"WITH corpus AS ({_PARA_CORPUS}), "
+    "pars AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps "
+    "FROM corpus), "
+    "inst AS (SELECT doc_id, j, ps[j] AS par FROM pars, "
+    "UNNEST(generate_series(1, len(ps))) AS u(j)), "
+    "nd AS (SELECT par, COUNT(DISTINCT doc_id) AS n_docs FROM inst GROUP BY par), "
+    "ranked AS (SELECT i.doc_id, i.j, i.par, n.n_docs, "
+    "ROW_NUMBER() OVER (PARTITION BY i.par ORDER BY i.doc_id, i.j) AS rn "
+    "FROM inst i JOIN nd n ON n.par = i.par), "
+    "marked AS (SELECT doc_id, j, par, (n_docs >= 2 AND rn > 1) AS cut FROM ranked) "
+    "SELECT doc_id, "
+    "md5(COALESCE(array_to_string(list(par ORDER BY j) FILTER (WHERE NOT cut), "
+    "chr(10) || chr(10)), '')) AS text_md5, "
+    "CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS paragraphs_removed "
+    "FROM marked GROUP BY doc_id ORDER BY doc_id"
+)
+
+
 # Containment (quote-inclusion) corpus: base documents + full 40-word
 # quotes (containment 1.0 in their base) + composite partials (two
 # 20-word slices of the base glued together — the 26 of 33 windows that
@@ -4657,6 +4755,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["containment_pairs"] = _q_containment_spark
     q["phrase_search"] = _q_phrase_search_spark
     q["geohash_cells"] = _q_geohash_cells_spark
+    q["viewport_tiles"] = _q_viewport_tiles_spark
+    q["paragraph_dedup"] = _q_paragraph_dedup_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -4866,6 +4966,8 @@ def build_oracles() -> dict[str, str]:
     o["containment_pairs"] = _Q_CONTAINMENT_ORACLE
     o["phrase_search"] = _Q_PHRASE_SEARCH_ORACLE
     o["geohash_cells"] = _geohash_oracle()
+    o["viewport_tiles"] = _viewport_tiles_oracle()
+    o["paragraph_dedup"] = _Q_PARAGRAPH_DEDUP_ORACLE
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE

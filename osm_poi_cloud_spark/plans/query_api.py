@@ -100,6 +100,47 @@ def health() -> dict:
     return {"status": "ok"}
 
 
+def viewport_tile_range(min_lon: float, min_lat: float, max_lon: float,
+                        max_lat: float, zoom: int) -> tuple[int, int, int, int]:
+    """Inclusive (x_lo, x_hi, y_lo, y_hi) tile range covering a lon/lat
+    viewport at ``zoom`` — the slippy-map client's tile enumeration,
+    computed with the engine's bit-exact P9 kernel (so the range agrees
+    with every stored tile assignment). Web-Mercator y grows DOWN, so
+    the y range comes from (max_lat, min_lat)."""
+    validate_bbox(min_lon, min_lat, max_lon, max_lat)
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
+    from ..functions import tile_math as tm
+
+    x_lo, y_lo = tm.lon_lat_to_tile(min_lon, max_lat, zoom)
+    x_hi, y_hi = tm.lon_lat_to_tile(max_lon, min_lat, zoom)
+    return int(x_lo), int(x_hi), int(y_lo), int(y_hi)
+
+
+def tiles_in_viewport(tiles: DataFrame, min_lon: float, min_lat: float,
+                      max_lon: float, max_lat: float, zoom: int,
+                      max_tiles: int = 4096) -> DataFrame:
+    """Viewport query against a stored tile table (build_tiles /
+    stage_tiles output with z, x, y columns): one zoom equality + two
+    integer BETWEENs — all three land in PushedFilters, and on the
+    stage_tiles layout (partitioned by z, range-clustered on x, y) the
+    scan touches only the z partition's covering row groups. The
+    ``max_tiles`` guard rejects viewport/zoom combinations that would
+    enumerate more tiles than a client could render (input validation,
+    not a plan limit)."""
+    x_lo, x_hi, y_lo, y_hi = viewport_tile_range(
+        min_lon, min_lat, max_lon, max_lat, zoom)
+    n = (x_hi - x_lo + 1) * (y_hi - y_lo + 1)
+    if n > max_tiles:
+        raise ValueError(
+            f"viewport covers {n} tiles at z{zoom} > max_tiles={max_tiles}; "
+            "lower the zoom or shrink the bbox")
+    return tiles.filter(
+        (F.col("z") == zoom)
+        & F.col("x").between(x_lo, x_hi)
+        & F.col("y").between(y_lo, y_hi))
+
+
 def register_poi_table(spark, path: str, view: str = "pois"):
     """Ad-hoc SQL surface — the Athena-over-the-table path
     (create_table.sql:35-40, README.md:294-301): register the POI table

@@ -552,3 +552,82 @@ def test_containment_independent_recompute(spark):
                 exp[(a, b)] = (inter, len(sa), ppm)
     assert got == exp
     assert len(exp) >= 10  # every quote found
+
+
+# -------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_hand_case(spark):
+    syn = "syndicated block\nwith an inner newline"
+    df = spark.createDataFrame(
+        [(1, f"alpha one\n\n{syn}\n\ntail one"),
+         (2, f"{syn}\n\nbeta two"),
+         (3, f"gamma three\n\n{syn}\n\n{syn}"),   # two copies in one doc
+         (4, "all unique\n\nnothing shared"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dd.remove_duplicated_paragraphs(df, min_docs=2).collect()}
+    # keep="first": the (min doc, min pos) instance survives, others cut
+    assert out[1]["text"] == f"alpha one\n\n{syn}\n\ntail one"
+    assert out[1]["paragraphs_removed"] == 0
+    assert out[2]["text"] == "beta two"
+    assert out[2]["paragraphs_removed"] == 1
+    assert out[3]["text"] == "gamma three"
+    assert out[3]["paragraphs_removed"] == 2
+    # untouched doc is byte-identical (incl. inner newlines)
+    assert out[4]["text"] == "all unique\n\nnothing shared"
+    # NULL text survives the left join
+    assert out[5]["text"] is None and out[5]["paragraphs_removed"] == 0
+
+    none = {r["doc_id"]: r for r in
+            dd.remove_duplicated_paragraphs(df, min_docs=2, keep="none").collect()}
+    assert none[1]["text"] == "alpha one\n\ntail one"
+    assert none[1]["paragraphs_removed"] == 1
+
+    cat = {r["p_hash"]: r for r in dd.duplicated_paragraphs(df).collect()}
+    assert len(cat) == 1
+    (row,) = cat.values()
+    assert row["n_docs"] == 3 and row["n_occurrences"] == 4
+
+    import pytest
+    with pytest.raises(ValueError):
+        dd.remove_duplicated_paragraphs(df, keep="both")
+    with pytest.raises(ValueError):
+        dd.duplicated_paragraphs(df, min_docs=1)
+
+
+def test_paragraph_dedup_independent_recompute(spark):
+    rng = np.random.RandomState(7)
+    blocks = [f"block {i} " + " ".join(f"w{j}" for j in rng.randint(0, 40, 6))
+              for i in range(12)]
+    docs = {}
+    for d in range(40):
+        ps = [f"unique {d} para {k}" for k in range(2)]
+        ps.insert(rng.randint(0, 3), blocks[d % 12])
+        if d % 5 == 0:
+            ps.append(blocks[(d + 3) % 12])
+        docs[d] = "\n\n".join(ps)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["paragraphs_removed"]) for r in
+           dd.remove_duplicated_paragraphs(df, min_docs=2).collect()}
+
+    # brute force: global (doc, pos) rank per paragraph string
+    inst = []
+    for d, t in sorted(docs.items()):
+        for p, par in enumerate(t.split("\n\n")):
+            inst.append((par, d, p))
+    from collections import defaultdict
+    by_par = defaultdict(list)
+    for par, d, p in inst:
+        by_par[par].append((d, p))
+    keepers = {par: min(v) for par, v in by_par.items()}
+    ndocs = {par: len({d for d, _ in v}) for par, v in by_par.items()}
+    for d, t in docs.items():
+        kept, cut = [], 0
+        for p, par in enumerate(t.split("\n\n")):
+            if ndocs[par] >= 2 and keepers[par] != (d, p):
+                cut += 1
+            else:
+                kept.append(par)
+        assert got[d] == ("\n\n".join(kept), cut), d

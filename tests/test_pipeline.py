@@ -138,3 +138,52 @@ def test_extraction_stage_prunes_columns(spark, pages, tmp_path):
     assert "url" in scan and "html" in scan
     assert "text" not in scan and "warc_ts" not in scan
     assert "PushedFilters" in scan and "lang" in scan.split("PushedFilters")[1][:200]
+
+
+def test_viewport_tile_range_and_query(spark):
+    # range agrees with the P9 kernel, y inverted, inclusive ends
+    x_lo, x_hi, y_lo, y_hi = qa.viewport_tile_range(-2.0, -2.0, 1.0, 1.0, 10)
+    ex_lo, ey_lo = tm.lon_lat_to_tile(-2.0, 1.0, 10)
+    ex_hi, ey_hi = tm.lon_lat_to_tile(1.0, -2.0, 10)
+    assert (x_lo, x_hi, y_lo, y_hi) == (int(ex_lo), int(ex_hi), int(ey_lo), int(ey_hi))
+    assert x_lo <= x_hi and y_lo <= y_hi
+
+    # query returns exactly the tiles whose coordinates fall in range,
+    # and the predicates reach the scan (written tile table)
+    pts = spark.range(2000).selectExpr(
+        "CAST((id * 7919) % 500 AS DOUBLE) / 100.0 - 2.5 AS lon",
+        "CAST((id * 104729) % 500 AS DOUBLE) / 100.0 - 2.5 AS lat")
+    tx, ty = tm.tile_cols("lon", "lat", 10)
+    tiles = (pts.select(tx.alias("x"), ty.alias("y"))
+             .withColumn("z", F.lit(10)).groupBy("z", "x", "y").count())
+    got = qa.tiles_in_viewport(tiles, -2.0, -2.0, 1.0, 1.0, zoom=10).toPandas()
+    assert len(got) > 10
+    assert got["x"].between(x_lo, x_hi).all()
+    assert got["y"].between(y_lo, y_hi).all()
+    # complement check: no in-range tile was dropped
+    allt = tiles.toPandas()
+    inrange = allt[(allt.x.between(x_lo, x_hi)) & (allt.y.between(y_lo, y_hi))]
+    assert len(inrange) == len(got)
+
+    with pytest.raises(ValueError):
+        qa.tiles_in_viewport(tiles, -2.0, -2.0, 1.0, 1.0, zoom=22)  # > max_tiles
+    with pytest.raises(ValueError):
+        qa.viewport_tile_range(-2.0, -2.0, 1.0, 1.0, 23)
+    with pytest.raises(ValueError):
+        qa.viewport_tile_range(-60.0, -2.0, 1.0, 1.0, 10)  # bbox cap
+
+
+def test_viewport_filter_reaches_scan(spark, tmp_path):
+    pts = spark.range(500).selectExpr(
+        "CAST((id * 7919) % 500 AS DOUBLE) / 100.0 - 2.5 AS lon",
+        "CAST((id * 104729) % 500 AS DOUBLE) / 100.0 - 2.5 AS lat")
+    tx, ty = tm.tile_cols("lon", "lat", 10)
+    tiles = (pts.select(tx.alias("x"), ty.alias("y"))
+             .withColumn("z", F.lit(10)).groupBy("z", "x", "y").count())
+    path = str(tmp_path / "tiles")
+    tiles.write.partitionBy("z").parquet(path)
+    stored = spark.read.parquet(path)
+    q = qa.tiles_in_viewport(stored, -2.0, -2.0, 1.0, 1.0, zoom=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "PartitionFilters" in plan
+    assert q.count() > 0
