@@ -461,6 +461,13 @@ def main() -> None:
     hot_cells = (pois.select(_hx.alias("x"), _hy.alias("y"))
                  .groupBy("x", "y").agg(F.count(F.lit(1)).alias("v")))
     timed("hotspot_gi", lambda: force(getis_ord_gi_star(hot_cells, zoom=10)))
+    # space-time cube trends: 100k cells x 24 periods, planted slopes
+    from osm_poi_cloud_spark.operators.hotspot import mann_kendall_trends
+    mk_cube = spark.range(2_400_000).selectExpr(
+        "id % 100000 AS cell", "id DIV 100000 AS period",
+        "pmod(xxhash64(id), 7) + (id % 100000 % 5 - 2) * (id DIV 100000) AS v")
+    timed("emerging_hotspots", lambda: force(
+        mann_kendall_trends(mk_cube, cell_cols=("cell",))))
     from osm_poi_cloud_spark.operators.hotspot import kde_grid
     timed("kde_heatmap", lambda: force(kde_grid(hot_cells, zoom=10, radius=3)))
     from osm_poi_cloud_spark.operators.tiling import render_heatmap_tiles

@@ -161,3 +161,94 @@ def kde_grid(tiles: DataFrame, zoom: int, radius: int = 3,
         .groupBy("x", "y")
         .agg(F.sum("_c").alias("kde_ppm"))
     )
+
+
+def mann_kendall_trends(cells_ts: DataFrame,
+                        cell_cols: tuple[str, ...] = ("x", "y"),
+                        period_col: str = "period",
+                        value_col: str = "v",
+                        min_periods: int = 4) -> DataFrame:
+    """Per-cell Mann-Kendall monotone-trend test over a space-time cube
+    — the statistic behind "emerging hot spot analysis" (the temporal
+    companion to Gi*: Gi* asks WHERE activity concentrates, this asks
+    WHICH cells are heating up or cooling down across periods).
+
+    For each cell's period-ordered values v_1..v_n:
+
+        S        = sum over i<j of sign(v_j - v_i)
+        var_num  = n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)
+                   (= 18 * Var(S), exact integer, tie-corrected)
+        trend    = increasing  if S > 0 and (S-1)^2 * 45000 > 2401 * var_num
+                   decreasing  if S < 0 and (S+1)^2 * 45000 > 2401 * var_num
+                   none        otherwise
+
+    The classification is the two-sided alpha=0.05 normal test
+    |z| > 1.96 with z = (S -+ 1)/sqrt(var_num/18), rearranged so every
+    comparison is EXACT INTEGER arithmetic (1.96^2 = 2401/625 and the
+    18 fold into the 45000/2401 pair) — no sqrt, no float, so the
+    whole row is hash-stable across engines.
+
+    Plan: one groupBy on the cell key collecting the (period, value)
+    series (bounded by the period count — a space-time cube has tens
+    of periods, the KMV/hist bounded-window precedent), then S and the
+    tie term fold natively over the sorted array (O(n^2) per cell with
+    n = #periods, in codegen, no Python). ONE shuffle total; output
+    one row per cell.
+
+    Missing periods are simply absent from the sequence (classic MK
+    uses the observed ordered sample); supply zero-filled rows upstream
+    if gap-as-zero semantics are wanted.
+    """
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2, got {min_periods}")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col(period_col).alias("p"),
+                     F.col(value_col).alias("v")))),
+        lambda s: s["v"].cast("long"))
+    g = (cells_ts.groupBy(*[F.col(c) for c in cell_cols])
+         .agg(ordered.alias("_vs"))
+         .filter(F.size("_vs") >= min_periods))
+    vs = F.col("_vs")
+    n = F.size("_vs").cast("long")
+    i_rng = F.sequence(F.lit(1), F.size("_vs") - 1)
+    s_stat = F.aggregate(
+        i_rng, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.aggregate(
+            F.sequence(i + 1, F.size("_vs")), F.lit(0).cast("long"),
+            lambda a, j: a + F.signum(
+                (F.element_at(vs, j) - F.element_at(vs, i)).cast("double")
+            ).cast("long")))
+    # tie correction: fold over the VALUE-sorted copy counting run
+    # lengths; acc = (prev value, run length, accumulated sum)
+    sorted_vs = F.array_sort(vs)
+    tie_fold = F.aggregate(
+        sorted_vs,
+        F.struct(F.lit(None).cast("long").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("acc")),
+        lambda st, v: F.when(
+            st["prev"].isNull() | (st["prev"] != v),
+            F.struct(v.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     (st["acc"] + st["run"] * (st["run"] - 1)
+                      * (2 * st["run"] + 5)).alias("acc")),
+        ).otherwise(
+            F.struct(v.alias("prev"), (st["run"] + 1).alias("run"),
+                     st["acc"].alias("acc"))),
+        lambda st: st["acc"] + st["run"] * (st["run"] - 1) * (2 * st["run"] + 5))
+    var_num = (n * (n - 1) * (2 * n + 5) - tie_fold)
+    out = (g.withColumn("n_periods", n)
+           .withColumn("s_stat", s_stat)
+           .withColumn("var_num", var_num)
+           .drop("_vs"))
+    inc = (F.col("s_stat") > 0) & (
+        (F.col("s_stat") - 1) * (F.col("s_stat") - 1) * 45000
+        > 2401 * F.col("var_num"))
+    dec = (F.col("s_stat") < 0) & (
+        (F.col("s_stat") + 1) * (F.col("s_stat") + 1) * 45000
+        > 2401 * F.col("var_num"))
+    return out.withColumn(
+        "trend",
+        F.when(inc, F.lit("increasing"))
+        .when(dec, F.lit("decreasing"))
+        .otherwise(F.lit("none")))

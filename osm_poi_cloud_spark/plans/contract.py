@@ -482,6 +482,60 @@ def _viewport_tiles_oracle() -> str:
     )
 
 
+# Emerging hotspots: a space-time cube from events — 64 cells x
+# day-of-month periods (string-render day: identical in both engines
+# under the repo's timestamp convention), with planted slopes by
+# cell % 3 (decreasing / flat / increasing at +-2 per period).
+_MK_CUBE_SQL = (
+    "SELECT cell, period, COUNT(*) + (cell % 3 - 1) * period * 2 AS v "
+    "FROM (SELECT event_id % 64 AS cell, "
+    "CAST(substr(CAST(ts AS STRING), 9, 2) AS INT) AS period FROM events) t "
+    "GROUP BY cell, period"
+)
+
+
+def _q_emerging_hotspots_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend per cell over the planted space-time cube.
+    The engine computes S and the tie-corrected variance with native
+    array folds after ONE groupBy; the oracle recomputes them with a
+    period-ordered pair SELF-JOIN — a genuinely different algorithm,
+    agreeing only if both the fold and the exact-integer significance
+    rearrangement are right."""
+    from ..operators.hotspot import mann_kendall_trends
+
+    _register(spark, sf_dir, ["events"])
+    cube = spark.sql(_MK_CUBE_SQL)
+    out = mann_kendall_trends(cube, cell_cols=("cell",),
+                              period_col="period", value_col="v")
+    return (out.select("cell", "n_periods", "s_stat", "var_num", "trend")
+            .orderBy("cell"))
+
+
+_Q_EMERGING_HOTSPOTS_ORACLE = (
+    f"WITH cube AS ({_MK_CUBE_SQL}), "
+    "n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_periods "
+    "FROM cube GROUP BY cell), "
+    "s AS (SELECT a.cell, CAST(SUM(CASE WHEN b.v > a.v THEN 1 "
+    "WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+    "FROM cube a JOIN cube b ON a.cell = b.cell AND b.period > a.period "
+    "GROUP BY a.cell), "
+    "ties AS (SELECT cell, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt "
+    "FROM (SELECT cell, v, COUNT(*) AS t FROM cube GROUP BY cell, v) g "
+    "GROUP BY cell) "
+    "SELECT n.cell, n.n_periods, s.s_stat, "
+    "CAST(n.n_periods * (n.n_periods - 1) * (2 * n.n_periods + 5) "
+    "- ties.tt AS BIGINT) AS var_num, "
+    "CASE WHEN s.s_stat > 0 AND (s.s_stat - 1) * (s.s_stat - 1) * 45000 "
+    "> 2401 * (n.n_periods * (n.n_periods - 1) * (2 * n.n_periods + 5) - ties.tt) "
+    "THEN 'increasing' "
+    "WHEN s.s_stat < 0 AND (s.s_stat + 1) * (s.s_stat + 1) * 45000 "
+    "> 2401 * (n.n_periods * (n.n_periods - 1) * (2 * n.n_periods + 5) - ties.tt) "
+    "THEN 'decreasing' ELSE 'none' END AS trend "
+    "FROM n JOIN s ON s.cell = n.cell JOIN ties ON ties.cell = n.cell "
+    "WHERE n.n_periods >= 4 ORDER BY n.cell"
+)
+
+
 # Paragraph dedup: every doc carries a unique intro, one of 7 syndicated
 # blocks (shared corpus-wide) and its own text as the tail paragraph(s).
 # Shared text (real newline chars embed identically in both dialects).
@@ -4757,6 +4811,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geohash_cells"] = _q_geohash_cells_spark
     q["viewport_tiles"] = _q_viewport_tiles_spark
     q["paragraph_dedup"] = _q_paragraph_dedup_spark
+    q["emerging_hotspots"] = _q_emerging_hotspots_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -4968,6 +5023,7 @@ def build_oracles() -> dict[str, str]:
     o["geohash_cells"] = _geohash_oracle()
     o["viewport_tiles"] = _viewport_tiles_oracle()
     o["paragraph_dedup"] = _Q_PARAGRAPH_DEDUP_ORACLE
+    o["emerging_hotspots"] = _Q_EMERGING_HOTSPOTS_ORACLE
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE

@@ -146,3 +146,81 @@ def test_kde_validation(spark):
         hs.kde_grid(df, zoom=3, radius=0)
     with pytest.raises(ValueError):
         hs.kde_grid(df, zoom=3, radius=16)
+
+
+# ------------------------------------------------------------ Mann-Kendall
+
+
+def _py_mk(values):
+    n = len(values)
+    s = sum((0 if values[j] == values[i] else (1 if values[j] > values[i] else -1))
+            for i in range(n) for j in range(i + 1, n))
+    from collections import Counter
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(values).values())
+    var_num = n * (n - 1) * (2 * n + 5) - ties
+    if s > 0 and (s - 1) ** 2 * 45000 > 2401 * var_num:
+        trend = "increasing"
+    elif s < 0 and (s + 1) ** 2 * 45000 > 2401 * var_num:
+        trend = "decreasing"
+    else:
+        trend = "none"
+    return s, var_num, trend
+
+
+def test_mann_kendall_hand_and_planted(spark):
+    rows = []
+    # cell 1: strictly increasing (12 periods) -> S = 66, significant
+    rows += [(1, p, 10 + 3 * p) for p in range(12)]
+    # cell 2: strictly decreasing
+    rows += [(2, p, 100 - 5 * p) for p in range(12)]
+    # cell 3: constant (all ties) -> S = 0, var_num = 0, none
+    rows += [(3, p, 7) for p in range(12)]
+    # cell 4: too few periods -> filtered out
+    rows += [(4, p, p) for p in range(3)]
+    # cell 5: alternating -> no significant trend
+    rows += [(5, p, 5 + (p % 2)) for p in range(12)]
+    df = spark.createDataFrame(rows, "cell long, period long, v long")
+    got = {r["cell"]: r for r in hs.mann_kendall_trends(
+        df, cell_cols=("cell",)).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["s_stat"] == 66 and got[1]["trend"] == "increasing"
+    assert got[2]["s_stat"] == -66 and got[2]["trend"] == "decreasing"
+    assert got[3]["s_stat"] == 0 and got[3]["var_num"] == 0
+    assert got[3]["trend"] == "none"
+    assert got[5]["trend"] == "none"
+    # every row matches the independent recompute (incl. tie correction)
+    series = {}
+    for c, p, v in rows:
+        series.setdefault(c, []).append((p, v))
+    for c, r in got.items():
+        vals = [v for _, v in sorted(series[c])]
+        s, var_num, trend = _py_mk(vals)
+        assert (r["s_stat"], r["var_num"], r["trend"]) == (s, var_num, trend), c
+
+    import pytest
+    with pytest.raises(ValueError):
+        hs.mann_kendall_trends(df, min_periods=1)
+
+
+def test_mann_kendall_random_recompute(spark):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    rows = []
+    for c in range(50):
+        slope = rng.randint(-3, 4)
+        for p in range(rng.randint(4, 16)):
+            rows.append((int(c), int(p),
+                         int(20 + slope * p + rng.randint(-4, 5))))
+    df = spark.createDataFrame(rows, "cell long, period long, v long")
+    got = {r["cell"]: (r["n_periods"], r["s_stat"], r["var_num"], r["trend"])
+           for r in hs.mann_kendall_trends(df, cell_cols=("cell",)).collect()}
+    series = {}
+    for c, p, v in rows:
+        series.setdefault(c, []).append((p, v))
+    n_sig = 0
+    for c, pv in series.items():
+        vals = [v for _, v in sorted(pv)]
+        s, var_num, trend = _py_mk(vals)
+        assert got[c] == (len(vals), s, var_num, trend), c
+        n_sig += trend != "none"
+    assert n_sig >= 10  # planted slopes actually detected
