@@ -401,6 +401,8 @@ def main() -> None:
     it_index = spark.range(4096).selectExpr(
         "concat('https://img.example/m', CAST(id AS STRING), '.png') AS url",
         "concat('m', CAST(id AS STRING)) AS media_id")
+    # EXIF GPS: build 20k tagged JPEGs (writer kernel) + parse + tile
+    timed("exif_geo", lambda: force(C._q_exif_geo_tiles_spark(spark, SF_DIR)))
     timed("image_text_pairs", lambda: force(
         image_text_pairs(links_fn.extract_image_refs(it_pages), it_index)))
 

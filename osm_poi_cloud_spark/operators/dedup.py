@@ -1136,13 +1136,29 @@ def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
         cool = (wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_fp_df).select("fp"))
         pair_wins = wins.join(cool, "fp", "left_semi")
-    a = pair_wins.select(F.col(id_col).alias("contained_id"), "fp")
-    b = pair_wins.select(F.col(id_col).alias("container_id"), "fp")
+    a = pair_wins.select(F.col(id_col).alias("_lo"), "fp")
+    b = pair_wins.select(F.col(id_col).alias("_hi"), "fp")
+    # count UNORDERED pairs (lo < hi) and fan the two directions out
+    # AFTER the aggregation: halves the join output rows and the
+    # pair-count shuffle volume vs the ordered-pair form. Identical
+    # results; measured wall effect on the r6ops corpus is small
+    # (-4% @4 pinned cores, ~0% @16 — the fp join dominates there),
+    # kept because at cluster scale shuffle BYTES are the budget and
+    # this is strictly half of them on the widest aggregation.
     inter = (
         a.join(b, "fp")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .groupBy("contained_id", "container_id")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .groupBy("_lo", "_hi")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            F.explode(F.array(
+                F.struct(F.col("_lo").alias("contained_id"),
+                         F.col("_hi").alias("container_id")),
+                F.struct(F.col("_hi").alias("contained_id"),
+                         F.col("_lo").alias("container_id")),
+            )).alias("_pair"),
+            "n_shared")
+        .select("_pair.contained_id", "_pair.container_id", "n_shared")
     )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "contained_id"),

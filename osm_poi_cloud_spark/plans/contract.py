@@ -482,6 +482,76 @@ def _viewport_tiles_oracle() -> str:
     )
 
 
+def _q_exif_geo_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-tagged media -> tiles: per-part JPEG bytes are BUILT with the
+    from-spec EXIF GPS writer (planted DMS rationals from exact-integer
+    congruences, alternating II/MM byte order), PARSED back by the
+    from-spec reader (operators/multimodal.extract_exif_gps), and the
+    recovered lat/lon assigned to z8 tiles. The oracle computes lat/lon
+    straight from the congruences with the parser's exact
+    left-associated IEEE chain — rows match only if writer∘parser == id
+    across both byte orders AND the DMS->degrees chain is bit-faithful."""
+    import pandas as pd
+
+    from ..functions.exif import build_exif_gps_app1, insert_app1
+    from ..operators.multimodal import extract_exif_gps
+
+    _register(spark, sf_dir, ["part"])
+
+    @F.pandas_udf("binary")
+    def build(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            c_lat = (i * 104729) % 17000
+            c_lon = (i * 7919) % 36000
+            a_lat = abs(c_lat - 8500)
+            a_lon = abs(c_lon - 18000)
+            lat_dms = ((a_lat // 100, 1), ((a_lat % 100) * 60, 100), (0, 1))
+            lon_dms = ((a_lon // 100, 1), ((a_lon % 100) * 60, 100), (0, 1))
+            app1 = build_exif_gps_app1(
+                lat_dms, "S" if c_lat < 8500 else "N",
+                lon_dms, "W" if c_lon < 18000 else "E",
+                byte_order="II" if i % 2 == 0 else "MM")
+            out.append(insert_app1(b"\xff\xd8\xff\xd9", app1))
+        return pd.Series(out)
+
+    media = spark.table("part").select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        build(F.col("p_partkey")).alias("payload"))
+    gps = extract_exif_gps(media).filter(F.col("has_gps"))
+    tx, ty = tm.tile_cols("lon", "lat", 8)
+    return (gps.select("media_id", "byte_order", "lat", "lon",
+                       tx.alias("x"), ty.alias("y"))
+            .orderBy("media_id"))
+
+
+def _exif_geo_tiles_oracle() -> str:
+    tx = tm.sql_tile_x("lon", 8)
+    ty = tm.sql_tile_y("lat", 8)
+    return (
+        "WITH ids AS (SELECT p_partkey AS id FROM part), "
+        "c AS (SELECT id, (id * 104729) % 17000 AS c_lat, "
+        "(id * 7919) % 36000 AS c_lon FROM ids), "
+        "a AS (SELECT id, c_lat, c_lon, abs(c_lat - 8500) AS a_lat, "
+        "abs(c_lon - 18000) AS a_lon FROM c), "
+        "deg AS (SELECT id, "
+        "CASE WHEN c_lat < 8500 THEN -(CAST(a_lat // 100 AS DOUBLE) "
+        "+ (CAST((a_lat % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0) "
+        "ELSE CAST(a_lat // 100 AS DOUBLE) "
+        "+ (CAST((a_lat % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0 END AS lat, "
+        "CASE WHEN c_lon < 18000 THEN -(CAST(a_lon // 100 AS DOUBLE) "
+        "+ (CAST((a_lon % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0) "
+        "ELSE CAST(a_lon // 100 AS DOUBLE) "
+        "+ (CAST((a_lon % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0 END AS lon "
+        "FROM a) "
+        "SELECT CAST(id AS VARCHAR) AS media_id, "
+        "CASE WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, "
+        f"lat, lon, {tx} AS x, {ty} AS y "
+        "FROM deg ORDER BY media_id"
+    )
+
+
 # Emerging hotspots: a space-time cube from events — 64 cells x
 # day-of-month periods (string-render day: identical in both engines
 # under the repo's timestamp convention), with planted slopes by
@@ -4812,6 +4882,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["viewport_tiles"] = _q_viewport_tiles_spark
     q["paragraph_dedup"] = _q_paragraph_dedup_spark
     q["emerging_hotspots"] = _q_emerging_hotspots_spark
+    q["exif_geo_tiles"] = _q_exif_geo_tiles_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -5024,6 +5095,7 @@ def build_oracles() -> dict[str, str]:
     o["viewport_tiles"] = _viewport_tiles_oracle()
     o["paragraph_dedup"] = _Q_PARAGRAPH_DEDUP_ORACLE
     o["emerging_hotspots"] = _Q_EMERGING_HOTSPOTS_ORACLE
+    o["exif_geo_tiles"] = _exif_geo_tiles_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
