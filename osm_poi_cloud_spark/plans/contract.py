@@ -552,6 +552,77 @@ def _exif_geo_tiles_oracle() -> str:
     )
 
 
+def _q_photo_poi_link_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photo-POI linking: EXIF-geotagged media (REAL bytes — built by
+    the writer, recovered by the parser) radius-joined to the POI point
+    cloud — the composition a geo pipeline runs to attach user photos
+    to venues. Oracle: DuckDB brute-forces the same pairs from the
+    parser's exact IEEE coordinate chain + the PTS congruence with the
+    bit-identical sub/mul/add/sqrt distance (radius_pairs precedent) —
+    so EXIF recovery, blocking coverage and every boundary decision
+    must all be exact."""
+    import pandas as pd
+
+    from ..functions.exif import build_exif_gps_app1, insert_app1
+    from ..operators.knn import radius_join
+    from ..operators.multimodal import extract_exif_gps
+
+    _register(spark, sf_dir, ["part", "customer"])
+
+    @F.pandas_udf("binary")
+    def build(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            c_lat = (i * 104729) % 17000
+            c_lon = (i * 7919) % 36000
+            a_lat = abs(c_lat - 8500)
+            a_lon = abs(c_lon - 18000)
+            app1 = build_exif_gps_app1(
+                ((a_lat // 100, 1), ((a_lat % 100) * 60, 100), (0, 1)),
+                "S" if c_lat < 8500 else "N",
+                ((a_lon // 100, 1), ((a_lon % 100) * 60, 100), (0, 1)),
+                "W" if c_lon < 18000 else "E",
+                byte_order="II" if i % 2 == 0 else "MM")
+            out.append(insert_app1(b"\xff\xd8\xff\xd9", app1))
+        return pd.Series(out)
+
+    media = spark.table("part").select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        build(F.col("p_partkey")).alias("payload"))
+    photos = (extract_exif_gps(media).filter(F.col("has_gps"))
+              .select(F.col("media_id").alias("query_id"), "lon", "lat"))
+    pois = spark.sql(PTS_SQL)
+    return radius_join(photos, pois, 5.0).orderBy("query_id", "poi_id")
+
+
+def _photo_poi_link_oracle() -> str:
+    return (
+        "WITH c AS (SELECT p_partkey AS id, "
+        "(p_partkey * 104729) % 17000 AS c_lat, "
+        "(p_partkey * 7919) % 36000 AS c_lon FROM part), "
+        "a AS (SELECT id, c_lat, c_lon, abs(c_lat - 8500) AS a_lat, "
+        "abs(c_lon - 18000) AS a_lon FROM c), "
+        "photos AS (SELECT CAST(id AS VARCHAR) AS query_id, "
+        "CASE WHEN c_lon < 18000 THEN -(CAST(a_lon // 100 AS DOUBLE) "
+        "+ (CAST((a_lon % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0) "
+        "ELSE CAST(a_lon // 100 AS DOUBLE) "
+        "+ (CAST((a_lon % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0 END AS lon, "
+        "CASE WHEN c_lat < 8500 THEN -(CAST(a_lat // 100 AS DOUBLE) "
+        "+ (CAST((a_lat % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0) "
+        "ELSE CAST(a_lat // 100 AS DOUBLE) "
+        "+ (CAST((a_lat % 100) * 60 AS DOUBLE) / 100.0) / 60.0 + 0.0 END AS lat "
+        f"FROM a), pts AS ({PTS_SQL}) "
+        "SELECT p.query_id, b.poi_id, "
+        "sqrt((p.lon - b.lon) * (p.lon - b.lon) "
+        "+ (p.lat - b.lat) * (p.lat - b.lat)) AS dist_deg "
+        "FROM photos p, pts b "
+        "WHERE sqrt((p.lon - b.lon) * (p.lon - b.lon) "
+        "+ (p.lat - b.lat) * (p.lat - b.lat)) <= 5.0 "
+        "ORDER BY query_id, poi_id"
+    )
+
+
 # Emerging hotspots: a space-time cube from events — 64 cells x
 # day-of-month periods (string-render day: identical in both engines
 # under the repo's timestamp convention), with planted slopes by
@@ -4883,6 +4954,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paragraph_dedup"] = _q_paragraph_dedup_spark
     q["emerging_hotspots"] = _q_emerging_hotspots_spark
     q["exif_geo_tiles"] = _q_exif_geo_tiles_spark
+    q["photo_poi_link"] = _q_photo_poi_link_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -5096,6 +5168,7 @@ def build_oracles() -> dict[str, str]:
     o["paragraph_dedup"] = _Q_PARAGRAPH_DEDUP_ORACLE
     o["emerging_hotspots"] = _Q_EMERGING_HOTSPOTS_ORACLE
     o["exif_geo_tiles"] = _exif_geo_tiles_oracle()
+    o["photo_poi_link"] = _photo_poi_link_oracle()
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE
