@@ -213,6 +213,9 @@ def main() -> None:
     # so the 5x replica groups are the duplicated-paragraph population)
     timed("paragraph_dedup", lambda: force(
         dd.remove_duplicated_paragraphs(docs.select("doc_id", "text"))))
+    # Gopher line-shape rules (map-only HOF pass)
+    from osm_poi_cloud_spark.functions.text_analysis import line_shape_features
+    timed("line_shape", lambda: force(line_shape_features(docs)))
     # sliding-window chunking (map-only: split + slice windows, no shuffle)
     from osm_poi_cloud_spark.operators.packing import chunk_documents
     timed("doc_chunks", lambda: force(chunk_documents(docs, max_tokens=64, overlap=16)))

@@ -412,3 +412,65 @@ def blocklist_filter(df: DataFrame, terms: tuple[str, ...] | list[str],
     WholeStageCodegen pass like every other gate."""
     return (blocklist_features(df, terms, text_col)
             .filter(F.col("blocked_frac") <= max_frac))
+
+
+def line_shape_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher LINE-level shape rules (Rae et al. 2021 §A1.1.2: drop
+    pages where >90% of lines start with a bullet or >30% end with an
+    ellipsis) — the layout-shaped quality signals the word-level
+    ``quality_features`` can't see. All native: one newline split, two
+    ``filter`` HOFs over trimmed lines, one words-per-line
+    ``transform``+``aggregate``; no shuffle, no Python. Adds:
+
+    * ``n_lines`` — newline-split line count,
+    * ``bullet_lines`` / ``ellipsis_lines`` / ``short_lines`` — lines
+      whose trimmed text starts with a bullet marker ("- ", "* ",
+      U+2022), ends with "...", or carries <= 3 words,
+    * ``bullet_ppm`` / ``ellipsis_ppm`` / ``short_ppm`` — exact
+      integer ppm of lines (``1e6 * k DIV n_lines`` — cross-engine
+      hash-stable, the blocklist integer-rule convention),
+    * ``words_per_line_ppm`` — ``1e6 * total_words DIV n_lines``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    is_bullet = lambda l: (l.startswith("- ") | l.startswith("* ")  # noqa: E731
+                           | l.startswith("•"))
+    words = lambda l: F.size(F.filter(  # noqa: E731
+        F.split(l, r"\s+"), lambda t: t != ""))
+    n_lines = F.size(lines).cast("long")
+    ppm = lambda k: F.expr(f"CAST(1000000 AS BIGINT) * {k} DIV n_lines")  # noqa: E731
+    return (
+        df.withColumn("_tl", trimmed)
+        .withColumn("n_lines", n_lines)
+        .withColumn("bullet_lines",
+                    F.size(F.filter(F.col("_tl"), is_bullet)).cast("long"))
+        .withColumn("ellipsis_lines",
+                    F.size(F.filter(F.col("_tl"),
+                                    lambda l: l.endswith("..."))).cast("long"))
+        .withColumn("short_lines",
+                    F.size(F.filter(F.col("_tl"),
+                                    lambda l: words(l) <= 3)).cast("long"))
+        .withColumn("total_line_words",
+                    F.aggregate(F.col("_tl"), F.lit(0).cast("long"),
+                                lambda acc, l: acc + words(l).cast("long")))
+        .withColumn("bullet_ppm", ppm("bullet_lines"))
+        .withColumn("ellipsis_ppm", ppm("ellipsis_lines"))
+        .withColumn("short_ppm", ppm("short_lines"))
+        .withColumn("words_per_line_ppm", ppm("total_line_words"))
+        .drop("_tl")
+    )
+
+
+def line_shape_filter(df: DataFrame, text_col: str = "text",
+                      max_bullet_ppm: int = 900_000,
+                      max_ellipsis_ppm: int = 300_000) -> DataFrame:
+    """The Gopher line-rule gate: keep documents whose bullet/ellipsis
+    line fractions stay at or under the thresholds (defaults are the
+    published 90% / 30%). Exact integer comparisons; feature columns
+    dropped on the way out (cascade-composable)."""
+    feats = line_shape_features(df, text_col)
+    kept = feats.filter((F.col("bullet_ppm") <= max_bullet_ppm)
+                        & (F.col("ellipsis_ppm") <= max_ellipsis_ppm))
+    return kept.drop("n_lines", "bullet_lines", "ellipsis_lines",
+                     "short_lines", "total_line_words", "bullet_ppm",
+                     "ellipsis_ppm", "short_ppm", "words_per_line_ppm")

@@ -66,3 +66,61 @@ def dedup_by_canonical_url(df, url_col: str = "url", order_col: str | None = Non
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def url_features(df, url_col: str = "url"):
+    """URL-shape spam heuristics (the RefinedWeb-style URL scoring
+    stage: soft signals BEFORE fetching the body — a 10^12-URL frontier
+    can't afford body-based filtering for everything). All native
+    regexp/length arithmetic, map-only, exact integers (ppm where a
+    fraction is needed — the blocklist convention). Adds:
+
+    * ``url_host`` / ``url_path`` — parsed pieces (query/fragment cut),
+    * ``url_len`` / ``host_len`` — character lengths,
+    * ``path_depth`` — '/' count inside the path,
+    * ``n_params`` — query parameters ('?' present: 1 + '&' count),
+    * ``host_digit_ppm`` — digit fraction of the host in ppm,
+    * ``host_hyphens`` — '-' count in the host (chained-keyword
+      spam-domain signal).
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    count_in = lambda col, ch: (  # noqa: E731 — exact char count
+        F.length(col) - F.length(F.regexp_replace(col, ch, "")))
+    digits = count_in(host, "[0-9]")
+    return (
+        df.withColumn("url_host", host)
+        .withColumn("url_path", path)
+        .withColumn("url_len", F.length(url).cast("long"))
+        .withColumn("host_len", F.length(host).cast("long"))
+        .withColumn("path_depth", count_in(F.col("url_path"), "/").cast("long"))
+        .withColumn("n_params",
+                    F.when(F.length(query) == 0, F.lit(0).cast("long"))
+                    .otherwise((count_in(query, "&") + 1).cast("long")))
+        .withColumn("host_digit_ppm",
+                    F.expr("CAST(1000000 AS BIGINT) * "
+                           f"(length(url_host) - length(regexp_replace(url_host, '[0-9]', ''))) "
+                           "DIV greatest(length(url_host), 1)"))
+        .withColumn("host_hyphens", count_in(F.col("url_host"), "-").cast("long"))
+    )
+
+
+def url_spam_filter(df, url_col: str = "url",
+                    max_url_len: int = 512, max_path_depth: int = 8,
+                    max_n_params: int = 8, max_host_digit_ppm: int = 300_000,
+                    max_host_hyphens: int = 3):
+    """Frontier-side URL gate: keep URLs whose shape stays under every
+    threshold (exact integer comparisons; feature columns dropped on
+    the way out, cascade-composable like line_shape_filter)."""
+    feats = url_features(df, url_col)
+    kept = feats.filter(
+        (F.col("url_len") <= max_url_len)
+        & (F.col("path_depth") <= max_path_depth)
+        & (F.col("n_params") <= max_n_params)
+        & (F.col("host_digit_ppm") <= max_host_digit_ppm)
+        & (F.col("host_hyphens") <= max_host_hyphens))
+    return kept.drop("url_host", "url_path", "url_len", "host_len",
+                     "path_depth", "n_params", "host_digit_ppm",
+                     "host_hyphens")

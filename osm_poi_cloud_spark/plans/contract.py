@@ -677,6 +677,103 @@ _Q_EMERGING_HOTSPOTS_ORACLE = (
 )
 
 
+# URL-shape corpus: digit/hyphen-spam hosts on every 4th doc, deep
+# paths + query params on every 3rd (shared dialect).
+_URL_CORPUS = (
+    "SELECT doc_id, concat('https://', "
+    "CASE WHEN doc_id % 4 = 0 THEN concat('shop', CAST(doc_id AS STRING), "
+    "'x-deals-now') ELSE concat('host', CAST(doc_id % 50 AS STRING)) END, "
+    "'.example.com/', CAST(doc_id % 7 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/deep/path/leaf?a=1&b=2' ELSE '' END) AS url "
+    "FROM documents"
+)
+
+
+def _q_url_shape_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape spam heuristics (frontier-side gate) over planted
+    spam/clean URLs — all exact integers / ppm."""
+    from ..functions.url import url_features
+
+    _register(spark, sf_dir, ["documents"])
+    corpus = spark.sql(_URL_CORPUS)
+    return (
+        url_features(corpus)
+        .select("doc_id", "url_host", "url_path", "url_len", "host_len",
+                "path_depth", "n_params", "host_digit_ppm", "host_hyphens")
+        .orderBy("doc_id")
+    )
+
+
+_Q_URL_SHAPE_ORACLE = (
+    f"WITH corpus AS ({_URL_CORPUS}), f AS (SELECT doc_id, url, "
+    "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS url_host, "
+    "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path, "
+    "regexp_extract(url, '\\?([^#]*)', 1) AS q FROM corpus) "
+    "SELECT doc_id, url_host, url_path, "
+    "CAST(length(url) AS BIGINT) AS url_len, "
+    "CAST(length(url_host) AS BIGINT) AS host_len, "
+    "CAST(length(url_path) - length(regexp_replace(url_path, '/', '', 'g')) "
+    "AS BIGINT) AS path_depth, "
+    "CAST(CASE WHEN length(q) = 0 THEN 0 ELSE "
+    "length(q) - length(regexp_replace(q, '&', '', 'g')) + 1 END AS BIGINT) "
+    "AS n_params, "
+    "(1000000 * (length(url_host) - length(regexp_replace(url_host, '[0-9]', '', 'g')))) "
+    "// greatest(length(url_host), 1) AS host_digit_ppm, "
+    "CAST(length(url_host) - length(regexp_replace(url_host, '-', '', 'g')) "
+    "AS BIGINT) AS host_hyphens "
+    "FROM f ORDER BY doc_id"
+)
+
+
+# Line-shape corpus: planted bullets/ellipses/short lines ahead of each
+# doc's own text (real newline chars — escape-free in both dialects).
+_LINE_CORPUS = (
+    "SELECT doc_id, concat('- bullet ', CAST(doc_id AS STRING), '\n', "
+    "CASE WHEN doc_id % 3 = 0 THEN 'hmm...' ELSE 'a solid line of text' END, "
+    "'\n', CASE WHEN doc_id % 5 = 0 THEN '* another item' "
+    "ELSE 'closing prose for this document' END, '\n', text) AS text "
+    "FROM documents WHERE length(text) > 0"
+)
+
+
+def _q_line_shape_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-shape rules (bullet/ellipsis/short-line fractions in
+    exact integer ppm) over the planted multi-line corpus."""
+    from ..functions.text_analysis import line_shape_features
+
+    _register(spark, sf_dir, ["documents"])
+    corpus = spark.sql(_LINE_CORPUS)
+    return (
+        line_shape_features(corpus)
+        .select("doc_id", "n_lines", "bullet_lines", "ellipsis_lines",
+                "short_lines", "total_line_words", "bullet_ppm",
+                "ellipsis_ppm", "short_ppm", "words_per_line_ppm")
+        .orderBy("doc_id")
+    )
+
+
+_Q_LINE_SHAPE_ORACLE = (
+    f"WITH corpus AS ({_LINE_CORPUS}), "
+    "t AS (SELECT doc_id, list_transform(string_split(text, chr(10)), "
+    "l -> trim(l)) AS tl FROM corpus), "
+    "w AS (SELECT doc_id, tl, list_transform(tl, l -> "
+    "len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> ''))) AS wc "
+    "FROM t) "
+    "SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_lines, "
+    "CAST(len(list_filter(tl, l -> l LIKE '- %' OR l LIKE '* %' "
+    "OR l LIKE '•%')) AS BIGINT) AS bullet_lines, "
+    "CAST(len(list_filter(tl, l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines, "
+    "CAST(len(list_filter(wc, c -> c <= 3)) AS BIGINT) AS short_lines, "
+    "CAST(list_sum(wc) AS BIGINT) AS total_line_words, "
+    "(1000000 * len(list_filter(tl, l -> l LIKE '- %' OR l LIKE '* %' "
+    "OR l LIKE '•%'))) // len(tl) AS bullet_ppm, "
+    "(1000000 * len(list_filter(tl, l -> l LIKE '%...'))) // len(tl) AS ellipsis_ppm, "
+    "(1000000 * len(list_filter(wc, c -> c <= 3))) // len(tl) AS short_ppm, "
+    "(1000000 * CAST(list_sum(wc) AS BIGINT)) // len(tl) AS words_per_line_ppm "
+    "FROM w ORDER BY doc_id"
+)
+
+
 # Paragraph dedup: every doc carries a unique intro, one of 7 syndicated
 # blocks (shared corpus-wide) and its own text as the tail paragraph(s).
 # Shared text (real newline chars embed identically in both dialects).
@@ -4955,6 +5052,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emerging_hotspots"] = _q_emerging_hotspots_spark
     q["exif_geo_tiles"] = _q_exif_geo_tiles_spark
     q["photo_poi_link"] = _q_photo_poi_link_spark
+    q["line_shape_stats"] = _q_line_shape_spark
+    q["url_shape_stats"] = _q_url_shape_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -5169,6 +5268,8 @@ def build_oracles() -> dict[str, str]:
     o["emerging_hotspots"] = _Q_EMERGING_HOTSPOTS_ORACLE
     o["exif_geo_tiles"] = _exif_geo_tiles_oracle()
     o["photo_poi_link"] = _photo_poi_link_oracle()
+    o["line_shape_stats"] = _Q_LINE_SHAPE_ORACLE
+    o["url_shape_stats"] = _Q_URL_SHAPE_ORACLE
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE

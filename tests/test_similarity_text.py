@@ -523,3 +523,53 @@ def test_blocklist_features_hand_computed(spark):
 
     with pytest.raises(ValueError):
         ta.blocklist_features(df, ())
+
+
+# -------------------------------------------------------- line shape (Gopher)
+
+
+def test_line_shape_features_hand_case(spark):
+    text = "\n".join([
+        "- first bullet item",
+        "* second bullet",
+        "• third bullet",
+        "a normal line of prose here",
+        "trailing off...",
+        "ok",
+        "",
+    ])
+    df = spark.createDataFrame([(1, text), (2, "single solid line of text")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ta.line_shape_features(df).collect()}
+    r = got[1]
+    assert r["n_lines"] == 7
+    assert r["bullet_lines"] == 3
+    assert r["ellipsis_lines"] == 1
+    # <=3-word lines: "* second bullet"(3), "• third bullet"(3),
+    # "trailing off..."(2), "ok"(1), ""(0)
+    assert r["short_lines"] == 5
+    assert r["total_line_words"] == 4 + 3 + 3 + 6 + 2 + 1 + 0
+    assert r["bullet_ppm"] == 1_000_000 * 3 // 7
+    assert r["ellipsis_ppm"] == 1_000_000 * 1 // 7
+    assert r["words_per_line_ppm"] == 1_000_000 * 19 // 7
+    r2 = got[2]
+    assert r2["n_lines"] == 1 and r2["bullet_ppm"] == 0
+
+
+def test_line_shape_filter_gopher_rules(spark):
+    bullets = "\n".join(f"- item {i}" for i in range(10))          # 100% bullets
+    dots = "\n".join(["fine line"] * 6 + ["hmm..."] * 4)           # 40% ellipsis
+    clean = "\n".join(["a perfectly reasonable paragraph here"] * 5)
+    df = spark.createDataFrame(
+        [(1, bullets), (2, dots), (3, clean), (4, "")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in ta.line_shape_filter(df).collect()}
+    # empty text: 1 line, 0 bullets/ellipsis -> kept
+    assert kept == {3, 4}
+    # thresholds are inclusive 'at or under'
+    edge = spark.createDataFrame(
+        [(9, "\n".join(["- b"] * 9 + ["x"]))], "doc_id long, text string")
+    assert ta.line_shape_filter(edge).count() == 1  # exactly 90% kept
+    # filter drops the feature columns
+    cols = ta.line_shape_filter(df).columns
+    assert cols == ["doc_id", "text"]

@@ -72,3 +72,46 @@ def test_dedup_latest_capture(spark):
     out2 = dedup_by_canonical_url(df).toPandas()
     assert len(out2) == 2
     assert set(out2["body"]) == {"old", "other"}  # 'http://A.com/p/' < 'http://a.com/p?...'
+
+
+# ----------------------------------------------------------- URL shape/spam
+
+
+def test_url_features_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "https://shop123x.example.com/a/b/c?x=1&y=2&z=3#frag"),
+         (2, "http://cheap-deals-4u-now-wow.biz/buy"),
+         (3, "https://example.org/"),
+         (4, "https://example.org/page")],
+        "id long, url string")
+    got = {r["id"]: r for r in
+           __import__("osm_poi_cloud_spark.functions.url",
+                      fromlist=["url_features"]).url_features(df).collect()}
+    r = got[1]
+    assert r["url_host"] == "shop123x.example.com"
+    assert r["url_path"] == "/a/b/c"
+    assert r["path_depth"] == 3
+    assert r["n_params"] == 3
+    assert r["host_digit_ppm"] == 1_000_000 * 3 // len("shop123x.example.com")
+    assert r["host_hyphens"] == 0
+    r2 = got[2]
+    assert r2["host_hyphens"] == 4
+    assert r2["n_params"] == 0
+    assert got[3]["path_depth"] == 1 and got[3]["n_params"] == 0
+
+
+def test_url_spam_filter_rules(spark):
+    from osm_poi_cloud_spark.functions.url import url_spam_filter
+
+    rows = [
+        (1, "https://example.org/articles/2024/spark"),         # clean
+        (2, "http://cheap-deals-4u-now-wow.biz/buy"),           # 4 hyphens
+        (3, "https://12345abc.example/x"),  # digits 5/16 = 312500 ppm > 300000
+        (4, "https://example.org/" + "/".join("abcdefghij")),   # depth 10
+        (5, "https://example.org/p?" + "&".join(f"k{i}=v" for i in range(12))),
+        (6, "https://example.org/" + "q" * 600),                # len > 512
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = {r["id"] for r in url_spam_filter(df).collect()}
+    assert kept == {1}
+    assert url_spam_filter(df).columns == ["id", "url"]
