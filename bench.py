@@ -166,6 +166,11 @@ def main() -> None:
         .select(F.col("poi_id").alias("query_id"), "lon", "lat")
     )
     timed("knn", lambda: force(knn_op.knn_join(queries, pois, k=10, zoom=8)))
+    # per-class Pareto frontier over the POI cloud (range exchange +
+    # broadcast prefix minima; no n^2 anywhere)
+    from osm_poi_cloud_spark.operators.skyline import skyline_2d
+    timed("skyline", lambda: force(skyline_2d(
+        pois, "lon", "lat", group_cols=("class",))))
 
     # ---- 6. dedup over documents ----
     # The testdata docs/embeddings tables are tiny (5000 / 2000 rows at

@@ -677,6 +677,41 @@ _Q_EMERGING_HOTSPOTS_ORACLE = (
 )
 
 
+# Per-class Pareto frontier: exact-integer (x, y) costs per part.
+_SKYLINE_PTS_SQL = (
+    "SELECT p_partkey AS poi_id, "
+    "CAST(p_partkey % 25 AS BIGINT) AS cls, "
+    "CAST((p_partkey * 7919) % 1000 AS BIGINT) AS x, "
+    "CAST((p_partkey * 104729) % 1000 AS BIGINT) AS y "
+    "FROM part"
+)
+
+
+def _q_skyline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-class 2-D skyline (operators/skyline.py): range
+    exchange + one range-frame window + broadcast prefix minima +
+    candidate min-x refinement — no all-pairs step anywhere. Oracle:
+    DuckDB's NOT EXISTS dominance brute force (n^2, a genuinely
+    different algorithm); rows match only if the sorted/partitioned
+    formulation handles every tie class (equal-x, equal-y, exact
+    duplicates, partition boundaries) exactly."""
+    from ..operators.skyline import skyline_2d
+
+    _register(spark, sf_dir, ["part"])
+    pts = spark.sql(_SKYLINE_PTS_SQL)
+    return (skyline_2d(pts, "x", "y", group_cols=("cls",))
+            .select("cls", "poi_id", "x", "y")
+            .orderBy("cls", "poi_id"))
+
+
+_Q_SKYLINE_ORACLE = (
+    f"WITH pts AS ({_SKYLINE_PTS_SQL}) "
+    "SELECT cls, poi_id, x, y FROM pts b WHERE NOT EXISTS ("
+    "SELECT 1 FROM pts a WHERE a.cls = b.cls AND a.x <= b.x AND a.y <= b.y "
+    "AND (a.x < b.x OR a.y < b.y)) ORDER BY cls, poi_id"
+)
+
+
 # URL-shape corpus: digit/hyphen-spam hosts on every 4th doc, deep
 # paths + query params on every 3rd (shared dialect).
 _URL_CORPUS = (
@@ -5054,6 +5089,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["photo_poi_link"] = _q_photo_poi_link_spark
     q["line_shape_stats"] = _q_line_shape_spark
     q["url_shape_stats"] = _q_url_shape_spark
+    q["skyline_pois"] = _q_skyline_spark
     q["pip_refine_triangle"] = _q_pip_refine_spark
     q["pip_donut_multipoly"] = _q_pip_donut_spark
     q["polygon_centroid"] = _q_polygon_centroid_spark
@@ -5270,6 +5306,7 @@ def build_oracles() -> dict[str, str]:
     o["photo_poi_link"] = _photo_poi_link_oracle()
     o["line_shape_stats"] = _Q_LINE_SHAPE_ORACLE
     o["url_shape_stats"] = _Q_URL_SHAPE_ORACLE
+    o["skyline_pois"] = _Q_SKYLINE_ORACLE
     o["pip_refine_triangle"] = _pip_refine_oracle()
     o["pip_donut_multipoly"] = _pip_donut_oracle()
     o["polygon_centroid"] = _Q_POLYGON_CENTROID_ORACLE

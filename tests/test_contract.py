@@ -61,7 +61,7 @@ MIN_ROWS = {
     "trigram_lm_scores": 400,
     "containment_pairs": 20, "phrase_search": 10, "viewport_tiles": 20,
     "paragraph_dedup": 40, "emerging_hotspots": 30, "line_shape_stats": 40,
-    "url_shape_stats": 40,
+    "url_shape_stats": 40, "skyline_pois": 25,
     "robots_filter": 400, "page_links": 800, "anchor_texts": 25,
     "boilerplate_removal": 400, "blocklist_filter": 400,
     "gazetteer_match": 80, "quadkey_tiles": 100,
