@@ -220,3 +220,26 @@ def test_sitemap_directives_map_only_native(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "Generate" in plan
+
+
+def test_skyline_no_global_window_no_python(spark):
+    """The skyline plan must never funnel the corpus through one task:
+    every Window in the executed plan carries a partition spec, the
+    partition-minima side arrives as a broadcast, and there is no
+    Python stage anywhere."""
+    from osm_poi_cloud_spark.operators.skyline import skyline_2d
+
+    pts = spark.range(5000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS g",
+        "CAST((id * 7919) % 997 AS BIGINT) AS x",
+        "CAST((id * 104729) % 997 AS BIGINT) AS y")
+    plan = _plan(skyline_2d(pts, "x", "y", group_cols=("g",)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # executedPlan renders Window as: Window [exprs], [part], [order]
+            # a global window renders with an EMPTY partition list
+            assert "windowspecdefinition()" not in line.replace(" ", "")
+    # range partitioning actually present (the scalable total order)
+    assert "rangepartitioning" in plan.lower()
