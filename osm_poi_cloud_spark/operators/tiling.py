@@ -234,9 +234,14 @@ def tile_count_deltas(old: DataFrame, new: DataFrame,
        (|zooms| integer ops per row) and one groupBy sums them —
        output bounded by tiles TOUCHED by churn, not by the corpus.
 
-    A move inside one tile at coarse z cancels to ``delta = 0`` there
-    and is filtered, so the result is also exactly the re-render /
-    republish worklist (which z/x/y MVT or PNG tiles are stale).
+    NOTE on re-rendering: a tile whose deltas cancel to 0 keeps its
+    COUNT but may still have changed MEMBERSHIP (one feature moved
+    out, another moved in) — use ``touched_tiles`` for the MVT/PNG
+    republish worklist (distinct touched tiles, no cancellation); the
+    ``delta != 0`` rows here are exactly what count maintenance needs
+    and nothing more. Pinned in tests: an incremental re-render of
+    ``touched_tiles`` merged over the old archive is byte-identical to
+    a full re-render.
 
     ``merge_tile_counts`` folds the deltas into the stored tile table;
     the pinned identity (tests + the ``incremental_tiles`` contract
@@ -246,6 +251,22 @@ def tile_count_deltas(old: DataFrame, new: DataFrame,
 
     which an independent engine verifies by rebuilding from ``new``.
     """
+    tiled = _churn_tiles(old, new, key_col, min_zoom, max_zoom, lon, lat)
+    return (
+        tiled.groupBy("z", "x", "y")
+        .agg(F.sum("delta").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+
+
+def _churn_tiles(old: DataFrame, new: DataFrame, key_col: str,
+                 min_zoom: int, max_zoom: int,
+                 lon: str, lat: str) -> DataFrame:
+    """±1 churn rows fanned out to pyramid tiles (shared kernel of
+    ``tile_count_deltas`` / ``touched_tiles``): one keyed full-outer
+    join; deleted / moved-away rows emit -1 at their OLD position,
+    inserted / moved-in rows +1 at their NEW one; attribute-only
+    changes emit nothing (null-safe position equality)."""
     if not (0 <= min_zoom <= max_zoom <= 22):
         raise ValueError(f"need 0 <= min_zoom <= max_zoom <= 22, got "
                          f"({min_zoom}, {max_zoom})")
@@ -270,13 +291,23 @@ def tile_count_deltas(old: DataFrame, new: DataFrame,
         .select(F.col("_nlon").alias(lon), F.col("_nlat").alias(lat),
                 F.lit(1).cast("long").alias("delta"))
     )
-    tiled = assign_tile_pyramid(minus.unionByName(plus),
-                                min_zoom, max_zoom, lon, lat)
-    return (
-        tiled.groupBy("z", "x", "y")
-        .agg(F.sum("delta").alias("delta"))
-        .filter(F.col("delta") != 0)
-    )
+    return assign_tile_pyramid(minus.unionByName(plus),
+                               min_zoom, max_zoom, lon, lat)
+
+
+def touched_tiles(old: DataFrame, new: DataFrame,
+                  key_col: str = "poi_id",
+                  min_zoom: int = MIN_ZOOM, max_zoom: int = MAX_ZOOM,
+                  lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """The RE-RENDER worklist: distinct ``(z, x, y)`` of every tile any
+    churned feature left or entered — the superset of
+    ``tile_count_deltas``'s nonzero rows that also covers count-neutral
+    membership changes (a feature moved out while another moved in:
+    delta 0, bytes stale). Re-rendering exactly these tiles from the
+    new snapshot and keeping every other tile's bytes is byte-identical
+    to a full re-render (test-pinned)."""
+    return (_churn_tiles(old, new, key_col, min_zoom, max_zoom, lon, lat)
+            .select("z", "x", "y").distinct())
 
 
 def merge_tile_counts(base: DataFrame, deltas: DataFrame,
