@@ -48,6 +48,9 @@ def curate_documents(
     classifier_bias: float | None = None,
     blocklist_terms: tuple[str, ...] | list[str] | None = None,
     max_blocked_frac: float = 0.0,
+    line_rules: bool = False,
+    max_bullet_ppm: int = 900_000,
+    max_ellipsis_ppm: int = 300_000,
 ) -> DataFrame:
     """Curate a raw document table for pretraining.
 
@@ -73,6 +76,13 @@ def curate_documents(
     the hit fraction exceeds ``max_blocked_frac`` (default 0.0, the
     C4 any-hit rule). Map-only; audit columns (``n_blocked``,
     ``blocked_frac``, ``blocked_terms_fp``) kept on survivors.
+
+    ``line_rules``: when True, the Gopher LINE-shape gates
+    (``functions.text_analysis.line_shape_filter`` semantics — drop
+    pages over ``max_bullet_ppm`` bullet lines or ``max_ellipsis_ppm``
+    ellipsis lines, defaults the published 90%/30%) join the heuristic
+    thresholds. Map-only HOFs, same codegen pass; default off and the
+    default path's plan is unchanged.
 
     ``classifier_weights``/``classifier_bias``: when set, the learned
     quality filter (``operators.classifier``, e.g.
@@ -102,6 +112,12 @@ def curate_documents(
         out = out.withColumn(
             "logit", lr_logit_col(classifier_weights, classifier_bias))
         out = out.filter(F.col("logit") > 0)
+    if line_rules:
+        from ..functions.text_analysis import line_shape_features
+
+        out = line_shape_features(out, text_col).filter(
+            (F.col("bullet_ppm") <= max_bullet_ppm)
+            & (F.col("ellipsis_ppm") <= max_ellipsis_ppm))
     if blocklist_terms:
         from ..functions.text_analysis import blocklist_filter
 

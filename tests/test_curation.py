@@ -177,3 +177,27 @@ def test_curation_blocklist_gate(spark):
     # no terms -> no blocklist columns, plan unchanged
     off = curate_documents(docs).toPandas()
     assert "n_blocked" not in off.columns
+
+
+def test_curation_line_rules_gate(spark):
+    """line_rules=True drops bullet-farm / ellipsis-heavy pages while
+    the default path is unchanged (audit columns only on the gated
+    run; planted clean doc survives both)."""
+    bullets = "\n".join(f"- item {i} for sale today" for i in range(10))
+    dots = "\n".join(["the quick brown fox jumps over the dog"] * 6
+                     + ["to be continued..."] * 4)
+    clean = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, bullets), (2, dots), (3, clean)], "doc_id long, text string")
+    relax = dict(min_quality=0.0, min_tokens=1, max_dup_word_frac=1.0,
+                 max_dup_line_frac=1.0)
+    base = {r["doc_id"] for r in curate_documents(df, **relax).collect()}
+    gated = {r["doc_id"] for r in curate_documents(
+        df, line_rules=True, **relax).collect()}
+    assert 3 in base and 3 in gated
+    assert 1 in base and 1 not in gated       # 100% bullet lines
+    assert 2 in base and 2 not in gated       # 40% ellipsis lines
+    # audit columns present only when the gate ran
+    gcols = curate_documents(df, line_rules=True).columns
+    assert "bullet_ppm" in gcols and "ellipsis_ppm" in gcols
+    assert "bullet_ppm" not in curate_documents(df).columns
