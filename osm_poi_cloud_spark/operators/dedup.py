@@ -398,24 +398,29 @@ def minhash_lsh_pairs(
                                        bands, shingle_k, seed)
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    # jaccard_est is computed and thresholded BEFORE the (a, b) dedup:
+    # the estimate is a deterministic function of the pair, so deduping
+    # (a, b, jaccard_est) rows is result-identical to deduping
+    # (a, b, sig_a, sig_b) rows first — but the dedup exchange then
+    # carries 24 bytes/row instead of two full signatures (~1 KB/row),
+    # and the threshold drops most rows before the exchange at all
+    # (guide §2.3: shuffle fewer bytes). The r6-shape plan ran the
+    # dedup as a SortAggregate over first(sig_a)/first(sig_b) (array
+    # agg buffers defeat hash agg); this shape is a plain hash
+    # distinct on three primitive columns.
+    est = F.expr(
+        "aggregate(zip_with(l.sig, r.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_perm))
+    return (
         left.join(right, on=["band", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            est.alias("jaccard_est"),
         )
-        .dropDuplicates(["a", "b"])
-    )
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(num_perm))
-    return (
-        cand.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("a", "b", "jaccard_est")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -448,23 +453,22 @@ def incremental_minhash_matches(
     (plans/bucketing.py pattern)."""
     probe = minhash_banded_signatures(new_docs, text_col, id_col,
                                       num_perm, bands, shingle_k, seed)
-    cand = (
+    # estimate + threshold BEFORE the pair dedup — same rewrite as
+    # minhash_lsh_pairs: result-identical (the estimate is a pure
+    # function of the pair) and the dedup exchange carries 3 primitive
+    # columns instead of two signatures per candidate row.
+    est = F.expr(
+        "aggregate(zip_with(n.sig, i.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_perm))
+    return (
         probe.alias("n").join(index.alias("i"), on=["band", "bucket"])
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"i.{id_col}").alias("index_id"),
-            F.col("n.sig").alias("sig_n"),
-            F.col("i.sig").alias("sig_i"),
+            est.alias("jaccard_est"),
         )
-        .dropDuplicates(["new_id", "index_id"])
-    )
-    est = F.expr(
-        "aggregate(zip_with(sig_n, sig_i, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(num_perm))
-    return (
-        cand.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("new_id", "index_id", "jaccard_est")
+        .dropDuplicates(["new_id", "index_id"])
     )
 
 
@@ -676,6 +680,17 @@ def _span_windows(df: DataFrame, k: int, text_col: str, id_col: str,
     )
 
 
+def _span_window_count(text_col: str, k: int):
+    """Map-side window count: the number of rows ``_span_windows`` emits
+    for a document is ``max(size(toks) - (k - 1), 0)`` — computable
+    without the explode (greatest() skips the NULL a NULL text produces
+    under ANSI size())."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    return F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))).cast("long")
+
+
 def duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
                      id_col: str = "doc_id", min_docs: int = 2,
                      fingerprint: str = "xxhash64") -> DataFrame:
@@ -746,6 +761,13 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     df = df.repartition(F.col(id_col))
     wins = _span_windows(df, k, text_col, id_col, fingerprint)
     if spans is None:
+        # two consumers (catalog + flagged probe): materialize the
+        # window rows once with a lazy localCheckpoint instead of
+        # re-running the window-hash pass per consumer (this is a
+        # narrow materialization, NOT the raw-row fp exchange the r6
+        # note below rejects — the groupBy still combines map-side and
+        # the catalog still broadcasts into the semi-join)
+        wins = wins.localCheckpoint(eager=False)
         spans = (wins.groupBy("fp")
                  .agg(F.countDistinct(id_col).alias("n_docs"))
                  .filter(F.col("n_docs") >= min_docs))
@@ -895,6 +917,8 @@ def remove_duplicated_char_spans(df: DataFrame, k: int = 40,
     df = df.repartition(F.col(id_col))
     wins = _char_span_windows(df, k, text_col, id_col, fingerprint)
     if spans is None:
+        # same two-consumer materialization as the word-level twin
+        wins = wins.localCheckpoint(eager=False)
         spans = (wins.groupBy("fp")
                  .agg(F.countDistinct(id_col).alias("n_docs"))
                  .filter(F.col("n_docs") >= min_docs))
@@ -965,21 +989,35 @@ def span_dedup_stats(df: DataFrame, k: int = 8, text_col: str = "text",
     trims documents whose duplicated-window fraction is high. Two
     shuffles total (the span groupBy + the per-doc regroup); documents
     shorter than k words report 0/0."""
-    wins = _span_windows(df, k, text_col, id_col, fingerprint)
+    # lazy localCheckpoint: the window rows feed the dup catalog AND the
+    # semi-join probe side — one hash pass instead of two (the
+    # containment/minhash materialization precedent).
+    wins = _span_windows(df, k, text_col, id_col,
+                         fingerprint).localCheckpoint(eager=False)
     dup = (
         wins.groupBy("fp")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("fp", F.lit(1).alias("is_dup"))
+        .select("fp")
     )
-    marked = wins.join(dup, "fp", "left")
-    per_doc = marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_windows"),
+    # only the FLAGGED windows regroup (semi-join, broadcastable
+    # catalog) — the r6 shape left-outer-joined and regrouped EVERY
+    # window row just to count them; the total window count per doc is
+    # a map-side expression (no explode, no join), so the per-doc base
+    # table costs one narrow pass + a one-row-per-doc exchange, and it
+    # doubles as the distinct-id universe (guide §2.3/2.4).
+    dup_per_doc = (
+        wins.join(dup, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )
-    ids = df.select(id_col).distinct()
+    base = (
+        df.select(F.col(id_col), _span_window_count(text_col, k).alias("_nw"))
+        .groupBy(id_col)
+        .agg(F.sum("_nw").alias("n_windows"))
+    )
     return (
-        ids.join(per_doc, id_col, "left")
+        base.join(dup_per_doc, id_col, "left")
         .select(id_col,
                 F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
                 F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"))
@@ -1089,6 +1127,39 @@ def remove_boilerplate_lines(df: DataFrame, host_col: str = "host",
     )
 
 
+def _span_fp_arrays(df: DataFrame, k: int, text_col: str, id_col: str,
+                    fingerprint: str) -> DataFrame:
+    """(id, _fps) — the DISTINCT k-word-window fingerprints of each
+    document as one map-side array (same tokenization + fingerprint
+    kernel as ``_span_windows``; ``array_distinct`` keeps first
+    occurrence, and set-equality is all the consumers need). No
+    explode, no exchange: per-document distinctness never required a
+    corpus-wide ``.distinct()``. Documents shorter than k words get an
+    empty array."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fingerprint == "xxhash64":
+        fp = lambda c: F.xxhash64(c)
+        empty = F.array().cast("array<bigint>")
+    elif fingerprint == "md5":
+        fp = lambda c: F.md5(c)
+        empty = F.array().cast("array<string>")
+    else:
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'md5', got {fingerprint!r}")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    wins = F.when(
+        F.size("toks") >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda j: fp(F.concat_ws(" ", F.slice(F.col("toks"), j, k))))),
+    ).otherwise(empty)
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), wins.alias("_fps"))
+    )
+
+
 def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
                       id_col: str = "doc_id",
                       min_containment_ppm: int = 600_000,
@@ -1106,11 +1177,13 @@ def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
     pair; containment is how RefinedWeb/Dolma-style curation catches
     wholesale quotation, syndication wrappers and subset pages.
 
-    Plan (all native): one ``_span_windows`` explode -> distinct
-    (id, fp) -> per-doc window counts (one partial-agg groupBy) ->
-    fp equi-self-join (ordered pairs; the join COUNT over (a, b) IS
-    the intersection size — the gazetteer blocking identity) -> exact
-    integer-ppm score ``1000000 * n_shared DIV n_windows(a)``.
+    Plan (all native): map-side per-doc DISTINCT fingerprint arrays
+    (``_span_fp_arrays`` — per-doc distinctness needs no exchange) ->
+    |S(doc)| as the array size (map-side) -> df >= 2 prefilter (one
+    map-side-combined fp count; singleton fps can never pair) ->
+    fp equi-self-join (the join COUNT over (a, b) IS the intersection
+    size — the gazetteer blocking identity) -> exact integer-ppm score
+    ``1000000 * n_shared DIV n_windows(a)``.
 
     Scale levers, same contract as the rest of the dedup family:
     * candidate fan-out is bounded by per-fp doc frequency, never n²;
@@ -1126,16 +1199,38 @@ def containment_pairs(df: DataFrame, k: int = 8, text_col: str = "text",
     if not 0 < min_containment_ppm <= 1_000_000:
         raise ValueError(f"min_containment_ppm must be in (0, 1e6], got "
                          f"{min_containment_ppm}")
-    wins = (_span_windows(df, k, text_col, id_col, fingerprint)
-            .select(id_col, "fp").distinct())
-    sizes = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
-    pair_wins = wins
+    if max_fp_df is not None and max_fp_df < 2:
+        raise ValueError(f"max_fp_df must be >= 2, got {max_fp_df}")
+    # (id, fp) distinctness is PER-DOCUMENT, so it is a map-side
+    # array_distinct over each document's window array — the r6 shape
+    # ran explode -> .distinct(), a full corpus-width exchange, and
+    # re-evaluated it once per consumer (5 window-hash passes / 6
+    # exchanges in the measured plan). |S(doc)| likewise never needs
+    # the explode at all (size of the distinct array).
+    # lazy localCheckpoint (the minhash-signature precedent): the fp
+    # arrays feed four consumers (sizes, the fp-df count, both self-join
+    # sides) — materializing them once replaces four full window-hash
+    # passes with one hash pass + three cheap re-reads. Storage is the
+    # hash array (~8 B/word), the same size class the minhash index
+    # already materializes.
+    base = _span_fp_arrays(df, k, text_col, id_col,
+                           fingerprint).localCheckpoint(eager=False)
+    wins = base.select(F.col(id_col), F.explode("_fps").alias("fp"))
+    sizes = base.select(F.col(id_col),
+                        F.size("_fps").cast("long").alias("n_windows"))
+    # df >= 2 prefilter (r6 verdict #1): a fingerprint appearing in ONE
+    # document can never produce a pair (the self-join's lo < hi kills
+    # the only candidate), yet singletons dominate real corpora — drop
+    # them from pair generation up front. One map-side-combined fp
+    # count; the surviving catalog is small enough to broadcast into
+    # the semi-join, so the self-join's inputs shrink to genuinely
+    # shared fingerprints. Result-identical with or without the cap.
+    cond = F.col("_df") >= 2
     if max_fp_df is not None:
-        if max_fp_df < 2:
-            raise ValueError(f"max_fp_df must be >= 2, got {max_fp_df}")
-        cool = (wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_fp_df).select("fp"))
-        pair_wins = wins.join(cool, "fp", "left_semi")
+        cond = cond & (F.col("_df") <= max_fp_df)
+    cool = (wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(cond).select("fp"))
+    pair_wins = wins.join(cool, "fp", "left_semi")
     a = pair_wins.select(F.col(id_col).alias("_lo"), "fp")
     b = pair_wins.select(F.col(id_col).alias("_hi"), "fp")
     # count UNORDERED pairs (lo < hi) and fan the two directions out
