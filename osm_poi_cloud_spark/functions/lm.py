@@ -33,6 +33,40 @@ from pyspark.sql import functions as F
 
 PPM = 1_000_000
 
+# Co-partition the non-broadcast scoring joins on their shared key
+# subset (see score_bigram_lm / score_trigram_backoff). "auto" applies
+# it only when the planner's own size estimate says the count tables
+# will NOT be broadcast — in the broadcast regime the extra exchange of
+# the exploded table is pure overhead (measured +1.2 s at sf0.1), in
+# the too-big-to-broadcast regime it is the difference between one
+# exchange of the corpus-sized table and one per join. True/False force
+# either branch (A/B probes).
+_COPARTITION = "auto"
+
+
+def _would_broadcast(*dfs) -> bool:
+    """True when every frame's optimizer-estimated size is under the
+    session's autoBroadcastJoinThreshold — the same signal the planner
+    uses to pick the join strategy (driver-side estimate, no action)."""
+    spark = dfs[0].sparkSession
+    thr_s = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        thr = int(thr_s)
+    except ValueError:
+        thr = int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                  .byteStringAsBytes(thr_s))
+    if thr <= 0:
+        return False
+    return all(
+        int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        <= thr for d in dfs)
+
+
+def _copartition_wanted(*count_tables) -> bool:
+    if _COPARTITION == "auto":
+        return not _would_broadcast(*count_tables)
+    return bool(_COPARTITION)
+
 
 def _bigrams_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, prev, w) — consecutive lowercased whitespace-token
@@ -58,14 +92,24 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
     tables and V for add-one smoothing. Two shuffles, vocabulary-
     bounded outputs; V is one bounded scalar."""
     bg = _bigrams_df(df, text_col, id_col)
-    bigram_counts = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    # lazy localCheckpoint: the scorer consumes each count table through
+    # one or more derived views, and without materialization every view
+    # re-runs the FULL corpus count pass (the bigram scorer read the
+    # corpus twice per table; the trigram scorer four times). The
+    # tables are vocabulary-bounded — the model artifact a production
+    # run would persist anyway; blocks are freed by the ContextCleaner
+    # when the returned frames are garbage collected.
+    bigram_counts = (bg.groupBy("prev", "w")
+                     .agg(F.count(F.lit(1)).alias("c2"))
+                     .localCheckpoint(eager=False))
     toks = (
         df.select(F.explode(F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda t: t != "")).alias("tok"))
     )
-    unigram_counts = toks.groupBy(F.col("tok").alias("prev")) \
-        .agg(F.count(F.lit(1)).alias("c1"))
+    unigram_counts = (toks.groupBy(F.col("tok").alias("prev"))
+                      .agg(F.count(F.lit(1)).alias("c1"))
+                      .localCheckpoint(eager=False))
     vocab_size = unigram_counts.count()
     return bigram_counts, unigram_counts, int(vocab_size)
 
@@ -81,8 +125,21 @@ def score_bigram_lm(df: DataFrame, bigram_counts: DataFrame,
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
     bg = _bigrams_df(df, text_col, id_col)
-    bc = F.broadcast(bigram_counts) if broadcast_counts else bigram_counts
-    uc = F.broadcast(unigram_counts) if broadcast_counts else unigram_counts
+    if broadcast_counts:
+        bc = F.broadcast(bigram_counts)
+        uc = F.broadcast(unigram_counts)
+    elif not _copartition_wanted(bigram_counts, unigram_counts):
+        bc, uc = bigram_counts, unigram_counts
+    else:
+        # co-partition every join on the shared key subset: hash
+        # partitioning on ``prev`` satisfies the clustering requirement
+        # of BOTH join key sets ({prev, w} and {prev}), so the exploded
+        # bigram table crosses the network ONCE instead of once per
+        # join (guide §2.4 — two operations keyed the same way share
+        # one exchange).
+        bg = bg.repartition(F.col("prev"))
+        bc = bigram_counts.repartition(F.col("prev"))
+        uc = unigram_counts.repartition(F.col("prev"))
     joined = (
         bg.join(bc, ["prev", "w"], "left")
         .join(uc, ["prev"], "left")
@@ -150,17 +207,25 @@ def train_trigram_lm(df: DataFrame, text_col: str = "text",
     total is one bounded scalar (training pass, same contract as the
     bigram trainer)."""
     tg = _trigrams_df(df, text_col, id_col)
-    trigram_counts = tg.groupBy("w1", "w2", "w3") \
-        .agg(F.count(F.lit(1)).alias("c3"))
+    # lazy localCheckpoint on all three tables — the scorer reads the
+    # bigram table through two views (context + continuation) and the
+    # unigram table through two (w2 + w3); without materialization each
+    # view re-ran its full corpus count pass (see train_bigram_lm).
+    trigram_counts = (tg.groupBy("w1", "w2", "w3")
+                      .agg(F.count(F.lit(1)).alias("c3"))
+                      .localCheckpoint(eager=False))
     bg = _bigrams_df(df, text_col, id_col)
-    bigram_counts = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    bigram_counts = (bg.groupBy("prev", "w")
+                     .agg(F.count(F.lit(1)).alias("c2"))
+                     .localCheckpoint(eager=False))
     toks = (
         df.select(F.explode(F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda t: t != "")).alias("tok"))
     )
-    unigram_counts = toks.groupBy(F.col("tok").alias("prev")) \
-        .agg(F.count(F.lit(1)).alias("c1"))
+    unigram_counts = (toks.groupBy(F.col("tok").alias("prev"))
+                      .agg(F.count(F.lit(1)).alias("c1"))
+                      .localCheckpoint(eager=False))
     total_tokens = unigram_counts.agg(F.sum("c1")).collect()[0][0] or 0
     return trigram_counts, bigram_counts, unigram_counts, int(total_tokens)
 
@@ -207,6 +272,20 @@ def score_trigram_backoff(df: DataFrame, trigram_counts: DataFrame,
                                    F.col("c1").alias("c2u")))
     uni3 = b(unigram_counts.select(F.col("prev").alias("w3"),
                                    F.col("c1").alias("c3u")))
+    if not broadcast_counts and _copartition_wanted(
+            trigram_counts, bigram_counts, unigram_counts):
+        # co-partition on w2: hash partitioning on the shared key
+        # satisfies the clustering requirement of four of the five
+        # joins ({w1,w2,w3}, {w1,w2}, {w2,w3}, {w2} all contain w2), so
+        # the exploded trigram table is exchanged ONCE for them instead
+        # of once per join; only the w3 unigram join still needs its
+        # own exchange (guide §2.4). The r6-shape plan reshuffled the
+        # full trigram table five times.
+        tg = tg.repartition(F.col("w2"))
+        tc = tc.repartition(F.col("w2"))
+        ctx = ctx.repartition(F.col("w2"))
+        cont = cont.repartition(F.col("w2"))
+        uni2 = uni2.repartition(F.col("w2"))
     a2_num = alpha_ppm * alpha_ppm  # exact: q3 = (a_ppm^2*c1) DIV (1e6*N)
     joined = (
         tg.join(tc, ["w1", "w2", "w3"], "left")

@@ -138,7 +138,13 @@ def importance_scores(raw: DataFrame, target: DataFrame,
     featurize = lambda d: hashed_ngram_buckets(
         d, dim=dim, n=n, include_unigrams=include_unigrams,
         text_col=text_col, id_col=id_col)
-    raw_b = featurize(raw)
+    # lazy localCheckpoint: the raw bucket counts feed BOTH the weight
+    # table (via bucket_distribution, materialized when the broadcast
+    # is built) and the scoring regroup — without it the raw-corpus
+    # featurization (tokenize + hash every gram) ran twice. The
+    # materialized rows are (id, bucket, cnt) — far narrower than the
+    # corpus text they derive from.
+    raw_b = featurize(raw).localCheckpoint(eager=False)
     weights = importance_weights(featurize(target), raw_b, dim, scale)
     scored = (
         raw_b.join(F.broadcast(weights), "bucket")
