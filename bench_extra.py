@@ -321,8 +321,11 @@ def main() -> None:
         times = []
         for i in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")
-            df, extra = build()
+            # time build + force together: iterative operators run jobs
+            # (checkpoints, sizing counts) inside the build call, same
+            # timing contract as bench.py's timed(force(fn()))
             t0 = time.time()
+            df, extra = build()
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 3))
             if extra is not None:

@@ -63,7 +63,11 @@ def hashed_tfidf_entries(df: DataFrame, dim: int = 256,
     where ``df_bucket`` counts documents containing the bucket. The df
     table has at most ``dim`` rows (broadcast join); N is one bounded
     count."""
-    tf = hashed_token_buckets(df, dim, text_col, id_col)
+    # lazy localCheckpoint: the tf table feeds BOTH the df-table
+    # aggregate and the weight join — one explode+count pass instead of
+    # two (each was a full tokenize of the corpus).
+    tf = hashed_token_buckets(df, dim, text_col, id_col) \
+        .localCheckpoint(eager=False)
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("bucket").agg(
         F.countDistinct(id_col).alias("df_bucket"))
@@ -86,19 +90,28 @@ def hashed_tfidf_embed(df: DataFrame, dim: int = 256,
     sequence; absent buckets are 0). Empty documents get the zero
     vector."""
     entries = hashed_tfidf_entries(df, dim, text_col, id_col)
-    maps = entries.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "weight"))).alias("m"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
-                             F.lit(0.0)))
+    sparse = entries.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "weight"))).alias("se"))
+    # dense scatter in O(dim + nnz) per doc: walk the bucket-sorted
+    # entries emitting the zero-run before each entry, then pad the
+    # tail — instead of ``dim`` map lookups per doc, each of which
+    # scanned the whole O(nnz) entry map (the r6 shape: ~dim * nnz
+    # comparisons per document). Values are copied, never recomputed,
+    # so the vectors are bit-identical.
+    vec = F.expr(
+        "concat("
+        "  flatten(transform(se, (s, i) -> concat("
+        "    array_repeat(0.0D, s.bucket - CASE WHEN i = 0 THEN 0 "
+        "                 ELSE element_at(se, i).bucket + 1 END),"
+        "    array(s.weight)))),"
+        f" array_repeat(0.0D, {int(dim)} - 1 - element_at(se, -1).bucket))")
     ids = df.select(id_col).distinct()
     return (
-        ids.join(maps, id_col, "left")
+        ids.join(sparse, id_col, "left")
         .select(
             F.col(id_col),
-            F.when(F.col("m").isNull(),
+            F.when(F.col("se").isNull(),
                    F.array_repeat(F.lit(0.0), dim))
             .otherwise(vec).alias("embedding"))
     )

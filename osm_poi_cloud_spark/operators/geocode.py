@@ -185,9 +185,13 @@ def conflate_pois(pois: DataFrame, id_col: str = "poi_id",
                         normalize_name_col(F.col(name_col)).alias("_toks"),
                         *cell)
             .withColumn("_n", F.size("_toks")))
+    # lazy localCheckpoint: both self-join sides (and the optional
+    # heavy-token count) consume the exploded token rows — materialize
+    # the normalize+explode once instead of once per consumer (the
+    # containment/minhash precedent; rows are (id, n, cell, token)).
     ex = base.filter(F.col("_n") > 0).select(
         "_id", "_n", *(["_cell"] if cell_col else []),
-        F.explode("_toks").alias("_tok"))
+        F.explode("_toks").alias("_tok")).localCheckpoint(eager=False)
     if max_block_df is not None:
         if max_block_df < 1:
             raise ValueError(f"max_block_df must be >= 1, got {max_block_df}")

@@ -242,11 +242,15 @@ def hits(edges: DataFrame, iters: int = 20, src_col: str = "src",
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("hub").alias("authority"))
             )
-            auth = _normalized(
+            # checkpoint the NEW authorities before the hub update: the
+            # auth subtree otherwise evaluates twice per round (once
+            # inside hub_in, once as the state join's right side) —
+            # materialization only, results identical
+            auth = _checkpoint(_normalized(
                 nodes.join(auth_in, "node", "left")
                 .select("node", F.coalesce("authority", F.lit(0.0))
                         .alias("authority")),
-                "authority")
+                "authority"))
             hub_in = (
                 e.join(auth.select(F.col("node").alias("dst"), "authority"),
                        "dst")
