@@ -334,10 +334,16 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(1), F.size("_tk") - F.lit(1)),
         lambda i: F.struct(F.element_at("_tk", i).alias("w1"),
                            F.element_at("_tk", i + 1).alias("w2")))
+    # lazy localCheckpoint: the aggregated bigram table feeds FOUR
+    # consumers (both marginals, the total, and the main join) — each
+    # otherwise re-ran the corpus explode + count shuffle. The table is
+    # bounded by distinct-bigram count, exactly what a production run
+    # would materialize.
     big = (
         base.select(F.explode(pairs).alias("_p"))
         .select("_p.w1", "_p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
     lft = big.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     rgt = big.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))

@@ -1321,7 +1321,10 @@ def remove_duplicated_paragraphs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    inst = _paragraph_instances(df, text_col, id_col)
+    # lazy localCheckpoint: the paragraph instances feed the stats
+    # aggregate AND the rewrite join — one split+md5 pass instead of two
+    inst = _paragraph_instances(df, text_col, id_col) \
+        .localCheckpoint(eager=False)
     stats = (
         inst.groupBy("p_hash")
         .agg(F.countDistinct(id_col).alias("_nd"),

@@ -76,11 +76,17 @@ def bm25_scores(postings: DataFrame, doclens: DataFrame,
     spark = postings.sparkSession
     qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
 
+    # lazy localCheckpoints: doclens feeds the corpus-stats aggregate
+    # AND the scoring join; the query postings feed the df aggregate
+    # AND the scoring join — each otherwise re-ran its full upstream
+    # pass (for qpost that upstream is the whole postings shuffle).
+    doclens = doclens.localCheckpoint(eager=False)
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"))
 
-    qpost = postings.join(F.broadcast(qdf), "term")
+    qpost = postings.join(F.broadcast(qdf), "term") \
+        .localCheckpoint(eager=False)
     dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
@@ -115,7 +121,21 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 100,
     (score desc, doc_id asc tie-break; TakeOrderedAndProject)."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    postings = build_inverted_index(docs, id_col, text_col)
+    # project the postings to the query terms BEFORE the count shuffle:
+    # bm25_scores only ever consumes postings for the query terms, so
+    # filtering the exploded tokens first shrinks the groupBy exchange
+    # from |corpus vocabulary| to |query-term hits| (identical rows —
+    # the inner join on term is exactly this filter). A pre-built full
+    # index still goes through bm25_scores unchanged.
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.filter(
+                        _tokens(text_col),
+                        lambda t: F.array_contains(qarr, t))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dls = doc_lengths(docs, id_col, text_col)
     return (bm25_scores(postings, dls, query_terms, k1, b)
             .orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(k))
