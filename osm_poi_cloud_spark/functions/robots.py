@@ -122,16 +122,22 @@ def filter_allowed_urls(urls: DataFrame, rules: DataFrame,
         tagged.select(url_col, "_host", "_path").join(r, "_host")
         .filter(F.col("_path").startswith(F.col("prefix")))
     )
-    w = Window.partitionBy(url_col).orderBy(
-        F.desc("rule_len"), F.desc(F.col("allow").cast("int")))
+    # longest-match-wins as a partial-aggregated groupBy instead of a
+    # row_number window: max(struct(rule_len, allow)) picks the same
+    # (rule_len desc, allow-wins-ties) winner — struct comparison is
+    # lexicographic and true > false — but combines map-side before the
+    # exchange, where the window sorted every matching rule row through
+    # it. Result-identical: only the winner's ``allow`` is kept.
     best = (
-        matches.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(url_col), F.col("allow").alias("_rule_allow"))
+        matches.groupBy(url_col)
+        .agg(F.max(F.struct("rule_len", "allow"))["allow"]
+             .alias("_rule_allow"))
     )
+    # join the ORIGINAL urls frame: the decided branch only needs the
+    # input columns, so re-deriving _host/_path (three regexes per URL)
+    # on this side was wasted work
     decided = (
-        tagged.drop("_host", "_path")
-        .join(best, url_col, "left")
+        urls.join(best, url_col, "left")
         .withColumn("allowed", F.coalesce(F.col("_rule_allow"), F.lit(True)))
         .drop("_rule_allow")
     )
