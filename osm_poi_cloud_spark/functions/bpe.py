@@ -261,7 +261,6 @@ def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens",
     instead of being dropped (GPT-2's byte-level alphabet, Radford et
     al. 2019)."""
     from pyspark.sql import Window
-    from pyspark import StorageLevel
 
     if max_vocab < 1:
         raise ValueError(f"need max_vocab >= 1, got {max_vocab}")
@@ -270,10 +269,15 @@ def build_vocab(tokens_df: DataFrame, tokens_col: str = "tokens",
         spark = tokens_df.sparkSession
         bt = spark.createDataFrame([(t,) for t in BYTE_TOKENS], "token string")
         toks = toks.union(bt).distinct()
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy localCheckpoint instead of an explicit persist: the guard
+    # count materializes it, the returned window plan re-reads it, and
+    # the blocks are freed by the ContextCleaner when the frame is
+    # garbage collected — the success path previously leaked the
+    # MEMORY_AND_DISK cache into the session for its whole lifetime
+    # (r6 ADVICE).
+    toks = toks.localCheckpoint(eager=False)
     n = toks.count()
     if n > max_vocab:
-        toks.unpersist()
         raise ValueError(
             f"build_vocab: {n} distinct tokens exceeds max_vocab="
             f"{max_vocab}; the id-assignment window is single-partition "

@@ -132,7 +132,13 @@ def curate_documents(
 
         out = remove_duplicated_spans(out, k=span_k, text_col="text_clean",
                                       id_col=id_col, min_docs=span_min_docs)
-    return exact_dedup(out, "text_clean", id_col)
+    # lazy localCheckpoint before the dedup: exact_dedup consumes its
+    # input twice (representatives + probe side), and on the default
+    # path everything above is ONE map-only codegen pass — without the
+    # materialization the whole cascade (quality/repetition HOFs,
+    # lang-id, scrub) executed twice. Survivors only, far smaller than
+    # the raw corpus.
+    return exact_dedup(out.localCheckpoint(eager=False), "text_clean", id_col)
 
 
 def curate_tokenize_pack(

@@ -48,6 +48,10 @@ _PREFETCH = 16384  # spec: header + root directory live in the first 16 KiB
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = result = 0
     while True:
+        if pos >= len(buf):
+            # truncated/malformed untrusted archive: clean error, never
+            # an uncaught IndexError (codec-suite rule)
+            raise ValueError("truncated varint in PMTiles directory")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -78,6 +82,10 @@ def _parse_directory(buf: bytes):
         lens.append(v)
     for i in range(n):
         v, pos = _read_varint(buf, pos)
+        if v == 0 and i == 0:
+            # "offset 0 == previous offset+length" has no previous
+            # entry to refer to — malformed archive, clean rejection
+            raise ValueError("first PMTiles directory entry has offset 0")
         offs.append(offs[i - 1] + lens[i - 1] if v == 0 else v - 1)
     return tids, offs, lens, runs
 
@@ -129,14 +137,20 @@ class PMTilesReader:
 
     # -- directory walk ---------------------------------------------------
     def _leaf(self, off: int, ln: int):
-        cached = self._leaf_cache.get(off)
-        if cached is not None:
-            self._leaf_cache.move_to_end(off)
-            return cached
+        # the LRU read-modify-write must hold the lock: concurrent
+        # ThreadingHTTPServer handlers can otherwise race move_to_end /
+        # popitem (r6 ADVICE). The lock is NOT held across the ranged
+        # read — _read takes it itself (non-reentrant).
+        with self._lock:
+            cached = self._leaf_cache.get(off)
+            if cached is not None:
+                self._leaf_cache.move_to_end(off)
+                return cached
         d = _parse_directory(self._inflate(self._read(self._leaf_off + off, ln)))
-        self._leaf_cache[off] = d
-        if len(self._leaf_cache) > self._max_leaf_cache:
-            self._leaf_cache.popitem(last=False)
+        with self._lock:
+            self._leaf_cache[off] = d
+            if len(self._leaf_cache) > self._max_leaf_cache:
+                self._leaf_cache.popitem(last=False)
         return d
 
     @staticmethod
@@ -157,13 +171,19 @@ class PMTilesReader:
                 0 <= x < (1 << z) and 0 <= y < (1 << z)):
             return None
         tid = hilbert_tile_id(z, x, y)
-        e = self._find(self._root, tid)
-        if e is not None and e[3] == 0:  # leaf-directory pointer
-            e = self._find(self._leaf(e[1], e[2]), tid)
-        if e is None or e[3] == 0 or tid >= e[0] + e[3]:
+        try:
+            e = self._find(self._root, tid)
+            if e is not None and e[3] == 0:  # leaf-directory pointer
+                e = self._find(self._leaf(e[1], e[2]), tid)
+            if e is None or e[3] == 0 or tid >= e[0] + e[3]:
+                return None
+            raw = self._read(self._data_off + e[1], e[2])
+            return gzip.decompress(raw) if self._tile_comp == 2 else raw
+        except (ValueError, OSError):
+            # malformed leaf directory / corrupt compressed payload in
+            # an untrusted archive: unaddressed-tile semantics (the
+            # server's 204 path), never an uncaught exception
             return None
-        raw = self._read(self._data_off + e[1], e[2])
-        return gzip.decompress(raw) if self._tile_comp == 2 else raw
 
     def close(self) -> None:
         self._fh.close()
