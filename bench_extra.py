@@ -276,6 +276,17 @@ def build_probes():
     df_probe("corpus_curation")(lambda: curate_documents(
         docs.select("doc_id", "text")))
 
+    from osm_poi_cloud_spark.functions.robots import filter_allowed_urls
+    rb_rules = spark.createDataFrame(
+        [(f"h{i}.example", "/p/", i % 3 == 0, 3) for i in range(16)],
+        "host string, prefix string, allow boolean, rule_len int")
+    rb_urls = docs.selectExpr(
+        "doc_id",
+        "concat('https://h', CAST(doc_id % 16 AS STRING), '.example/p/', "
+        "CAST(doc_id AS STRING)) AS url")
+    df_probe("robots_filter")(lambda: filter_allowed_urls(
+        rb_urls, rb_rules, keep_decision=True))
+
     from osm_poi_cloud_spark.operators.knn import radius_join
     rq = pois.select(F.col("poi_id").alias("query_id"), "lon", "lat")
     df_probe("radius_join")(lambda: radius_join(rq, pois, 0.25))
