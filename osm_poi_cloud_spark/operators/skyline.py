@@ -71,20 +71,18 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
         .rowsBetween(Window.unboundedPreceding, -1))
     pmins = pmins.withColumn("_prefix", prefix).drop("_pm")
 
-    # lazy localCheckpoint: the candidate set feeds the equal-y argmin
-    # aggregate AND the final join — without it the second consumer
-    # re-ran the corpus-wide window sort. Candidates are frontier-sized
-    # (tiny), so materializing them is free.
     cand = (
         d.join(F.broadcast(pmins), ["_pid", *gcols], "left")
         .filter(F.col(y_col) == F.least("_le", F.col("_prefix")))
         .drop("_pid", "_le", "_prefix")
-        .localCheckpoint(eager=False)
     )
     # equal-y chains: only the smallest-x point per (group, y) is
-    # undominated (partial-agg groupBy; candidate set, not the corpus)
-    minx = (cand.groupBy(*gcols, y_col)
-            .agg(F.min(x_col).alias("_minx")))
-    return (cand.join(minx, [*gcols, y_col])
+    # undominated. A KEYED window (non-empty partition spec, candidate
+    # set only — never the corpus) computes the per-(group, y) min(x)
+    # in ONE consumer of `cand`; the former groupBy + self-join shape
+    # evaluated the whole candidate subtree (including the corpus-wide
+    # range window sort) twice.
+    minx = F.min(x_col).over(Window.partitionBy(*gcols, y_col))
+    return (cand.withColumn("_minx", minx)
             .filter(F.col(x_col) == F.col("_minx"))
             .drop("_minx"))
