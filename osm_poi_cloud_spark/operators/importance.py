@@ -54,14 +54,11 @@ from pyspark.sql import functions as F
 from ..functions.embed import HASH_SEED
 
 
-def hashed_ngram_buckets(df: DataFrame, dim: int = 4096, n: int = 2,
-                         include_unigrams: bool = True,
-                         text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """(id, bucket, cnt) — lowercased ``[^a-z0-9]+``-split word n-grams
-    (plus unigrams by default, the paper's feature set) hashed into
-    ``dim`` buckets and counted per document. One explode + one
-    shuffle; short docs contribute their unigrams only."""
+def _gram_buckets(df: DataFrame, dim: int, n: int,
+                  include_unigrams: bool, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, bucket) — one row per GRAM instance (pre-aggregation form
+    of ``hashed_ngram_buckets``; map-only)."""
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
     if n < 2:
@@ -82,6 +79,19 @@ def hashed_ngram_buckets(df: DataFrame, dim: int = 4096, n: int = 2,
             id_col,
             F.pmod(F.xxhash64(F.lit(HASH_SEED), F.col("gram")),
                    F.lit(dim)).cast("int").alias("bucket"))
+    )
+
+
+def hashed_ngram_buckets(df: DataFrame, dim: int = 4096, n: int = 2,
+                         include_unigrams: bool = True,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket, cnt) — lowercased ``[^a-z0-9]+``-split word n-grams
+    (plus unigrams by default, the paper's feature set) hashed into
+    ``dim`` buckets and counted per document. One explode + one
+    shuffle; short docs contribute their unigrams only."""
+    return (
+        _gram_buckets(df, dim, n, include_unigrams, text_col, id_col)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -141,9 +151,11 @@ def importance_scores(raw: DataFrame, target: DataFrame,
     # lazy localCheckpoint: the raw bucket counts feed BOTH the weight
     # table (via bucket_distribution, materialized when the broadcast
     # is built) and the scoring regroup — without it the raw-corpus
-    # featurization (tokenize + hash every gram) ran twice. The
-    # materialized rows are (id, bucket, cnt) — far narrower than the
-    # corpus text they derive from.
+    # featurization (tokenize + hash every gram) ran twice. A gram-level
+    # variant (join weights per gram row, skip the (id, bucket) count
+    # shuffle entirely) was measured interleaved and REJECTED: 4.9 s vs
+    # 4.2 s at sf0.1 — the saved exchange is cheaper locally than the
+    # extra 20M broadcast-probe + wider materialization it causes.
     raw_b = featurize(raw).localCheckpoint(eager=False)
     weights = importance_weights(featurize(target), raw_b, dim, scale)
     scored = (
